@@ -1,0 +1,420 @@
+"""Aggregation operations as composable Spark SQL expression builders.
+
+The reference implements every operation as a SimpleAggregator[Input, IR,
+Output] with prepare/update/merge/finalize (aggregator/base/
+BaseAggregator.scala; SimpleAggregators.scala; TimedAggregators.scala).
+We re-express the same contract as **columnar** Spark expressions so the
+whole plan stays inside Catalyst/WholeStageCodegen:
+
+- ``direct``:   whole-group aggregate expression (used for unbounded
+                windows and within-group temporal finalization).
+- ``ir``:       per-(key, day) partial-aggregate expression — the IR is a
+                plain Spark column (scalar, struct, array or map) instead
+                of the reference's mutable Array[Any]
+                (aggregator/row/RowAggregator.scala:27-76).
+- ``merge``:    associative merge of IRs over a day-range window frame
+                (the analogue of SimpleAggregator.merge, run by Spark's
+                window-aggregate machinery instead of a hand-rolled loop).
+- ``finalize``: IR → output column.
+
+Null contract matches the reference: null inputs never update the IR
+(aggregator/row/ColumnAggregator.scala update guards), and a window with
+no events finalizes to null (RowAggregator IR slots start null).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import AggregationPart, Operation
+
+# epoch-millis ts column name used inside event frames
+TS = "ts"
+
+
+def _nn(input_expr: str, payload: str) -> str:
+    """Wrap payload so null inputs are skipped (update-guard semantics)."""
+    return f"CASE WHEN ({input_expr}) IS NOT NULL THEN {payload} END"
+
+
+def _ts_struct(inp: str) -> str:
+    """(ts, value) TimeTuple struct — struct ordering gives min/max-by-ts
+    (TimedAggregators.scala:74-112)."""
+    return f"named_struct('t', {TS}, 'v', {inp})"
+
+
+@dataclass
+class OpSpec:
+    """Expression builders for one operation.
+
+    Each builder takes the *input expression string* (usually a column
+    name) and returns a Spark Column / SQL string. ``merge`` builds the
+    windowed merge given the IR column name; callers apply ``.over(w)``
+    themselves where needed.
+    """
+
+    # whole-group aggregate: (input_expr, part) -> Column
+    direct: Callable[[str, AggregationPart], Column]
+    # per-day partial: (input_expr, part) -> Column
+    ir: Callable[[str, AggregationPart], Column]
+    # merge-over-frame SQL: (ir_col, part) -> SQL string using window
+    # aggregate functions (caller wraps with OVER via F.expr(...).over(w)
+    # is not possible for expr strings; we return Column-producing fns)
+    merge: Callable[[str, AggregationPart], "WindowMerge"]
+    # finalize: (ir_col, part) -> Column
+    finalize: Callable[[str, AggregationPart], Column]
+
+
+@dataclass
+class WindowMerge:
+    """A merge = window-aggregate column factory: fn(WindowSpec) -> Column."""
+
+    fn: Callable[[object], Column]
+
+    def over(self, w) -> Column:
+        return self.fn(w)
+
+
+def _wm(fn: Callable[[object], Column]) -> WindowMerge:
+    return WindowMerge(fn)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _percentiles(part: AggregationPart) -> list[float]:
+    return list(part.arg_map.get("percentiles", [0.5]))
+
+
+def _k(part: AggregationPart) -> int:
+    return int(part.arg_map.get("k", 1))
+
+
+def _interp_percentile(sorted_arr: str, p: float) -> str:
+    """Linear-interpolated percentile over a sorted array — same definition
+    as numpy/np.percentile, Spark's exact `percentile`, DuckDB
+    quantile_cont. The reference returns KLL-sketch approximations
+    (SimpleAggregators.scala:762-802); parity tests use allclose so the
+    exact value is an acceptable (stronger) stand-in; a sketch path can
+    swap in per-hop KLL merges later."""
+    n = f"size({sorted_arr})"
+    idx = f"({p} * ({n} - 1))"
+    lo = f"CAST(floor({idx}) AS INT)"
+    hi = f"CAST(ceil({idx}) AS INT)"
+    frac = f"({idx} - floor({idx}))"
+    return (
+        f"CASE WHEN {n} > 0 THEN "
+        f"element_at({sorted_arr}, {lo} + 1) * (1.0 - {frac}) + "
+        f"element_at({sorted_arr}, {hi} + 1) * {frac} END"
+    )
+
+
+def _moments_finalize(ir: str, op: Operation) -> Column:
+    """Finalize (n, s1..s4) power sums.
+
+    Matches the reference's moment finalizers (SimpleAggregators.scala:
+    872-983): variance = m2 (population), skew = m3/m2^1.5 with NaN when
+    n<3 or m2==0, kurtosis (excess) = m4/m2^2 - 3 with NaN when n<4.
+    """
+    n = f"{ir}.n"
+    m1 = f"({ir}.s1 / {n})"
+    m2 = f"({ir}.s2 / {n} - {m1} * {m1})"
+    m3 = f"({ir}.s3 / {n} - 3 * {m1} * {ir}.s2 / {n} + 2 * {m1} * {m1} * {m1})"
+    m4 = (
+        f"({ir}.s4 / {n} - 4 * {m1} * {ir}.s3 / {n}"
+        f" + 6 * {m1} * {m1} * {ir}.s2 / {n} - 3 * {m1} * {m1} * {m1} * {m1})"
+    )
+    if op is Operation.VARIANCE:
+        body = f"CASE WHEN {n} >= 1 THEN greatest({m2}, 0.0D) END"
+    elif op is Operation.SKEW:
+        body = (
+            f"CASE WHEN {n} < 3 OR {m2} <= 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {m3} / power({m2}, 1.5) END"
+        )
+    else:  # KURTOSIS
+        body = (
+            f"CASE WHEN {n} < 4 OR {m2} <= 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {m4} / ({m2} * {m2}) - 3.0 END"
+        )
+    return F.expr(f"CASE WHEN {ir} IS NOT NULL AND {n} > 0 THEN {body} END")
+
+
+def _moments_ir(inp: str) -> Column:
+    x = f"CAST({inp} AS DOUBLE)"
+    return F.expr(
+        f"named_struct("
+        f"'n',  count({inp}), "
+        f"'s1', sum({x}), "
+        f"'s2', sum({x} * {x}), "
+        f"'s3', sum({x} * {x} * {x}), "
+        f"'s4', sum({x} * {x} * {x} * {x}))"
+    )
+
+
+def _moments_merge(ir: str) -> WindowMerge:
+    def fn(w):
+        return F.struct(
+            F.sum(F.col(f"{ir}.n")).over(w).alias("n"),
+            F.sum(F.col(f"{ir}.s1")).over(w).alias("s1"),
+            F.sum(F.col(f"{ir}.s2")).over(w).alias("s2"),
+            F.sum(F.col(f"{ir}.s3")).over(w).alias("s3"),
+            F.sum(F.col(f"{ir}.s4")).over(w).alias("s4"),
+        )
+
+    return _wm(fn)
+
+
+def _moments_direct(inp: str, op: Operation) -> Column:
+    x = f"CAST({inp} AS DOUBLE)"
+    n = f"count({inp})"
+    m1 = f"(sum({x}) / {n})"
+    m2 = f"(sum({x}*{x}) / {n} - {m1}*{m1})"
+    m3 = f"(sum({x}*{x}*{x}) / {n} - 3*{m1}*sum({x}*{x})/{n} + 2*{m1}*{m1}*{m1})"
+    m4 = (
+        f"(sum({x}*{x}*{x}*{x}) / {n} - 4*{m1}*sum({x}*{x}*{x})/{n}"
+        f" + 6*{m1}*{m1}*sum({x}*{x})/{n} - 3*{m1}*{m1}*{m1}*{m1})"
+    )
+    if op is Operation.VARIANCE:
+        body = f"greatest({m2}, 0.0D)"
+    elif op is Operation.SKEW:
+        body = f"CASE WHEN {n} < 3 OR {m2} <= 0 THEN CAST('NaN' AS DOUBLE) ELSE {m3} / power({m2}, 1.5) END"
+    else:
+        body = f"CASE WHEN {n} < 4 OR {m2} <= 0 THEN CAST('NaN' AS DOUBLE) ELSE {m4} / ({m2}*{m2}) - 3.0 END"
+    return F.expr(f"CASE WHEN {n} > 0 THEN {body} END")
+
+
+def _hist_finalize(list_col: str, part: AggregationPart) -> Column:
+    """Build Map[String, Long] counts from a collected string array via
+    higher-order functions (no UDF). Optional top-k truncation at finalize
+    (SimpleAggregators.scala:250-322)."""
+    distinct = f"array_distinct({list_col})"
+    entries = (
+        f"transform({distinct}, kk -> named_struct("
+        f"'key', kk, 'value', size(filter({list_col}, xx -> xx = kk))))"
+    )
+    k = part.arg_map.get("k")
+    if k:
+        entries = (
+            f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
+            f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {int(k)})"
+        )
+    return F.expr(
+        f"CASE WHEN {list_col} IS NOT NULL AND size({list_col}) > 0 "
+        f"THEN map_from_entries({entries}) END"
+    )
+
+
+# ---------------------------------------------------------------- specs
+
+
+def _collect_merge(ir: str) -> WindowMerge:
+    return _wm(lambda w: F.flatten(F.collect_list(ir).over(w)))
+
+
+def _sorted_struct_list(inp: str, asc: bool, limit: int | None, by_value: bool) -> str:
+    """collect (ts,value) structs (or plain values) sorted, optionally k-limited.
+
+    collect_list skips nulls natively — matching the null-update guard."""
+    if by_value:
+        body = f"array_sort(collect_list({inp}))"
+    else:
+        body = f"array_sort(collect_list({_nn(inp, _ts_struct(inp))}))"
+    if not asc:
+        body = f"reverse({body})"
+    if limit is not None:
+        body = f"slice({body}, 1, {limit})"
+    return body
+
+
+def spec_for(op: Operation) -> OpSpec:
+    return OP_SPECS[op]
+
+
+OP_SPECS: dict[Operation, OpSpec] = {}
+
+
+def _register(op: Operation, direct, ir, merge, finalize):
+    OP_SPECS[op] = OpSpec(direct=direct, ir=ir, merge=merge, finalize=finalize)
+
+
+_register(
+    Operation.COUNT,
+    direct=lambda inp, p: F.expr(f"count({inp})"),
+    ir=lambda inp, p: F.expr(f"count({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.sum(ir).over(w)),
+    finalize=lambda ir, p: F.col(ir),
+)
+
+_register(
+    Operation.SUM,
+    direct=lambda inp, p: F.expr(f"sum({inp})"),
+    ir=lambda inp, p: F.expr(f"sum({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.sum(ir).over(w)),
+    finalize=lambda ir, p: F.col(ir),
+)
+
+_register(
+    Operation.MIN,
+    direct=lambda inp, p: F.expr(f"min({inp})"),
+    ir=lambda inp, p: F.expr(f"min({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.min(ir).over(w)),
+    finalize=lambda ir, p: F.col(ir),
+)
+
+_register(
+    Operation.MAX,
+    direct=lambda inp, p: F.expr(f"max({inp})"),
+    ir=lambda inp, p: F.expr(f"max({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.max(ir).over(w)),
+    finalize=lambda ir, p: F.col(ir),
+)
+
+_register(
+    Operation.AVERAGE,
+    direct=lambda inp, p: F.expr(f"avg(CAST({inp} AS DOUBLE))"),
+    ir=lambda inp, p: F.expr(
+        f"named_struct('s', sum(CAST({inp} AS DOUBLE)), 'c', count({inp}))"
+    ),
+    merge=lambda ir, p: _wm(
+        lambda w: F.struct(
+            F.sum(F.col(f"{ir}.s")).over(w).alias("s"),
+            F.sum(F.col(f"{ir}.c")).over(w).alias("c"),
+        )
+    ),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN {ir}.c > 0 THEN {ir}.s / {ir}.c END"),
+)
+
+for _op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+    _register(
+        _op,
+        direct=lambda inp, p, _o=_op: _moments_direct(inp, _o),
+        ir=lambda inp, p: _moments_ir(inp),
+        merge=lambda ir, p: _moments_merge(ir),
+        finalize=lambda ir, p, _o=_op: _moments_finalize(ir, _o),
+    )
+
+_register(
+    Operation.UNIQUE_COUNT,
+    direct=lambda inp, p: F.expr(f"count(DISTINCT {inp})"),
+    ir=lambda inp, p: F.expr(f"collect_set({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.array_distinct(F.flatten(F.collect_list(ir).over(w)))),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN size({ir}) > 0 THEN size({ir}) END"),
+)
+
+_register(
+    Operation.APPROX_UNIQUE_COUNT,
+    # reference: CPC sketch lgK=8 (SimpleAggregators.scala:716-760); Spark
+    # native is HLL++ — same allclose-tolerance contract as reference tests
+    # (GroupByTest.scala:127-130 treat approx == exact on low cardinality).
+    direct=lambda inp, p: F.expr(f"approx_count_distinct({inp})"),
+    ir=lambda inp, p: F.expr(f"hll_sketch_agg({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.expr(f"hll_union_agg({ir})").over(w)),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN {ir} IS NOT NULL THEN hll_sketch_estimate({ir}) END"),
+)
+
+_register(
+    Operation.BOUNDED_UNIQUE_COUNT,
+    # reference caps the set at k (SimpleAggregators.scala:603-708);
+    # finalized value == least(exact_distinct, k)
+    direct=lambda inp, p: F.expr(f"least(count(DISTINCT {inp}), {_k(p)})"),
+    ir=lambda inp, p: F.expr(f"collect_set({inp})"),
+    merge=lambda ir, p: _wm(lambda w: F.array_distinct(F.flatten(F.collect_list(ir).over(w)))),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN size({ir}) > 0 THEN least(size({ir}), {_k(p)}) END"),
+)
+
+_register(
+    Operation.APPROX_PERCENTILE,
+    direct=lambda inp, p: F.expr(
+        f"percentile({inp}, array({', '.join(str(x) for x in _percentiles(p))}))"
+    ),
+    ir=lambda inp, p: F.expr(f"sort_array(collect_list(CAST({inp} AS DOUBLE)))"),
+    merge=lambda ir, p: _wm(lambda w: F.sort_array(F.flatten(F.collect_list(ir).over(w)))),
+    finalize=lambda ir, p: F.expr(
+        "CASE WHEN size({ir}) > 0 THEN array({exprs}) END".format(
+            ir=ir, exprs=", ".join(_interp_percentile(ir, q) for q in _percentiles(p))
+        )
+    ),
+)
+
+_register(
+    Operation.HISTOGRAM,
+    direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized below via direct_finalize
+    ir=lambda inp, p: F.expr(f"collect_list({inp})"),
+    merge=lambda ir, p: _collect_merge(ir),
+    finalize=lambda ir, p: _hist_finalize(ir, p),
+)
+
+_register(
+    Operation.FIRST,
+    direct=lambda inp, p: F.expr(f"min({_nn(inp, _ts_struct(inp))})"),
+    ir=lambda inp, p: F.expr(f"min({_nn(inp, _ts_struct(inp))})"),
+    merge=lambda ir, p: _wm(lambda w: F.min(ir).over(w)),
+    finalize=lambda ir, p: F.expr(f"{ir}.v"),
+)
+
+_register(
+    Operation.LAST,
+    direct=lambda inp, p: F.expr(f"max({_nn(inp, _ts_struct(inp))})"),
+    ir=lambda inp, p: F.expr(f"max({_nn(inp, _ts_struct(inp))})"),
+    merge=lambda ir, p: _wm(lambda w: F.max(ir).over(w)),
+    finalize=lambda ir, p: F.expr(f"{ir}.v"),
+)
+
+_register(
+    Operation.FIRST_K,
+    direct=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=True, limit=_k(p), by_value=False)),
+    ir=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=True, limit=_k(p), by_value=False)),
+    merge=lambda ir, p: _wm(
+        lambda w: F.slice(F.array_sort(F.flatten(F.collect_list(ir).over(w))), 1, _k(p))
+    ),
+    finalize=lambda ir, p: F.expr(
+        f"CASE WHEN size({ir}) > 0 THEN transform({ir}, x -> x.v) END"
+    ),
+)
+
+_register(
+    Operation.LAST_K,
+    direct=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=False, limit=_k(p), by_value=False)),
+    ir=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=False, limit=_k(p), by_value=False)),
+    merge=lambda ir, p: _wm(
+        lambda w: F.slice(F.reverse(F.array_sort(F.flatten(F.collect_list(ir).over(w)))), 1, _k(p))
+    ),
+    finalize=lambda ir, p: F.expr(
+        f"CASE WHEN size({ir}) > 0 THEN transform({ir}, x -> x.v) END"
+    ),
+)
+
+_register(
+    Operation.TOP_K,
+    direct=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=False, limit=_k(p), by_value=True)),
+    ir=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=False, limit=_k(p), by_value=True)),
+    merge=lambda ir, p: _wm(
+        lambda w: F.slice(F.reverse(F.array_sort(F.flatten(F.collect_list(ir).over(w)))), 1, _k(p))
+    ),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN size({ir}) > 0 THEN {ir} END"),
+)
+
+_register(
+    Operation.BOTTOM_K,
+    direct=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=True, limit=_k(p), by_value=True)),
+    ir=lambda inp, p: F.expr(_sorted_struct_list(inp, asc=True, limit=_k(p), by_value=True)),
+    merge=lambda ir, p: _wm(
+        lambda w: F.slice(F.array_sort(F.flatten(F.collect_list(ir).over(w))), 1, _k(p))
+    ),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN size({ir}) > 0 THEN {ir} END"),
+)
+
+
+# Direct-path ops whose group-aggregate result still needs a finalize step
+DIRECT_NEEDS_FINALIZE = {
+    Operation.HISTOGRAM: lambda col, p: _hist_finalize(col, p),
+    Operation.FIRST: lambda col, p: F.expr(f"{col}.v"),
+    Operation.LAST: lambda col, p: F.expr(f"{col}.v"),
+    Operation.FIRST_K: lambda col, p: F.expr(f"CASE WHEN size({col}) > 0 THEN transform({col}, x -> x.v) END"),
+    Operation.LAST_K: lambda col, p: F.expr(f"CASE WHEN size({col}) > 0 THEN transform({col}, x -> x.v) END"),
+    Operation.TOP_K: lambda col, p: F.expr(f"CASE WHEN size({col}) > 0 THEN {col} END"),
+    Operation.BOTTOM_K: lambda col, p: F.expr(f"CASE WHEN size({col}) > 0 THEN {col} END"),
+}

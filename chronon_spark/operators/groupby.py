@@ -1,0 +1,229 @@
+"""GroupBy backfill — snapshot accuracy.
+
+Semantics (spark/GroupBy.scala:144-169 snapshotEvents + the zero-leakage
+day-boundary rule at spark/GroupBy.scala:107-114): for each requested
+partition day ``ds`` and key, a window of W days covers exactly the events
+with ``ts`` in days ``[ds − W + 1, ds]`` — i.e. everything strictly before
+``ds+1 00:00`` UTC ("yesterday's end-of-day aggregate"). Snapshot windows
+use the daily resolution (windowing/Resolution.scala:49-62), so whole-day
+range frames are exact — no sawtooth correction needed.
+
+Plan shape (1 shuffle + 1 window sort, all inside Catalyst):
+
+  events ── groupBy(keys, day) → daily partial IRs      [SHUFFLE: keys+day]
+         └─ explode day → influenced output days (hop emission,
+            HopsAggregator.scala:99-143 leftBoundaries analogue)
+  spine left-join daily → Window.partitionBy(keys).orderBy(day)
+            .rangeBetween(-(W-1), 0) merges IRs → finalize
+
+At 100 TB this scales because the window merge operates on the
+*daily-compressed* IRs (|keys| × |days| rows), not raw events, and both
+the groupBy and the window sort shuffle on the same key hash (one
+exchange reused by AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    AggregationPart,
+    EventSource,
+    GroupBy,
+    Operation,
+)
+from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, spec_for
+from chronon_spark.sources.scan import (
+    null_key_filter,
+    render_source,
+    union_sources,
+)
+
+DAY_IDX = "__day_idx"
+EPOCH = "DATE'1970-01-01'"
+
+
+def _with_day_idx(df: DataFrame, from_col: str = "ds") -> DataFrame:
+    return df.withColumn(DAY_IDX, F.expr(f"datediff(to_date({from_col}), {EPOCH})"))
+
+
+def _ds_from_idx(col: str = DAY_IDX):
+    return F.expr(f"date_format(date_add({EPOCH}, {col}), 'yyyy-MM-dd')")
+
+
+def _ir_col(part: AggregationPart) -> str:
+    return f"__ir_{part.output_column}"
+
+
+def snapshot_events(
+    spark: SparkSession,
+    gb: GroupBy,
+    events: DataFrame,
+    start_ds: str,
+    end_ds: str,
+) -> DataFrame:
+    """Daily feature table over an events frame already carrying ``ts``
+    (epoch millis) and ``ds``. Returns (keys..., ds, feature columns)."""
+    keys = list(gb.key_columns)
+    parts = gb.unpacked()
+    plain = [p for p in parts if p.bucket is None]
+    bucket_cols = sorted({p.bucket for p in parts if p.bucket is not None})
+
+    events = null_key_filter(events, tuple(keys))
+    out = _snapshot_plain(spark, gb, plain, events, start_ds, end_ds) if plain else None
+
+    # Bucketed aggregations (aggregator/row/BucketedColumnAggregator.scala):
+    # realized as a nested GroupBy on (keys + bucket) rolled back up into a
+    # Map[bucket → value] column per feature — works uniformly for every op.
+    for bcol in bucket_cols:
+        bparts = [p for p in parts if p.bucket == bcol]
+        sub_gb = GroupBy(
+            name=f"{gb.name}__by_{bcol}",
+            sources=gb.sources,
+            key_columns=tuple(keys) + (bcol,),
+            aggregations=(),
+            accuracy=Accuracy.SNAPSHOT,
+        )
+        stripped = [
+            AggregationPart(p.input_column, p.operation, p.arg_map, p.window, None)
+            for p in bparts
+        ]
+        sub = _snapshot_plain(
+            spark, sub_gb, stripped, events.filter(F.col(bcol).isNotNull()), start_ds, end_ds
+        )
+        rolls = [
+            F.expr(
+                f"map_from_entries(collect_list(CASE WHEN {sp.output_column} IS NOT NULL "
+                f"THEN named_struct('key', {bcol}, 'value', {sp.output_column}) END))"
+            ).alias(bp.output_column)
+            for sp, bp in zip(stripped, bparts)
+        ]
+        rolled = sub.groupBy(*keys, "ds").agg(*rolls)
+        rolled = rolled.select(
+            *keys,
+            "ds",
+            *[
+                F.expr(
+                    f"CASE WHEN size({bp.output_column}) > 0 THEN {bp.output_column} END"
+                ).alias(bp.output_column)
+                for bp in bparts
+            ],
+        )
+        out = rolled if out is None else out.join(rolled, keys + ["ds"], "full_outer")
+
+    if gb.derivations:
+        exprs = ["*"] if "*" in gb.derivations else keys + ["ds"]
+        exprs += [f"{e} AS {a}" for a, e in gb.derivations.items() if a != "*"]
+        out = out.selectExpr(*exprs)
+    return out
+
+
+def _snapshot_plain(
+    spark: SparkSession,
+    gb: GroupBy,
+    parts: list[AggregationPart],
+    events: DataFrame,
+    start_ds: str,
+    end_ds: str,
+) -> DataFrame:
+    keys = list(gb.key_columns)
+    ev = _with_day_idx(events)
+
+    # ---- stage 1: per-(keys, day) partial IRs (map-side combine is free:
+    # Catalyst HashAggregate partial/final — SURVEY §4)
+    ir_exprs = [spec_for(p.operation).ir(p.input_column, p).alias(_ir_col(p)) for p in parts]
+    daily = ev.groupBy(*keys, DAY_IDX).agg(*ir_exprs)
+
+    # ---- stage 2: output-day spine = days each daily row influences
+    # (bounded by max window; unbounded windows influence through end_ds)
+    start_idx = F.expr(f"datediff(to_date('{start_ds}'), {EPOCH})")
+    end_idx = F.expr(f"datediff(to_date('{end_ds}'), {EPOCH})")
+    max_w = gb.max_window_millis if not any(p.window is None for p in parts) else None
+    if max_w is None:
+        span_end = end_idx
+    else:
+        max_days = max(p.window.days_ceil for p in parts if p.window is not None)
+        span_end = F.least(end_idx, F.col(DAY_IDX) + F.lit(max_days - 1))
+    spine = (
+        daily.select(*keys, DAY_IDX)
+        .withColumn(
+            "__out_day",
+            F.explode(F.sequence(F.greatest(F.col(DAY_IDX), start_idx), span_end)),
+        )
+        .filter(F.col("__out_day") >= start_idx)
+        .select(*keys, F.col("__out_day").alias(DAY_IDX))
+        .distinct()
+    )
+
+    merged = spine.join(daily, keys + [DAY_IDX], "left")
+
+    # ---- stage 3: window merges + finalize
+    feature_cols = []
+    for p in parts:
+        irc = _ir_col(p)
+        if p.window is None:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(DAY_IDX))
+                .rangeBetween(Window.unboundedPreceding, 0)
+            )
+        else:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(DAY_IDX))
+                .rangeBetween(-(p.window.days_ceil - 1), 0)
+            )
+        spec = spec_for(p.operation)
+        merged = merged.withColumn(f"__m_{p.output_column}", spec.merge(irc, p).over(w))
+    for p in parts:
+        feature_cols.append(
+            spec_for(p.operation).finalize(f"__m_{p.output_column}", p).alias(p.output_column)
+        )
+
+    return merged.select(*keys, _ds_from_idx().alias("ds"), *feature_cols)
+
+
+def snapshot_entities(
+    spark: SparkSession,
+    gb: GroupBy,
+    snapshots: DataFrame,
+) -> DataFrame:
+    """Entity snapshots: aggregate each day's snapshot partition per key
+    (spark/GroupBy.scala:100-142 snapshotEntities). Windows don't apply —
+    each ds is a full snapshot."""
+    keys = list(gb.key_columns)
+    parts = [p for p in gb.unpacked() if p.bucket is None]
+    aggs = []
+    post = []
+    for p in parts:
+        c = spec_for(p.operation).direct(p.input_column, p).alias(p.output_column)
+        aggs.append(c)
+        fin = DIRECT_NEEDS_FINALIZE.get(p.operation)
+        post.append((p, fin))
+    out = null_key_filter(snapshots, tuple(keys)).groupBy(*keys, "ds").agg(*aggs)
+    for p, fin in post:
+        if fin is not None:
+            out = out.withColumn(p.output_column, fin(p.output_column, p))
+    return out
+
+
+def group_by_backfill(
+    spark: SparkSession,
+    gb: GroupBy,
+    start_ds: str,
+    end_ds: str,
+    extra_wheres: tuple[str, ...] = (),
+) -> DataFrame:
+    """Render + union sources, then dispatch on data model
+    (spark/GroupBy.scala:691-793 computeBackfill, minus table I/O which
+    lives in chronon_spark.sources.warehouse)."""
+    dfs = [
+        render_source(spark, s, gb, query_start=start_ds, query_end=end_ds, extra_wheres=extra_wheres)
+        for s in gb.sources
+    ]
+    df = union_sources(dfs)
+    if all(isinstance(s, EventSource) for s in gb.sources):
+        return snapshot_events(spark, gb, df, start_ds, end_ds)
+    return snapshot_entities(spark, gb, df)

@@ -1,0 +1,433 @@
+"""Temporal (as-of) GroupBy — the point-in-time core.
+
+Semantics (the "sawtooth" window, aggregator/.../SawtoothAggregator.scala +
+the definitional oracle NaiveAggregator.scala:36-44): for query time ``qt``
+and window ``w`` with tail-hop ``h`` (windowing/Resolution.scala:37-47 —
+>12d→1d, >12h→1h, else 5min), the effective interval is::
+
+    [ floor((qt − w) / h) * h ,  qt )      # head strictly exclusive of qt
+
+Events at exactly ``ts == qt`` are EXCLUDED (zero-leakage invariant,
+SawtoothAggregator.scala:108-115). Unbounded windows cover ``(-inf, qt)``.
+
+Execution: instead of the reference's three RDD cogroups keyed by
+(murmur_hash(keys), headStart) (spark/GroupBy.scala:279-358), we run ONE
+DataFrame cogroup per key over (queries × events) and evaluate every
+query's aggregate with vectorized numpy inside an Arrow-batched
+``applyInPandas`` kernel:
+
+- invertible ops (count/sum/average/variance/skew/kurtosis) are prefix-sum
+  lookups: two ``np.searchsorted`` calls per (part, query-batch) — O((E+Q)·logE)
+  per key, no per-row Python;
+- min/max use an O(E log E) sparse table with O(1) vectorized range lookups;
+- first/last are index lookups on the non-null event index;
+- list/map-valued ops (last_k/top_k/percentile/histogram/unique) slice the
+  compacted value array per query (numpy slicing, loop over queries only).
+
+This is the same asymptotic shape as the reference's TwoStackLite
+(windowing/TwoStackLiteAggregator.scala:26-120) but batch-vectorized.
+Skew note: one key's events land in one Arrow batch; the scale path
+(hop pre-tiling that compresses events to ≤ days×24 hop IRs per key
+before the cogroup) is the planned round-2 optimization for hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import AggregationPart, GroupBy, Operation
+from chronon_spark.sources.scan import TS_COL, null_key_filter
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+
+
+def _plain_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataType:
+    op = part.operation
+    if op in (
+        Operation.COUNT,
+        Operation.UNIQUE_COUNT,
+        Operation.APPROX_UNIQUE_COUNT,
+        Operation.BOUNDED_UNIQUE_COUNT,
+    ):
+        return T.LongType()
+    if op is Operation.SUM:
+        return T.LongType() if isinstance(input_type, _INTEGRAL) else T.DoubleType()
+    if op in (Operation.AVERAGE, Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+        return T.DoubleType()
+    if op is Operation.APPROX_PERCENTILE:
+        return T.ArrayType(T.DoubleType())
+    if op is Operation.HISTOGRAM:
+        return T.MapType(T.StringType(), T.LongType())
+    if op in (Operation.MIN, Operation.MAX, Operation.FIRST, Operation.LAST):
+        return input_type
+    if op in (Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K):
+        return T.ArrayType(input_type)
+    raise ValueError(f"unsupported op {op}")
+
+
+def output_field(part: AggregationPart, events_schema: T.StructType) -> T.StructField:
+    input_type = events_schema[part.input_column].dataType
+    plain = _plain_output_type(part, input_type)
+    dt = T.MapType(T.StringType(), plain) if part.bucket is not None else plain
+    return T.StructField(part.output_column, dt, True)
+
+
+# ------------------------------------------------------------------ numpy kernels
+
+
+def _prefix(arr: np.ndarray) -> np.ndarray:
+    out = np.empty(len(arr) + 1, dtype=np.float64)
+    out[0] = 0.0
+    np.cumsum(arr, out=out[1:])
+    return out
+
+
+class _SparseTable:
+    """O(1) range min/max after O(n log n) build, vectorized over queries."""
+
+    def __init__(self, vals: np.ndarray, is_min: bool):
+        n = len(vals)
+        self.n = n
+        fill = np.inf if is_min else -np.inf
+        k_max = max(1, int(np.floor(np.log2(n))) + 1) if n else 1
+        table = np.full((k_max, n), fill, dtype=np.float64)
+        if n:
+            table[0] = vals
+            reducer = np.minimum if is_min else np.maximum
+            for k in range(1, k_max):
+                half = 1 << (k - 1)
+                if n - (1 << k) + 1 <= 0:
+                    break
+                table[k, : n - (1 << k) + 1] = reducer(
+                    table[k - 1, : n - (1 << k) + 1], table[k - 1, half : n - (1 << k) + 1 + half]
+                )
+        self.table = table
+        self.fill = fill
+
+    def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """range [lo, hi) per element; empty ranges yield self.fill."""
+        res = np.full(len(lo), self.fill, dtype=np.float64)
+        ln = hi - lo
+        nz = ln > 0
+        if not nz.any():
+            return res
+        k = np.zeros(len(lo), dtype=np.int64)
+        k[nz] = np.floor(np.log2(ln[nz])).astype(np.int64)
+        a = self.table[k[nz], lo[nz]]
+        b = self.table[k[nz], hi[nz] - (1 << k[nz])]
+        res[nz] = np.minimum(a, b) if self.fill == np.inf else np.maximum(a, b)
+        return res
+
+
+class _EventCol:
+    """Per-input-column precomputation shared across parts/windows."""
+
+    def __init__(self, series: pd.Series, numeric: bool):
+        self.numeric = numeric
+        if numeric:
+            vals = pd.to_numeric(series, errors="coerce").to_numpy(dtype=np.float64)
+            self.mask = ~np.isnan(vals)
+            self.vals = vals
+        else:
+            self.raw = series.to_numpy(dtype=object)
+            self.mask = np.array([v is not None and v == v for v in self.raw], dtype=bool)
+            self.vals = None
+        self.pcount = _prefix(self.mask.astype(np.float64))
+        # compacted (non-null) values in ts order + their original indices
+        self.nn_idx = np.flatnonzero(self.mask)
+        if numeric:
+            self.compact = self.vals[self.nn_idx]
+        else:
+            self.compact = self.raw[self.nn_idx]
+        self._psum = None
+        self._pmoments = None
+        self._tmin = None
+        self._tmax = None
+        self._sorted_compact_cache = None
+
+    def count_in(self, lo, hi):
+        return (self.pcount[hi] - self.pcount[lo]).astype(np.int64)
+
+    def compact_range(self, lo, hi):
+        """map event-index range [lo,hi) → compact-index range."""
+        clo = (self.pcount[lo]).astype(np.int64)
+        chi = (self.pcount[hi]).astype(np.int64)
+        return clo, chi
+
+    @property
+    def psum(self):
+        if self._psum is None:
+            z = np.where(self.mask, self.vals, 0.0)
+            self._psum = _prefix(z)
+        return self._psum
+
+    @property
+    def pmoments(self):
+        if self._pmoments is None:
+            z = np.where(self.mask, self.vals, 0.0)
+            self._pmoments = tuple(_prefix(z**i) for i in (2, 3, 4))
+        return self._pmoments
+
+    def tmin(self):
+        if self._tmin is None:
+            v = np.where(self.mask, self.vals, np.inf)
+            self._tmin = _SparseTable(v, is_min=True)
+        return self._tmin
+
+    def tmax(self):
+        if self._tmax is None:
+            v = np.where(self.mask, self.vals, -np.inf)
+            self._tmax = _SparseTable(v, is_min=False)
+        return self._tmax
+
+
+def _obj(values, valid) -> np.ndarray:
+    out = np.empty(len(values), dtype=object)
+    for i in range(len(values)):
+        out[i] = values[i] if valid[i] else None
+    return out
+
+
+def _compute_part(
+    part: AggregationPart, col: _EventCol, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """Aggregate one unpacked part over per-query event-index ranges [lo, hi)."""
+    op = part.operation
+    cnt = col.count_in(lo, hi)
+    has = cnt > 0
+
+    if op is Operation.COUNT:
+        return _obj([int(c) for c in cnt], has)
+    if op is Operation.SUM:
+        s = col.psum[hi] - col.psum[lo]
+        if col.numeric:
+            # integral sums stay long; detect via compact dtype later at Arrow
+            pass
+        return _obj([float(x) for x in s], has)
+    if op is Operation.AVERAGE:
+        s = col.psum[hi] - col.psum[lo]
+        return _obj([s[i] / cnt[i] if cnt[i] else None for i in range(len(cnt))], has)
+    if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+        p2, p3, p4 = col.pmoments
+        n = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s1 = col.psum[hi] - col.psum[lo]
+            s2 = p2[hi] - p2[lo]
+            s3 = p3[hi] - p3[lo]
+            s4 = p4[hi] - p4[lo]
+            m1 = s1 / n
+            m2 = s2 / n - m1**2
+            m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1**3
+            m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1**2 * s2 / n - 3 * m1**4
+        if op is Operation.VARIANCE:
+            vals = np.maximum(m2, 0.0)
+            return _obj([float(v) for v in vals], has)
+        if op is Operation.SKEW:
+            out = np.where((n < 3) | (m2 <= 0), np.nan, m3 / np.power(np.maximum(m2, 1e-300), 1.5))
+            return _obj([float(v) for v in out], has)
+        out = np.where((n < 4) | (m2 <= 0), np.nan, m4 / np.maximum(m2, 1e-300) ** 2 - 3.0)
+        return _obj([float(v) for v in out], has)
+    if op is Operation.MIN and col.numeric:
+        v = col.tmin().query(lo, hi)
+        return _obj([float(x) for x in v], has & np.isfinite(v))
+    if op is Operation.MAX and col.numeric:
+        v = col.tmax().query(lo, hi)
+        return _obj([float(x) for x in v], has & np.isfinite(v))
+
+    # compacted-range ops (and string min/max fallback)
+    clo, chi = col.compact_range(lo, hi)
+    k = int(part.arg_map.get("k", 1))
+    out = np.empty(len(lo), dtype=object)
+    compact = col.compact
+    for i in range(len(lo)):
+        a, b = clo[i], chi[i]
+        if b <= a:
+            out[i] = None
+            continue
+        sl = compact[a:b]
+        if op is Operation.MIN:
+            out[i] = sl.min()
+        elif op is Operation.MAX:
+            out[i] = sl.max()
+        elif op is Operation.FIRST:
+            out[i] = sl[0]
+        elif op is Operation.LAST:
+            out[i] = sl[-1]
+        elif op is Operation.FIRST_K:
+            out[i] = list(sl[:k])
+        elif op is Operation.LAST_K:
+            out[i] = list(sl[-k:][::-1])
+        elif op is Operation.TOP_K:
+            out[i] = list(np.sort(sl)[::-1][:k])
+        elif op is Operation.BOTTOM_K:
+            out[i] = list(np.sort(sl)[:k])
+        elif op is Operation.APPROX_PERCENTILE:
+            qs = part.arg_map.get("percentiles", [0.5])
+            out[i] = [float(np.percentile(sl.astype(np.float64), q * 100)) for q in qs]
+        elif op is Operation.HISTOGRAM:
+            uniq, counts = np.unique(sl.astype(str), return_counts=True)
+            d = {str(u): int(c) for u, c in zip(uniq, counts)}
+            kk = part.arg_map.get("k")
+            if kk:
+                top = sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)]
+                d = dict(top)
+            out[i] = d
+        elif op in (
+            Operation.UNIQUE_COUNT,
+            Operation.APPROX_UNIQUE_COUNT,
+            Operation.BOUNDED_UNIQUE_COUNT,
+        ):
+            u = len(np.unique(sl))
+            if op is Operation.BOUNDED_UNIQUE_COUNT:
+                u = min(u, k)
+            out[i] = int(u)
+        else:
+            raise ValueError(f"unsupported op {op}")
+    return out
+
+
+def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.DataType):
+    """Coerce python values to the declared Spark type (long vs double)."""
+    plain = _plain_output_type(part, input_type)
+    if isinstance(plain, T.LongType):
+        return np.array(
+            [int(v) if v is not None and v == v else None for v in out_vals], dtype=object
+        )
+    if isinstance(plain, T.DoubleType):
+        return np.array(
+            [float(v) if v is not None else None for v in out_vals], dtype=object
+        )
+    if isinstance(plain, T.ArrayType) and isinstance(plain.elementType, T.LongType):
+        return np.array(
+            [[int(x) for x in v] if v is not None else None for v in out_vals], dtype=object
+        )
+    return out_vals
+
+
+def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: list[str]):
+    parts = gb.unpacked()
+    numeric_cols = {
+        f.name: isinstance(f.dataType, (T.NumericType, T.BooleanType)) for f in events_schema.fields
+    }
+    input_types = {f.name: f.dataType for f in events_schema.fields}
+
+    def kernel(qdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        out = qdf.loc[:, query_cols].copy()
+        nq = len(qdf)
+        if nq == 0:
+            for p in parts:
+                out[p.output_column] = pd.Series([], dtype=object)
+            return out
+        if len(edf) == 0:
+            for p in parts:
+                out[p.output_column] = None
+            return out
+        edf = edf.sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        ev_ts = edf[TS_COL].to_numpy(dtype=np.int64)
+        qt = qdf[TS_COL].to_numpy(dtype=np.int64)
+        head = np.searchsorted(ev_ts, qt, side="left")  # ts < qt — strict head
+
+        cols: dict[str, _EventCol] = {}
+        bucket_groups: dict[str, dict] = {}
+
+        def event_col(name: str, frame: pd.DataFrame = None) -> _EventCol:
+            if frame is None:
+                if name not in cols:
+                    cols[name] = _EventCol(edf[name], numeric_cols[name])
+                return cols[name]
+            return _EventCol(frame[name], numeric_cols[name])
+
+        for p in parts:
+            if p.window is None:
+                lo = np.zeros(nq, dtype=np.int64)
+            else:
+                w, hop = p.window.millis, p.hop_millis
+                tail_t = ((qt - w) // hop) * hop  # floor-to-hop grid (sawtooth tail)
+                lo = np.searchsorted(ev_ts, tail_t, side="left")
+            if p.bucket is None:
+                vals = _compute_part(p, event_col(p.input_column), lo, head)
+                out[p.output_column] = _cast_feature(vals, p, input_types[p.input_column])
+            else:
+                # bucketed: per distinct bucket value, compute on the event
+                # subset and assemble Map[bucket → value] per query
+                # (BucketedColumnAggregator semantics)
+                if p.bucket not in bucket_groups:
+                    bmask = edf[p.bucket].notna()
+                    groups = {}
+                    for bval, sub in edf[bmask].groupby(p.bucket, sort=False):
+                        sub = sub.reset_index(drop=True)
+                        groups[str(bval)] = (sub, sub[TS_COL].to_numpy(dtype=np.int64))
+                    bucket_groups[p.bucket] = groups
+                groups = bucket_groups[p.bucket]
+                maps = [dict() for _ in range(nq)]
+                stripped = AggregationPart(p.input_column, p.operation, p.arg_map, p.window, None)
+                for bval, (sub, sub_ts) in groups.items():
+                    sub_head = np.searchsorted(sub_ts, qt, side="left")
+                    if p.window is None:
+                        sub_lo = np.zeros(nq, dtype=np.int64)
+                    else:
+                        sub_lo = np.searchsorted(sub_ts, tail_t, side="left")
+                    scol = _EventCol(sub[p.input_column], numeric_cols[p.input_column])
+                    vals = _cast_feature(
+                        _compute_part(stripped, scol, sub_lo, sub_head),
+                        stripped,
+                        input_types[p.input_column],
+                    )
+                    for i, v in enumerate(vals):
+                        if v is not None:
+                            maps[i][bval] = v
+                out[p.output_column] = [m if m else None for m in maps]
+        return out
+
+    return kernel
+
+
+def temporal_events(
+    spark: SparkSession,
+    gb: GroupBy,
+    queries: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Point-in-time aggregates of ``events`` at each query row's ``ts``.
+
+    ``queries`` must carry the GroupBy's key columns and ``ts`` (epoch ms);
+    every query column passes through to the output, duplicates preserved
+    1:1 (JoinTest.scala:389-394 contract). Query rows whose keys are all
+    null get null features (padGroupByFields, spark/Join.scala:410-432).
+    """
+    keys = list(gb.key_columns)
+    parts = gb.unpacked()
+    query_cols = queries.columns
+    ev_schema = events.schema
+
+    schema = T.StructType(
+        [queries.schema[c] for c in query_cols] + [output_field(p, ev_schema) for p in parts]
+    )
+
+    events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
+
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond | c)
+    good_q = queries.filter(cond) if cond is not None else queries
+    bad_q = queries.filter(~cond) if cond is not None else None
+
+    kernel = make_temporal_kernel(gb, ev_schema, query_cols)
+    result = (
+        good_q.groupBy(*keys)
+        .cogroup(events.groupBy(*keys))
+        .applyInPandas(kernel, schema=schema)
+    )
+    if bad_q is not None:
+        pad = bad_q
+        for p in parts:
+            pad = pad.withColumn(
+                p.output_column, F.lit(None).cast(output_field(p, ev_schema).dataType)
+            )
+        result = result.unionByName(pad)
+    return result
