@@ -155,9 +155,12 @@ def _snapshot_plain(
         .filter(F.col("__out_day") >= start_idx)
         .select(*keys, F.col("__out_day").alias(DAY_IDX))
         .distinct()
+        .withColumn("__is_out", F.lit(True))
     )
 
-    merged = spine.join(daily, keys + [DAY_IDX], "left")
+    # full outer: lookback daily rows (days before start_ds) must be present
+    # in the frame for the window merge even though they are not output days
+    merged = daily.join(spine, keys + [DAY_IDX], "full_outer")
 
     # ---- stage 3: window merges + finalize
     feature_cols = []
@@ -182,7 +185,9 @@ def _snapshot_plain(
             spec_for(p.operation).finalize(f"__m_{p.output_column}", p).alias(p.output_column)
         )
 
-    return merged.select(*keys, _ds_from_idx().alias("ds"), *feature_cols)
+    return merged.filter(F.col("__is_out")).select(
+        *keys, _ds_from_idx().alias("ds"), *feature_cols
+    )
 
 
 def snapshot_entities(

@@ -291,16 +291,21 @@ def _compute_part(
 
 
 def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.DataType):
-    """Coerce python values to the declared Spark type (long vs double)."""
+    """Coerce python values to the declared Spark type.
+
+    Scalars use pandas *nullable* arrays so Arrow keeps the NaN-vs-null
+    distinction (skew/kurtosis legitimately finalize to NaN for n<3 /
+    zero variance, while an empty window is SQL NULL)."""
     plain = _plain_output_type(part, input_type)
     if isinstance(plain, T.LongType):
-        return np.array(
-            [int(v) if v is not None and v == v else None for v in out_vals], dtype=object
-        )
+        mask = np.array([v is None or v != v for v in out_vals], dtype=bool)
+        vals = np.array([0 if m else int(v) for v, m in zip(out_vals, mask)], dtype=np.int64)
+        return pd.arrays.IntegerArray(vals, mask)
     if isinstance(plain, T.DoubleType):
-        return np.array(
-            [float(v) if v is not None else None for v in out_vals], dtype=object
-        )
+        # explicit mask keeps genuine NaN values (pd.array would fold them to NA)
+        mask = np.array([v is None for v in out_vals], dtype=bool)
+        vals = np.array([0.0 if m else float(v) for v, m in zip(out_vals, mask)], dtype=np.float64)
+        return pd.arrays.FloatingArray(vals, mask)
     if isinstance(plain, T.ArrayType) and isinstance(plain.elementType, T.LongType):
         return np.array(
             [[int(x) for x in v] if v is not None else None for v in out_vals], dtype=object
@@ -378,7 +383,7 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
                         input_types[p.input_column],
                     )
                     for i, v in enumerate(vals):
-                        if v is not None:
+                        if v is not None and v is not pd.NA:
                             maps[i][bval] = v
                 out[p.output_column] = [m if m else None for m in maps]
         return out
