@@ -200,6 +200,10 @@ def snapshot_entities(
     each ds is a full snapshot."""
     keys = list(gb.key_columns)
     parts = [p for p in gb.unpacked() if p.bucket is None]
+    if "ts" not in snapshots.columns:
+        # entity snapshots carry no event time; day-midnight millis stands in
+        # so time-ordered ops (FIRST/LAST) stay well-typed
+        snapshots = snapshots.withColumn("ts", F.unix_timestamp(F.to_date("ds")) * 1000)
     aggs = []
     post = []
     for p in parts:

@@ -1,0 +1,172 @@
+"""Point-in-time Join backfill.
+
+Semantics (spark/Join.scala + spark/JoinBase.scala:504-636): for every
+left row (keys, ts, ds), attach each JoinPart's GroupBy aggregate **as of**
+that row's time, zero leakage, left duplicates preserved 1:1, left rows
+with null/unmatched keys padded with null features
+(padGroupByFields, spark/Join.scala:410-432).
+
+Accuracy dispatch (JoinBase.scala:320-334):
+- Events-left × Events-right × TEMPORAL → temporal as-of kernel
+- Events-left × Events-right × SNAPSHOT → "yesterday's EOD aggregate for
+  today's events": right computed per day, joined on (keys, date(ts)-1 →
+  shifted +1) (JoinBase.scala:86-119)
+- Entities-right → snapshot entities joined on (keys, ds)
+
+Key pruning before each right computation (spark/Join.scala:306-341):
+the right input is semi-filtered by the left's distinct keys — expressed
+as a broadcast LEFT SEMI join, the idiomatic Catalyst form of the
+reference's bloom filter (Catalyst turns it into a BroadcastHashJoin when
+the key set is small; above the broadcast threshold AQE falls back to a
+shuffled semi join, which is still a strict filter, never a blowup).
+
+Scale notes: each join part computes independently (thread parallelism as
+in spark/Join.scala:292-404 can be layered on; parts are separate Spark
+jobs sharing the left scan). The final fold is a sequence of LEFT OUTER
+equi-joins on (keys, ts, row_uid) — co-partitioned on the same keys, so
+AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    EntitySource,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+)
+from chronon_spark.operators.groupby import snapshot_entities, snapshot_events
+from chronon_spark.operators.temporal import temporal_events
+from chronon_spark.sources.scan import (
+    TS_COL,
+    render_source,
+    shift_ds,
+    skew_filter,
+    union_sources,
+)
+
+ROW_UID = "__row_uid"
+
+
+def coalesced_join(left: DataFrame, right: DataFrame, keys: list[str], how="left") -> DataFrame:
+    """LEFT OUTER equi-join; shared non-key columns merged by
+    coalesce(left, right) — bootstrap-wins rule (spark/JoinUtils.scala:138-169)."""
+    shared = [c for c in left.columns if c in right.columns and c not in keys]
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    out = left.join(r, keys, how)
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__r_{c}"))).drop(f"__r_{c}")
+    return out
+
+
+def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str],
+                        left_keys: list[str]) -> DataFrame:
+    """Prune the right scan to keys the left actually contains — the
+    broadcast-semi-join realization of the reference's bloom/IN-list
+    pruning (spark/JoinUtils.scala:296-351, Extensions.scala:199-226)."""
+    distinct_keys = left.select(
+        *[F.col(lk).alias(rk) for lk, rk in zip(left_keys, right_keys)]
+    ).dropna().distinct()
+    return events.join(F.broadcast(distinct_keys), right_keys, "left_semi")
+
+
+def compute_join_part(
+    spark: SparkSession,
+    left: DataFrame,
+    part: JoinPart,
+    left_start: str,
+    left_end: str,
+    skew_keys=None,
+) -> DataFrame:
+    """Compute one joinPart's feature frame keyed by the LEFT key names +
+    (ts | ds), feature columns prefixed with the part's full prefix."""
+    gb = part.group_by
+    r2l = part.right_to_left()  # right key -> left col
+    right_keys = list(gb.key_columns)
+    left_keys = [r2l[k] for k in right_keys]
+
+    rights = [
+        render_source(spark, s, gb, query_start=left_start, query_end=left_end)
+        for s in gb.sources
+    ]
+    right_df = skew_filter(union_sources(rights), skew_keys)
+
+    accuracy = gb.inferred_accuracy
+    is_entity = any(isinstance(s, EntitySource) for s in gb.sources)
+
+    if is_entity:
+        # Entities snapshot join: right grouped by (keys, ds), joined on keys+ds
+        # (spark/JoinBase.scala:320-328)
+        feats = snapshot_entities(spark, gb, right_df)
+        join_cols_left = left_keys + ["ds"]
+        feats = _rename_keys(feats, right_keys, left_keys)
+        out_keyed = feats
+        join_cols = join_cols_left
+    elif accuracy is Accuracy.TEMPORAL:
+        queries = left.select(
+            *[F.col(lk).alias(rk) for lk, rk in zip(left_keys, right_keys)],
+            F.col(TS_COL),
+            F.col(ROW_UID),
+        )
+        right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
+        feats = temporal_events(spark, gb, queries, right_df)
+        out_keyed = _rename_keys(feats, right_keys, left_keys)
+        join_cols = [ROW_UID]
+        out_keyed = out_keyed.drop(*[c for c in left_keys if c in out_keyed.columns], TS_COL)
+    else:
+        # Events-left × events-right SNAPSHOT: features as of yesterday's EOD.
+        # Right computed per ds over [left_start-1, left_end-1], then shifted
+        # +1 day so today's left rows see yesterday's aggregate
+        # (JoinBase.scala:86-119, 148-165).
+        right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
+        feats = snapshot_events(
+            spark, gb, right_df, shift_ds(left_start, -1), shift_ds(left_end, -1)
+        )
+        feats = feats.withColumn("ds", F.date_format(F.date_add(F.to_date("ds"), 1), "yyyy-MM-dd"))
+        out_keyed = _rename_keys(feats, right_keys, left_keys)
+        join_cols = left_keys + ["ds"]
+
+    # prefix feature columns
+    feature_cols = [c for c in out_keyed.columns if c not in set(join_cols + left_keys + ["ds", TS_COL])]
+    for c in feature_cols:
+        out_keyed = out_keyed.withColumnRenamed(c, f"{part.full_prefix}_{c}")
+    return out_keyed, join_cols
+
+
+def _rename_keys(df: DataFrame, right_keys: list[str], left_keys: list[str]) -> DataFrame:
+    for rk, lk in zip(right_keys, left_keys):
+        if rk != lk:
+            df = df.withColumnRenamed(rk, lk)
+    return df
+
+
+def join_backfill(
+    spark: SparkSession,
+    join: Join,
+    start_ds: str,
+    end_ds: str,
+) -> DataFrame:
+    """Full Join backfill over [start_ds, end_ds] of the left source."""
+    left = render_source(spark, join.left, None, query_start=start_ds, query_end=end_ds)
+    left = left.filter(F.col("ds").between(start_ds, end_ds))
+    left = skew_filter(left, join.skew_keys)
+    # monotonic uid keeps duplicate left rows distinct through temporal parts
+    left = left.withColumn(ROW_UID, F.monotonically_increasing_id())
+
+    out = left
+    for part in join.right_parts:
+        feats, join_cols = compute_join_part(spark, left, part, start_ds, end_ds, join.skew_keys)
+        out = coalesced_join(out, feats, join_cols, "left")
+
+    if join.derivations:
+        exprs = ["*"] if "*" in join.derivations else [c for c in out.columns if c != ROW_UID]
+        exprs += [f"{e} AS {a}" for a, e in join.derivations.items() if a != "*"]
+        out = out.selectExpr(*exprs)
+    return out.drop(ROW_UID)

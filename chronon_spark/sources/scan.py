@@ -64,7 +64,10 @@ def render_query(df: DataFrame, query: Query, needs_time: bool, extra_wheres: tu
         df = df.filter(w)
     select_exprs: list[str] = []
     if query.selects is None:
-        select_exprs.append("*")
+        # expand * explicitly so the appended engine ts column can't collide
+        tcol = query.time_column or TS_COL
+        skip = {TS_COL} if needs_time else set()
+        select_exprs.extend(c for c in df.columns if c not in skip)
     else:
         for alias, expr in query.selects.items():
             select_exprs.append(alias if expr is None else f"{expr} AS {alias}")
