@@ -414,6 +414,11 @@ def temporal_events(
     )
 
     events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
+    # queries and events often derive from the same frame (e.g. features at
+    # every event); re-alias every event column so the cogroup children share
+    # no attribute ids — shared ids trip Catalyst's self-join dedup and the
+    # right child loses its non-key columns at execution
+    events = events.select(*[F.col(c).alias(c) for c in events.columns])
 
     cond = None
     for k in keys:

@@ -1,0 +1,89 @@
+"""The flagship north-star pipeline: backfilled feature vectors per
+url × warc_ts over a Common-Crawl-style page table, zero temporal
+leakage, text byte-identical per row.
+
+Feature vector (BASELINE.json north_star):
+- as-of crawl counts (7d/30d/unbounded), avg + last text length,
+  last lang — temporal GroupBy (exact sawtooth windows)
+- language-frequency map over 30d — bucketed COUNT → Map[lang → n]
+- lag/lead text_len — window functions per url
+- sessionized crawl activity (30-min gap sessions per url): session id,
+  session start, events-in-session so far
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Operation,
+    Query,
+)
+from chronon_spark.api.types import Window as W
+from chronon_spark.operators.features import lag_lead, sessionize
+from chronon_spark.operators.temporal import temporal_events
+
+WEBTEXT_GROUPBY = GroupBy(
+    name="url_activity",
+    sources=(EventSource(table="pages", query=Query(time_column="ts")),),
+    key_columns=("url",),
+    aggregations=(
+        Aggregation("text_len", Operation.COUNT, windows=(W(7), W(30), None)),
+        Aggregation("text_len", Operation.AVERAGE, windows=(W(30),)),
+        Aggregation("text_len", Operation.LAST, windows=(None,)),
+        Aggregation("lang", Operation.LAST, windows=(None,)),
+        Aggregation("text_len", Operation.COUNT, windows=(W(30),), buckets=("lang",)),
+    ),
+    accuracy=Accuracy.TEMPORAL,
+)
+
+
+def enrich_pages(pages: DataFrame, session_gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Row-sequence features computed on the pages table itself: lag/lead
+    text_len and session assignment per url. One shuffle on url."""
+    if "text_len" not in pages.columns:
+        pages = pages.withColumn("text_len", F.length("text"))
+    out = lag_lead(pages, ["url"], "ts", {"text_len": [1, 2, -1]})
+    out = sessionize(out, ["url"], "ts", session_gap_ms)
+    w = Window.partitionBy("url", "session_id").orderBy("ts")
+    out = out.withColumn("session_event_idx", F.row_number().over(w) - 1)
+    return out
+
+
+def backfill_features(
+    spark: SparkSession,
+    pages: DataFrame,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Feature vectors at each query (url, ts); queries default to the
+    pages themselves (feature vector at every crawl event).
+
+    ``text`` passes through the plan untouched — byte identity per row is
+    part of the output contract (BASELINE.json input_hint).
+    """
+    if "text_len" not in pages.columns:
+        pages = pages.withColumn("text_len", F.length("text"))
+    if queries is None:
+        left = enrich_pages(pages).select(
+            "url",
+            "ts",
+            "ds",
+            "text",
+            "lang",
+            "text_len",
+            "text_len_lag_1",
+            "text_len_lag_2",
+            "text_len_lead_1",
+            "session_id",
+            "session_ts",
+            "session_event_idx",
+        )
+    else:
+        left = queries
+    events = pages.select("url", "ts", "text_len", "lang")
+    return temporal_events(spark, WEBTEXT_GROUPBY, left, events)

@@ -1,0 +1,94 @@
+"""North-rule invariants on the webtext pipeline: byte-identical text,
+zero leakage, session/lag features, deterministic generation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.fixtures.webtext import generate_webtext
+from chronon_spark.operators.features import lag_lead, session_stats, sessionize
+from chronon_spark.pipelines.webtext import backfill_features
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_webtext(spark, n_rows=20_000, n_urls=400, days=60, partitions=8).cache()
+
+
+def test_generation_deterministic(spark, pages):
+    again = generate_webtext(spark, n_rows=20_000, n_urls=400, days=60, partitions=4)
+    def hsum(df):
+        return df.select(
+            F.sum(F.pmod(F.xxhash64("url", "ts", "text", "lang"), F.lit(1_000_000_007))).alias("h")
+        ).collect()[0]["h"]
+
+    h1, h2 = hsum(pages), hsum(again)
+    assert h1 == h2  # parallelism-invariant determinism
+
+
+def test_text_byte_identical(spark, pages):
+    """text must survive the full feature pipeline byte-identical
+    (BASELINE.json input_hint invariant)."""
+    out = backfill_features(spark, pages)
+    in_h = pages.select(F.md5(F.concat_ws("\x01", "url", F.col("ts").cast("string"), "text")).alias("h"))
+    out_h = out.select(F.md5(F.concat_ws("\x01", "url", F.col("ts").cast("string"), "text")).alias("h"))
+    assert in_h.subtract(out_h).count() == 0
+    assert out_h.subtract(in_h).count() == 0
+    assert out.count() == pages.count()
+
+
+def test_zero_leakage_audit(spark, pages):
+    """For every output row, unbounded crawl count == # events strictly
+    before ts for that url — a full-output leakage audit."""
+    out = backfill_features(spark, pages)
+    ev = pages.select("url", F.col("ts").alias("ev_ts"))
+    audit = (
+        out.select("url", "ts", "text_len_count")
+        .join(ev, "url", "left")
+        .groupBy("url", "ts", "text_len_count")
+        .agg(F.sum(F.when(F.col("ev_ts") < F.col("ts"), 1).otherwise(0)).alias("true_prior"))
+    )
+    bad = audit.filter(
+        F.coalesce(F.col("text_len_count"), F.lit(0)) != F.col("true_prior")
+    ).count()
+    assert bad == 0
+
+
+def test_sessionize(spark):
+    rows = [
+        ("u", 0), ("u", 1000), ("u", 2000),           # session 0
+        ("u", 2_000_000), ("u", 2_100_000),            # session 1 (gap > 30min? no - 30min=1.8e6; 2e6-2000 > 1.8e6 → yes)
+        ("u", 10_000_000),                             # session 2
+        ("v", 5),                                      # other key
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long")
+    s = sessionize(df, ["url"], "ts", gap_ms=1_800_000)
+    got = {(r["url"], r["ts"]): r["session_id"] for r in s.collect()}
+    assert got[("u", 0)] == got[("u", 1000)] == got[("u", 2000)] == 0
+    assert got[("u", 2_000_000)] == got[("u", 2_100_000)] == 1
+    assert got[("u", 10_000_000)] == 2
+    assert got[("v", 5)] == 0
+    st = {r["session_id"]: r for r in session_stats(df.filter("url='u'"), ["url"], "ts", 1_800_000).collect()}
+    assert st[0]["session_events"] == 3 and st[0]["session_duration_ms"] == 2000
+    assert st[2]["session_events"] == 1
+
+
+def test_lag_lead(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 10), ("u", 2, 20), ("u", 3, 30)], "url string, ts long, x long"
+    )
+    out = {r["ts"]: r for r in lag_lead(df, ["url"], "ts", {"x": [1, -1]}).collect()}
+    assert out[2]["x_lag_1"] == 10 and out[2]["x_lead_1"] == 30
+    assert out[1]["x_lag_1"] is None and out[3]["x_lead_1"] is None
+
+
+def test_lang_frequency_map(spark, pages):
+    out = backfill_features(spark, pages)
+    row = (
+        out.filter(F.col("text_len_count_30d_by_lang").isNotNull())
+        .orderBy(F.desc("text_len_count"))
+        .select("url", "ts", "text_len_count_30d", "text_len_count_30d_by_lang")
+        .first()
+    )
+    # bucketed counts sum to ≤ the unbucketed count (null langs excluded)
+    assert sum(row["text_len_count_30d_by_lang"].values()) <= row["text_len_count_30d"]
