@@ -1,0 +1,269 @@
+"""Deduplication suite for web-scale corpora.
+
+All variants are DataFrame-first; the only Python is a vectorized
+pandas_udf for simhash bit-packing (Arrow-batched, numpy inside).
+
+- exact:        hash-groupBy on normalized text (1 shuffle)
+- minhash LSH:  shingle → minhash signature (higher-order functions,
+                no UDF) → band buckets → bucket self-join for candidate
+                pairs → exact-jaccard verification on candidates only
+- simhash:      64-bit signature; near-dups = hamming distance ≤ k via
+                band join on signature chunks
+- ngram jaccard: exact pairwise verification primitive
+- embedding cosine: near-dup pairs over an embedding column via
+                random-hyperplane LSH buckets (brute-force verify inside
+                buckets)
+
+Scale shape: every variant is (map-side signature) → (shuffle on bucket)
+→ (verify within bucket). No cross join ever touches the full corpus;
+candidate generation is linear in rows × bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 2^31-1: keeps a*x+b < 2^63 under ANSI arithmetic (no silent overflow)
+MERSENNE = (1 << 31) - 1
+
+
+def normalize_text(col: str = "text"):
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct normalized text. Adds
+    ``dup_count`` (cluster size). One shuffle on the text hash."""
+    h = F.md5(normalize_text(text_col)).alias("__th")
+    w = Window.partitionBy("__th")
+    out = (
+        df.withColumn("__th", F.md5(normalize_text(text_col)))
+        .withColumn("dup_count", F.count("*").over(w))
+        .withColumn("__rk", F.row_number().over(w.orderBy(F.col(id_col))))
+        .filter(F.col("__rk") == 1)
+        .drop("__th", "__rk")
+    )
+    return out
+
+
+def shingle_hashes(text_col: str, k: int = 5):
+    """k-token shingles as 64-bit hashes — pure higher-order functions.
+
+    tokens = whitespace split of normalized text; shingle i =
+    xxhash64(tokens[i..i+k)). Short docs (<k tokens) get one whole-doc
+    shingle so they can still match exactly."""
+    toks = f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"  i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {k})))) "
+        f"ELSE array(xxhash64(concat_ws(' ', {toks}))) END"
+    )
+
+
+def minhash_signature(shingles_col: str, n_hashes: int = 64, seed: int = 7):
+    """n permutation-min hashes: min over shingles of (a_i*x+b_i) mod M.
+
+    The (a,b) streams are deterministic functions of the seed, evaluated
+    as literals at plan build — the executor-side work is pure column
+    algebra (transform + array_min)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64)
+    mins = [
+        f"array_min(transform({shingles_col}, "
+        f"x -> pmod({int(a[i])}L * pmod(x, {MERSENNE}L) + {int(b[i])}L, {MERSENNE}L)))"
+        for i in range(n_hashes)
+    ]
+    return F.expr(f"array({', '.join(mins)})")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate PAIRS (id_a < id_b) with estimated jaccard ≥ threshold.
+
+    banding: signature split into ``bands`` rows of n/bands; docs sharing
+    any band bucket are candidates; candidates verified by the minhash
+    jaccard estimate (fraction of equal signature slots)."""
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("__sh", shingle_hashes("t", k_shingle))
+        .withColumn("sig", minhash_signature("__sh", n_hashes))
+        .select("id", "sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', "
+                f"transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x as string))), b)))"
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.withColumn(
+        "jaccard_est",
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1.0D ELSE 0.0D END), 0.0D, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(n_hashes)),
+    )
+    return cand.filter(F.col("jaccard_est") >= jaccard_threshold).select("id_a", "id_b", "jaccard_est")
+
+
+def ngram_jaccard_pairs(
+    df_pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Exact shingle-set jaccard for given candidate pairs (verification
+    primitive). Adds ``jaccard``."""
+    out = df_pairs.withColumn("__sa", F.array_distinct(shingle_hashes(text_a, k_shingle)))
+    out = out.withColumn("__sb", F.array_distinct(shingle_hashes(text_b, k_shingle)))
+    out = out.withColumn(
+        "jaccard",
+        F.when(
+            F.size(F.array_union("__sa", "__sb")) > 0,
+            F.size(F.array_intersect("__sa", "__sb")) / F.size(F.array_union("__sa", "__sb")),
+        ).otherwise(F.lit(1.0)),
+    )
+    return out.drop("__sa", "__sb")
+
+
+def _fnv1a64(tokens: list[str]) -> np.ndarray:
+    """Deterministic FNV-1a 64-bit token hashes (python hash() is
+    process-seeded and therefore unusable across executors)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in tok.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens — vectorized numpy inside an
+    Arrow batch (no per-row Python at the Spark level)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            continue
+        hs = _fnv1a64(toks)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
+    pair within distance < chunks must share a chunk → bucket join on
+    (chunk_idx, chunk_value), verify with bit_count(xor)."""
+    sig = df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sig"))
+    width = 64 // chunks
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"c -> named_struct('c', c, 'v', (sig >> (c * {width})) & {(1 << width) - 1}))"
+            )
+        ).alias("ch"),
+    ).select("id", "sig", "ch.c", "ch.v")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+    return cand.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH bucket
+    join, exact cosine verify inside buckets (F.zip_with/aggregate — no
+    UDF)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sig_bits = []
+    for p in range(n_planes):
+        coefs = ", ".join(f"{planes[p][j]:.6f}D" for j in range(dim))
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({coefs}), (x, w) -> cast(x as double) * w), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        sig_bits.append(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END")
+    bucket = F.expr("concat_ws('', " + ", ".join(sig_bits) + ")")
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)), 0.0D, (a, v) -> a + v))"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"), norm.alias("nrm")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.expr(
+            "aggregate(zip_with(l.v, r.v, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (a, v) -> a + v)"
+        ).alias("dot"),
+        (F.col("l.nrm") * F.col("r.nrm")).alias("nn"),
+    )
+    cand = cand.withColumn(
+        "cosine", F.when(F.col("nn") > 0, F.col("dot") / F.col("nn")).otherwise(F.lit(0.0))
+    )
+    return cand.filter(F.col("cosine") >= cosine_threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,123 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. Pure Spark SQL expressions — every
+one of these is a map-side projection (no shuffle, fully pushdown- and
+codegen-friendly), which is exactly what you want for a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "la", "los", "que", "una", "por", "con", "para", "del", "las"],
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.expr(
+        f"filter(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '), t -> t != '')"
+    )
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """A BPE-flavored proxy: count word pieces after splitting on
+    non-alphanumerics AND intra-word 4-char chunks (≈ subword count),
+    deterministic and dialect-portable."""
+    words = f"filter(split(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '), ' '), t -> t != '')"
+    return F.expr(f"aggregate(transform({words}, w -> 1 + int(floor(length(w) / 4))), 0, (s, v) -> s + v)")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition signals (the usual
+    C4/Gopher-style filters)."""
+    t = text_col
+    df = df.withColumn("n_chars_calc", F.length(t))
+    df = df.withColumn("n_tokens", token_count(t))
+    df = df.withColumn(
+        "mean_token_len",
+        F.when(F.col("n_tokens") > 0, F.col("n_chars_calc") / F.col("n_tokens")).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "punct_ratio",
+        F.when(
+            F.length(t) > 0,
+            F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")) / F.length(t),
+        ).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "digit_ratio",
+        F.when(F.length(t) > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.length(t)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    en = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    df = df.withColumn(
+        "stopword_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"size(filter({tokens_sql(t)}, x -> array_contains(array({en}), x)))")
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "unique_token_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"size(array_distinct({tokens_sql(t)}))") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    # composite quality score in [0,1]: long enough, words look like words,
+    # some stopwords, not digit/punct soup, not hyper-repetitive
+    df = df.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
+            + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 12), 0.2).otherwise(0.0)
+            + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+            + (1.0 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.1
+            + F.least(F.col("unique_token_ratio") * 2, F.lit(1.0)) * 0.2,
+            6,
+        ),
+    )
+    return df
+
+
+def tokens_sql(text_col: str) -> str:
+    return f"filter(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '), t -> t != '')"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword seeds hit the
+    most tokens wins; 'und' (undetermined) when nothing hits."""
+    toks = tokens_sql(text_col)
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"named_struct('score', size(filter({toks}, x -> array_contains(array({arr}), x))), 'neg_l', '{lang}')"
+        )
+    # array_sort ascending: highest score last; tie-break on language code
+    expr = (
+        f"CASE WHEN element_at(array_sort(array({', '.join(scores)})), -1).score > 0 "
+        f"THEN element_at(array_sort(array({', '.join(scores)})), -1).neg_l ELSE 'und' END"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the normalized token stream
+    (a deterministic rolling-hash equivalent for exact-content identity)."""
+    return df.withColumn(
+        out_col, F.xxhash64(F.expr(f"concat_ws(' ', {tokens_sql(text_col)})"))
+    )

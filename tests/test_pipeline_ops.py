@@ -1,0 +1,132 @@
+"""Dedup / similarity / textstats / multimodal operators on the driver's
+documents + embeddings testdata (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from chronon_spark.operators.multimodal import frame_sample, image_features, image_metadata
+from chronon_spark.operators.similarity import brute_force_top_k, ivf_top_k, lsh_top_k
+from chronon_spark.operators.textstats import fingerprint, lang_id, quality_features, token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    n_distinct = docs.select(
+        F.countDistinct(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    ).first()[0]
+    assert out.count() == n_distinct
+    assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_minhash_self_duplicates(spark, docs):
+    """A doc duplicated verbatim must be found by minhash LSH."""
+    d2 = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(d2)
+    pairs = minhash_near_dups(both, jaccard_threshold=0.9)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in [r["doc_id"] for r in docs.limit(5).collect()]:
+        assert (i, i + 1_000_000) in found
+
+
+def test_ngram_jaccard(spark):
+    pairs = spark.createDataFrame(
+        [("a b c d e f g h", "a b c d e f g h"), ("a b c d e f g h", "z y x w v u t s")],
+        "text_a string, text_b string",
+    )
+    out = ngram_jaccard_pairs(pairs, k_shingle=3).collect()
+    assert out[0]["jaccard"] == 1.0
+    assert out[1]["jaccard"] == 0.0
+
+
+def test_simhash_duplicates(spark, docs):
+    d2 = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = simhash_near_dups(docs.unionByName(d2), max_hamming=0)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in [r["doc_id"] for r in docs.limit(3).collect()]:
+        assert found.get((i, i + 1_000_000)) == 0
+
+
+def test_embedding_near_dups_finds_clones(spark, emb):
+    e2 = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    pairs = embedding_near_dups(emb.unionByName(e2), cosine_threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in [r["vec_id"] for r in emb.limit(4).collect()]:
+        assert (i, i + 1_000_000) in found
+
+
+def test_brute_force_top_k_matches_numpy(spark, emb):
+    qs = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_top_k(emb, qs, k=5).collect()
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for q in qs.collect():
+        qv = np.array(q["query_vec"], dtype=np.float64)
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        exp = list(ids[order])
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q["query_id"]]
+        assert mine == exp
+
+
+def test_lsh_and_ivf_self_hit(spark, emb):
+    """Approximate variants must at least return each query itself at rank 1."""
+    qs = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for fn in (lsh_top_k, ivf_top_k):
+        got = fn(emb, qs, k=3)
+        top1 = {r["query_id"]: r["vec_id"] for r in got.filter("rank = 1").collect()}
+        assert all(top1[q] == q for q in top1), fn.__name__
+        assert len(top1) == 5, fn.__name__
+
+
+def test_textstats(spark, docs):
+    out = quality_features(docs)
+    row = out.filter(F.length("text") > 50).first()
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert row["n_tokens"] == len(row["text"].split())
+    li = lang_id(docs)
+    assert set(r["lang_pred"] for r in li.collect()) <= {"en", "de", "fr", "es", "und"}
+    fp = fingerprint(docs)
+    # identical normalized text ⇒ identical fingerprint
+    a = fp.select("text", "fingerprint").first()
+    assert fp.filter(F.col("text") == a["text"]).select("fingerprint").distinct().count() == 1
+
+
+def test_multimodal_stubs(spark, docs):
+    bin_df = docs.withColumn("blob", F.encode("text", "utf-8")).select("doc_id", "blob")
+    meta = image_metadata(bin_df, "blob", fake=True)
+    m = meta.first()["image_meta"]
+    assert m["channels"] == 3 and m["format"] == "fake"
+    feats = image_features(bin_df, "blob", n_features=8, fake=True)
+    v = feats.first()["image_vec"]
+    assert len(v) == 8 and abs(sum(v) - 1.0) < 1e-5
+    frames = frame_sample(bin_df.limit(10), "blob", every_n_bytes=64, max_frames=4)
+    per = frames.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert 1 <= per <= 4
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        image_metadata(bin_df.limit(1), "blob", fake=False).collect()
