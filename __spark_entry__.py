@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry exercises one engine operator family from SURVEY.md §2
+(chronon_spark.*); each oracle_sql() entry is the equivalent ANSI/DuckDB SQL
+over the same parquet views. Column names and rounding match exactly on both
+sides (driver hashes values after sorting columns by name).
+
+Engine time contract: epoch-millis long derived tz-independently from the
+timestamp_ntz columns — every callable pins the session timezone to UTC so
+date/millis derivations agree with DuckDB's naive-timestamp arithmetic.
 """
 
 from __future__ import annotations
@@ -12,27 +15,656 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MS_7D = 604_800_000
+MS_3D = 259_200_000
+MS_6H = 21_600_000
+MS_DAY = 86_400_000
+HOP_1H = 3_600_000
+HOP_5M = 300_000
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "user_id",
+        "unix_millis(cast(ts as timestamp)) AS ts",
+        "value",
+        "event_type",
+        "date_format(cast(ts as date), 'yyyy-MM-dd') AS ds",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ds_bounds(ev: DataFrame) -> tuple[str, str]:
+    r = ev.agg(F.min("ds").alias("a"), F.max("ds").alias("b")).first()
+    return r["a"], r["b"]
+
+
+# --------------------------------------------------------------------- queries
+
+
+def q_groupby_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GroupBy: daily 7d-window features per user (operators/groupby)."""
+    _utc(spark)
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Window
+    from chronon_spark.operators.groupby import snapshot_events
+
+    ev = _events(spark, sf_dir)
+    start, end = _ds_bounds(ev)
+    gb = GroupBy(
+        name="snap",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value", Operation.AVERAGE, windows=(Window(7),)),
+            Aggregation("value", Operation.MIN, windows=(Window(7),)),
+            Aggregation("value", Operation.MAX, windows=(Window(7),)),
+        ),
+    )
+    out = snapshot_events(spark, gb, ev, start, end)
+    return out.select(
+        "user_id",
+        "ds",
+        F.col("value_count_7d").alias("value_count_7d"),
+        F.round("value_sum_7d", 6).alias("value_sum_7d"),
+        F.round("value_average_7d", 6).alias("value_avg_7d"),
+        F.round("value_min_7d", 6).alias("value_min_7d"),
+        F.round("value_max_7d", 6).alias("value_max_7d"),
+    )
+
+
+def q_groupby_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) GroupBy: exact sawtooth windows per event
+    (operators/temporal — the point-in-time core)."""
+    _utc(spark)
+    from chronon_spark.api.types import Accuracy, Aggregation, EventSource, GroupBy, Operation, TimeUnit, Window
+    from chronon_spark.operators.temporal import temporal_events
+
+    ev = _events(spark, sf_dir)
+    gb = GroupBy(
+        name="tmp",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+            Aggregation("value", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value", Operation.AVERAGE, windows=(Window(6, TimeUnit.HOURS),)),
+            Aggregation("value", Operation.MIN, windows=(Window(7),)),
+            Aggregation("value", Operation.MAX, windows=(Window(7),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = ev.select("event_id", "user_id", "ts")
+    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "value"))
+    return out.select(
+        "event_id",
+        F.col("value_count").alias("value_count"),
+        F.round("value_sum_7d", 6).alias("value_sum_7d"),
+        F.round("value_average_6h", 6).alias("value_avg_6h"),
+        F.round("value_min_7d", 6).alias("value_min_7d"),
+        F.round("value_max_7d", 6).alias("value_max_7d"),
+    )
+
+
+def q_join_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time Join: temporal part + snapshot part folded onto an
+    event left (operators/join)."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.join import join_backfill
+
+    path = f"{sf_dir}/events.parquet"
+    tcol = "unix_millis(cast(ts as timestamp))"
+    src = EventSource(
+        table=path,
+        query=Query(selects={"user_id": None, "value": None}, time_column=tcol),
+    )
+    gb_t = GroupBy(
+        name="t",
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value", Operation.COUNT, windows=(Window(7),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    gb_s = GroupBy(
+        name="s",
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT, windows=(Window(3),)),),
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    left = EventSource(
+        table=path,
+        query=Query(selects={"event_id": None, "user_id": None}, time_column=tcol),
+    )
+    join = Join(name="jb", left=left, right_parts=(JoinPart(gb_t), JoinPart(gb_s)))
+    ev = _events(spark, sf_dir)
+    start, end = _ds_bounds(ev)
+    out = join_backfill(spark, join, start, end)
+    return out.select(
+        "event_id",
+        F.round("t_value_sum_7d", 6).alias("t_value_sum_7d"),
+        F.col("t_value_count_7d").alias("t_value_count_7d"),
+        F.col("s_value_count_3d").alias("s_value_count_3d"),
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from chronon_spark.operators.features import lag_lead
+
+    ev = _events(spark, sf_dir)
+    out = lag_lead(ev, ["user_id"], "ts", {"value": [1, -1]})
+    return out.select(
+        "event_id",
+        F.round("value_lag_1", 6).alias("value_lag_1"),
+        F.round("value_lead_1", 6).alias("value_lead_1"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from chronon_spark.operators.features import sessionize
+
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, ["user_id"], "ts", gap_ms=30 * 60 * 1000)
+    return out.select("event_id", "session_id", "session_ts")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from chronon_spark.operators.features import session_stats
+
+    ev = _events(spark, sf_dir)
+    s = session_stats(ev, ["user_id"], "ts", gap_ms=30 * 60 * 1000)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("session_events"), 6).alias("avg_session_events"),
+        F.round(F.avg("session_duration_ms"), 6).alias("avg_session_duration_ms"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "dup_count")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-trigram jaccard over bounded doc pairs."""
+    d = _docs(spark, sf_dir).filter("doc_id < 30").selectExpr("doc_id", "text")
+    toks = "filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> t != '')"
+    tris = (
+        f"CASE WHEN size({toks}) >= 3 THEN array_distinct(transform(sequence(0, size({toks}) - 3), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, 3)))) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
+    d = d.withColumn("tri", F.expr(tris))
+    a = d.selectExpr("doc_id AS id_a", "tri AS ta")
+    b = d.selectExpr("doc_id AS id_b", "tri AS tb")
+    pairs = a.crossJoin(b).filter("id_a < id_b")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.expr(
+                "CASE WHEN size(array_union(ta, tb)) > 0 "
+                "THEN size(array_intersect(ta, tb)) / size(array_union(ta, tb)) ELSE 1.0D END"
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.textstats import quality_features
+
+    out = quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("unique_token_ratio", 6).alias("unique_token_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.similarity import brute_force_top_k
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_top_k(emb, qs, k=10)
+    # 4 dp: DuckDB computes list_dot_product in float32, Spark in float64
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine HISTOGRAM op (map IR) rendered as a sorted string for
+    dialect-portable comparison."""
+    from chronon_spark.api.types import AggregationPart, Operation
+    from chronon_spark.functions.aggregations import OP_SPECS, DIRECT_NEEDS_FINALIZE
+
+    ev = _events(spark, sf_dir)
+    part = AggregationPart("event_type", Operation.HISTOGRAM, {}, None, None)
+    spec = OP_SPECS[Operation.HISTOGRAM]
+    agg = ev.groupBy("user_id").agg(spec.direct("event_type", part).alias("__h"))
+    agg = agg.withColumn("__m", DIRECT_NEEDS_FINALIZE[Operation.HISTOGRAM]("__h", part))
+    return agg.select(
+        "user_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_keys(__m)), "
+            "k -> concat(k, ':', cast(element_at(__m, k) AS string))))"
+        ).alias("type_hist"),
+    )
+
+
+def q_topk_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("element_at(reverse(array_sort(collect_list(value))), 1)"), 6).alias("top1"),
+        F.round(F.expr("element_at(reverse(array_sort(collect_list(value))), 2)"), 6).alias("top2"),
+        F.round(F.expr("element_at(reverse(array_sort(collect_list(value))), 3)"), 6).alias("top3"),
+    )
+
+
+def q_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("type_unique"),
+        F.least(F.countDistinct("event_type"), F.lit(3)).alias("type_unique_bounded_3"),
+    )
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE/SKEW/KURTOSIS via the engine's moment finalizers."""
+    from chronon_spark.api.types import AggregationPart, Operation
+    from chronon_spark.functions.aggregations import OP_SPECS
+
+    ev = _events(spark, sf_dir)
+    aggs = []
+    for op, name in [
+        (Operation.VARIANCE, "value_var"),
+        (Operation.SKEW, "value_skew"),
+        (Operation.KURTOSIS, "value_kurt"),
+    ]:
+        part = AggregationPart("value", op, {}, None, None)
+        aggs.append(F.round(OP_SPECS[op].direct("value", part), 6).alias(name))
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic scan→filter→agg over lineitem (pushdown/codegen showcase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------- rows-only (no SQL oracle)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import minhash_near_dups
+
+    d = _docs(spark, sf_dir)
+    dup = d.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return minhash_near_dups(d.unionByName(dup), jaccard_threshold=0.8)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import simhash_near_dups
+
+    d = _docs(spark, sf_dir)
+    dup = d.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return simhash_near_dups(d.unionByName(dup), max_hamming=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import embedding_near_dups
+
+    e = _emb(spark, sf_dir)
+    dup = e.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    return embedding_near_dups(e.unionByName(dup), cosine_threshold=0.99)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.similarity import lsh_top_k
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_top_k(emb, qs, k=10)
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.similarity import ivf_top_k
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_top_k(emb, qs, k=10)
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.multimodal import image_features, image_metadata
+
+    d = _docs(spark, sf_dir).withColumn("blob", F.encode("text", "utf-8")).select("doc_id", "blob")
+    out = image_metadata(d, "blob", fake=True)
+    out = image_features(out, "blob", n_features=8, fake=True)
+    return out.select("doc_id", "image_meta.width", "image_meta.height", "image_vec")
+
+
+def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star feature vector on deterministic synthetic webtext."""
+    _utc(spark)
+    from chronon_spark.fixtures.webtext import generate_webtext
+    from chronon_spark.pipelines.webtext import backfill_features
+
+    pages = generate_webtext(spark, n_rows=20_000, n_urls=500, days=60)
+    return backfill_features(spark, pages)
+
+
+def q_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(F.approx_count_distinct("value").alias("value_approx_unique"))
+
+
+# ----------------------------------------------------------------------- API
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: temporal as-of GroupBy over sf0.001 events."""
+    return q_groupby_temporal(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "groupby_snapshot": q_groupby_snapshot,
+        "groupby_temporal": q_groupby_temporal,
+        "join_backfill": q_join_backfill,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "textstats": q_textstats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "histogram": q_histogram,
+        "topk_percentiles": q_topk_percentiles,
+        "unique_counts": q_unique_counts,
+        "moments": q_moments,
+        "pricing_summary": q_pricing_summary,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "multimodal": q_multimodal,
+        "webtext_flagship": q_webtext_flagship,
+        "approx_unique": q_approx_unique,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    tris = (
+        f"CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform(range(len({toks}) - 2), "
+        f"i -> array_to_string({toks}[i + 1:i + 3], ' '))) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+    sw = {
+        "en": "'the','and','of','to','in','is','that','for','with','was'",
+        "de": "'der','die','und','das','ist','nicht','ein','mit','auf','sich'",
+        "fr": "'le','la','les','des','est','une','dans','que','pour','pas'",
+        "es": "'el','la','los','que','una','por','con','para','del','las'",
+    }
+    lang_scores = ", ".join(
+        f"len(list_filter({toks}, x -> list_contains([{ws}], x))) AS s_{lang}"
+        for lang, ws in sw.items()
+    )
+    return {
+        "groupby_snapshot": f"""
+WITH ev AS (
+  SELECT user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd, value FROM events
+), bounds AS (SELECT min(dd) AS lo, max(dd) AS hi FROM ev),
+spine AS (
+  SELECT DISTINCT e.user_id, e.dd + g.x AS od
+  FROM ev e, generate_series(0, 6) g(x), bounds b
+  WHERE e.dd + g.x BETWEEN b.lo AND b.hi
+)
+SELECT s.user_id,
+       strftime(DATE '1970-01-01' + to_days(CAST(s.od AS INT)), '%Y-%m-%d') AS ds,
+       count(e.value) AS value_count_7d,
+       round(sum(e.value), 6) AS value_sum_7d,
+       round(avg(e.value), 6) AS value_avg_7d,
+       round(min(e.value), 6) AS value_min_7d,
+       round(max(e.value), 6) AS value_max_7d
+FROM spine s JOIN ev e ON e.user_id = s.user_id AND e.dd BETWEEN s.od - 6 AND s.od
+GROUP BY s.user_id, s.od
+""",
+        "groupby_temporal": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events)
+SELECT q.event_id,
+       NULLIF(count(e.value), 0) AS value_count,
+       round(sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END), 6) AS value_sum_7d,
+       round(avg(CASE WHEN e.tms >= ((q.tms - {MS_6H}) // {HOP_5M}) * {HOP_5M} THEN e.value END), 6) AS value_avg_6h,
+       round(min(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END), 6) AS value_min_7d,
+       round(max(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END), 6) AS value_max_7d
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
+""",
+        "join_backfill": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd, value FROM events)
+SELECT q.event_id,
+       round(sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END), 6) AS t_value_sum_7d,
+       NULLIF(count(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END), 0) AS t_value_count_7d,
+       NULLIF(count(CASE WHEN e.tms < q.dd * CAST({MS_DAY} AS BIGINT) AND e.tms >= q.dd * CAST({MS_DAY} AS BIGINT) - {MS_3D} THEN e.value END), 0) AS s_value_count_3d
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
+GROUP BY q.event_id
+""",
+        "lag_lead": """
+SELECT event_id,
+       round(lag(value) OVER w, 6) AS value_lag_1,
+       round(lead(value) OVER w, 6) AS value_lead_1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+        "sessionize": """
+WITH s AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), t AS (
+  SELECT event_id, user_id, tms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s
+)
+SELECT event_id, session_id, min(tms) OVER (PARTITION BY user_id, session_id) AS session_ts FROM t
+""",
+        "session_stats": """
+WITH s AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), t AS (
+  SELECT user_id, tms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s
+), g AS (
+  SELECT user_id, session_id, count(*) AS n_ev, max(tms) - min(tms) AS dur
+  FROM t GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n_ev), 6) AS avg_session_events,
+       round(avg(dur), 6) AS avg_session_duration_ms
+FROM g GROUP BY user_id
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+""",
+        "ngram_jaccard": f"""
+WITH d AS (SELECT doc_id, {tris} AS tri FROM documents WHERE doc_id < 30)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.tri, b.tri))) > 0
+                  THEN CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE) / len(list_distinct(list_concat(a.tri, b.tri)))
+                  ELSE 1.0 END, 6) AS jaccard
+FROM d a, d b WHERE a.doc_id < b.doc_id
+""",
+        "textstats": f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       round(CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN len({toks}) > 0
+                  THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
+                  ELSE 0.0 END, 6) AS unique_token_ratio
+FROM documents
+""",
+        "lang_id": f"""
+WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM s
+""",
+        "fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "similarity_bruteforce": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CASE WHEN list_dot_product(e.embedding, e.embedding) * list_dot_product(q.qv, q.qv) > 0
+              THEN list_dot_product(e.embedding, q.qv) /
+                   (sqrt(list_dot_product(e.embedding, e.embedding)) * sqrt(list_dot_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cos
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos, 4) AS cosine FROM ranked WHERE rank <= 10
+""",
+        "histogram": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_hist
+FROM c GROUP BY user_id
+""",
+        "topk_percentiles": """
+WITH l AS (SELECT user_id, list(value ORDER BY value DESC) AS vs,
+                  quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.95) AS q95
+           FROM events GROUP BY user_id)
+SELECT user_id,
+       round(CAST(q50 AS DOUBLE), 6) AS p50,
+       round(CAST(q95 AS DOUBLE), 6) AS p95,
+       round(vs[1], 6) AS top1, round(vs[2], 6) AS top2, round(vs[3], 6) AS top3
+FROM l
+""",
+        "unique_counts": """
+SELECT user_id, count(DISTINCT event_type) AS type_unique,
+       least(count(DISTINCT event_type), 3) AS type_unique_bounded_3
+FROM events GROUP BY user_id
+""",
+        "moments": """
+WITH m AS (
+  SELECT user_id, count(value) AS n, avg(value) AS m1,
+         avg(value * value) AS e2, avg(value * value * value) AS e3,
+         avg(value * value * value * value) AS e4
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(greatest(e2 - m1 * m1, 0.0), 6) AS value_var,
+       round((e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1) / pow(e2 - m1 * m1, 1.5), 6) AS value_skew,
+       round((e4 - 4 * m1 * e3 + 6 * m1 * m1 * e2 - 3 * m1 * m1 * m1 * m1) / pow(e2 - m1 * m1, 2) - 3.0, 6) AS value_kurt
+FROM m
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    }
