@@ -69,9 +69,9 @@ def shingle_hashes(text_col: str, k: int = 5):
 def minhash_signature(shingles_col: str, n_hashes: int = 64, seed: int = 7):
     """n permutation-min hashes: min over shingles of (a_i*x+b_i) mod M.
 
-    The (a,b) streams are deterministic functions of the seed, evaluated
-    as literals at plan build — the executor-side work is pure column
-    algebra (transform + array_min)."""
+    Pure-SQL higher-order-function form — correct but interpreted lambda
+    evaluation makes it ~50x slower than the numpy form below; kept as the
+    no-Python reference implementation."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64)
@@ -81,6 +81,29 @@ def minhash_signature(shingles_col: str, n_hashes: int = 64, seed: int = 7):
         for i in range(n_hashes)
     ]
     return F.expr(f"array({', '.join(mins)})")
+
+
+def minhash_signature_udf(n_hashes: int = 64, seed: int = 7):
+    """Vectorized Arrow form of minhash_signature: one numpy broadcast
+    (n_hashes × shingles) per row batch. Identical output to the SQL form
+    (same (a,b) streams, same Mersenne-31 modulus)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64)[:, None]
+    b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([int(MERSENNE)] * int(a.shape[0]))
+                continue
+            x = np.asarray(sh, dtype=np.int64) % MERSENNE
+            m = ((a * x[None, :] + b) % MERSENNE).min(axis=1)
+            out.append(m.tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_near_dups(
@@ -98,10 +121,11 @@ def minhash_near_dups(
     any band bucket are candidates; candidates verified by the minhash
     jaccard estimate (fraction of equal signature slots)."""
     rows_per_band = n_hashes // bands
+    sig_udf = minhash_signature_udf(n_hashes)
     sig = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .withColumn("__sh", shingle_hashes("t", k_shingle))
-        .withColumn("sig", minhash_signature("__sh", n_hashes))
+        .withColumn("sig", sig_udf(F.col("__sh")))
         .select("id", "sig")
     )
     banded = sig.select(
@@ -115,6 +139,10 @@ def minhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # the self-join would recompute the signature lineage on both sides —
+    # persist the banded signatures once (at cluster scale this is the
+    # natural checkpoint table between the signature and join stages)
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -211,6 +239,7 @@ def simhash_near_dups(
             )
         ).alias("ch"),
     ).select("id", "sig", "ch.c", "ch.v")
+    chunked = chunked.persist()
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
         l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v")) & (F.col("l.id") < F.col("r.id")))
@@ -251,7 +280,7 @@ def embedding_near_dups(
     )
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"), norm.alias("nrm")
-    )
+    ).persist()
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))

@@ -406,12 +406,7 @@ def temporal_events(
     """
     keys = list(gb.key_columns)
     parts = gb.unpacked()
-    query_cols = queries.columns
     ev_schema = events.schema
-
-    schema = T.StructType(
-        [queries.schema[c] for c in query_cols] + [output_field(p, ev_schema) for p in parts]
-    )
 
     events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
     # queries and events often derive from the same frame (e.g. features at
@@ -420,24 +415,28 @@ def temporal_events(
     # right child loses its non-key columns at execution
     events = events.select(*[F.col(c).alias(c) for c in events.columns])
 
+    # uniqSort trick (spark/Extensions.scala:303-318): only DISTINCT
+    # (keys, ts) pass through the Arrow kernel. Wide passthrough columns
+    # (e.g. multi-KB text) never leave the JVM; duplicate left rows are
+    # rehydrated 1:1 by the join back. Null-key/null-ts left rows fall out
+    # of the equi-join with null features (padGroupByFields semantics).
+    qlite = queries.select(*keys, TS_COL).filter(F.col(TS_COL).isNotNull())
     cond = None
     for k in keys:
         c = F.col(k).isNotNull()
         cond = c if cond is None else (cond | c)
-    good_q = queries.filter(cond) if cond is not None else queries
-    bad_q = queries.filter(~cond) if cond is not None else None
+    if cond is not None:
+        qlite = qlite.filter(cond)
+    qlite = qlite.distinct()
 
-    kernel = make_temporal_kernel(gb, ev_schema, query_cols)
-    result = (
-        good_q.groupBy(*keys)
+    slim_cols = keys + [TS_COL]
+    schema = T.StructType(
+        [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in parts]
+    )
+    kernel = make_temporal_kernel(gb, ev_schema, slim_cols)
+    feats = (
+        qlite.groupBy(*keys)
         .cogroup(events.groupBy(*keys))
         .applyInPandas(kernel, schema=schema)
     )
-    if bad_q is not None:
-        pad = bad_q
-        for p in parts:
-            pad = pad.withColumn(
-                p.output_column, F.lit(None).cast(output_field(p, ev_schema).dataType)
-            )
-        result = result.unionByName(pad)
-    return result
+    return queries.join(feats, slim_cols, "left")

@@ -63,17 +63,23 @@ def backfill_features(
     """Feature vectors at each query (url, ts); queries default to the
     pages themselves (feature vector at every crawl event).
 
-    ``text`` passes through the plan untouched — byte identity per row is
-    part of the output contract (BASELINE.json input_hint).
+    Shuffle discipline (this is what makes the job scale): every feature
+    stage — lag/lead + session windows, the as-of kernel, the feature
+    join-back — runs on a SLIM frame (url, ts, text_len, lang ≈ 30 bytes/
+    row). The multi-KB ``text`` payload is attached by exactly ONE final
+    equi-join on (url, ts), so page bytes cross the network once, not once
+    per stage. On a bucketed-by-url Iceberg table that final join is
+    shuffle-free on the pages side. ``text`` passes through byte-identical
+    (BASELINE.json input_hint contract).
     """
     if "text_len" not in pages.columns:
         pages = pages.withColumn("text_len", F.length("text"))
+    slim = pages.select("url", "ts", "ds", "text_len", "lang")
     if queries is None:
-        left = enrich_pages(pages).select(
+        left = enrich_pages(slim).select(
             "url",
             "ts",
             "ds",
-            "text",
             "lang",
             "text_len",
             "text_len_lag_1",
@@ -83,7 +89,15 @@ def backfill_features(
             "session_ts",
             "session_event_idx",
         )
+        payload = pages.select("url", "ts", "text")
+        payload_keys = ["url", "ts"]
     else:
         left = queries
-    events = pages.select("url", "ts", "text_len", "lang")
-    return temporal_events(spark, WEBTEXT_GROUPBY, left, events)
+        payload = None
+        payload_keys = []
+    events = slim.select("url", "ts", "text_len", "lang")
+    feats = temporal_events(spark, WEBTEXT_GROUPBY, left, events)
+    if payload is not None:
+        # the single wide-column shuffle of the whole pipeline
+        feats = feats.join(payload, payload_keys, "left")
+    return feats

@@ -43,6 +43,10 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # keep post-shuffle parallelism: default 64MB advisory target
+        # collapses small-SF stages to a handful of tasks
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
