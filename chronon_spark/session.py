@@ -41,6 +41,9 @@ def build_session(
         # semantics (TableUtils.scala:546-600) on plain parquet tables.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # ds partition values stay strings (engine contract: ds string
+        # yyyy-MM-dd, TableUtils.scala:343-347)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
