@@ -1,0 +1,77 @@
+"""Analyzer: pre-flight validation + data-shape analysis for configs.
+
+Port of the intent of spark/Analyzer.scala:116-190 (hot-key detection via
+frequent-items sketch) and JoinBase.scala:352-372 (keys×ts uniqueness
+audit), on DataFrame primitives:
+
+- schema check: key/input/time columns exist, ts is integral millis
+- hot keys: approximate top-k key values by frequency + share of rows
+  (candidates for skew_keys / salting)
+- uniqueness audit: duplicate (keys, ts) count on a join left
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import GroupBy
+
+
+def validate_group_by(gb: GroupBy, df: DataFrame) -> list[str]:
+    """Returns a list of human-readable problems (empty = valid)."""
+    problems = []
+    for k in gb.key_columns:
+        if k not in df.columns:
+            problems.append(f"key column '{k}' missing from input")
+    for p in gb.unpacked():
+        if p.input_column not in df.columns:
+            problems.append(f"input column '{p.input_column}' missing for {p.output_column}")
+        if p.bucket is not None:
+            if p.bucket not in df.columns:
+                problems.append(f"bucket column '{p.bucket}' missing")
+            elif not isinstance(df.schema[p.bucket].dataType, T.StringType):
+                # bucket must be string (aggregator/row/RowAggregator.scala:41-47)
+                problems.append(f"bucket column '{p.bucket}' must be string")
+        if p.input_column in df.columns and isinstance(
+            df.schema[p.input_column].dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
+            # Date/Timestamp aggregation inputs forbidden
+            # (aggregator/.../ColumnAggregator.scala:231-237)
+            problems.append(
+                f"column '{p.input_column}' is a date/timestamp — convert to epoch millis"
+            )
+    if "ts" in df.columns and not isinstance(df.schema["ts"].dataType, (T.LongType, T.IntegerType)):
+        problems.append("ts must be epoch-millis LongType (spark/GroupBy.scala:492-499)")
+    return problems
+
+
+def hot_keys(df: DataFrame, keys: list[str], top: int = 20, min_share: float = 0.01) -> DataFrame:
+    """Approximate heavy hitters over the key tuple: value, count and share
+    of total rows. Keys above ~1% of the table are salting candidates."""
+    total = df.count()
+    kc = F.concat_ws("\x01", *[F.col(k).cast("string") for k in keys]).alias("__key")
+    counts = (
+        df.select(kc)
+        .groupBy("__key")
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .filter(F.col("share") >= min_share)
+        .orderBy(F.desc("n"))
+        .limit(top)
+    )
+    return counts
+
+
+def uniqueness_audit(df: DataFrame, keys: list[str], ts_col: str = "ts") -> dict:
+    """Duplicate (keys, ts) analysis for a join left
+    (JoinBase.scala:352-372)."""
+    total = df.count()
+    distinct = df.select(*keys, ts_col).distinct().count()
+    return {
+        "rows": total,
+        "distinct_key_ts": distinct,
+        "duplicates": total - distinct,
+        "duplicate_share": round((total - distinct) / total, 6) if total else 0.0,
+    }

@@ -255,6 +255,26 @@ class JoinPart:
 
 
 @dataclass(frozen=True)
+class BootstrapPart:
+    """Precomputed feature table seeded onto the left before part
+    computation (api.thrift:314-326 BootstrapPart); existing values win
+    over computed ones (spark/JoinUtils.scala:138-169 coalesce rule)."""
+
+    table: str
+    key_columns: tuple[str, ...]  # join columns present in both left and table
+
+
+@dataclass(frozen=True)
+class LabelPart:
+    """Forward-looking labels (api.thrift:368-372 LabelPart): the label
+    GroupBy evaluated ``offset`` days after each feature row's ds."""
+
+    group_by: "GroupBy"
+    label_offsets: tuple[int, ...] = (7,)
+    prefix: str = "label"
+
+
+@dataclass(frozen=True)
 class Join:
     """Point-in-time enrichment (api.thrift:335-372): for every left row
     (keys, ts, ds) attach each GroupBy's aggregate **as of** that row's
@@ -265,6 +285,8 @@ class Join:
     right_parts: tuple[JoinPart, ...]
     skew_keys: dict[str, tuple[str, ...]] | None = None
     derivations: dict[str, str] | None = None
+    bootstrap_parts: tuple[BootstrapPart, ...] = ()
+    label_part: "LabelPart | None" = None
 
     def semantic_hash(self) -> str:
         blob = json.dumps(_plain(self), sort_keys=True, default=str)

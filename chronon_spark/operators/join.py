@@ -45,6 +45,7 @@ from chronon_spark.operators.temporal import temporal_events
 from chronon_spark.sources.scan import (
     TS_COL,
     render_source,
+    scan_table,
     shift_ds,
     skew_filter,
     union_sources,
@@ -160,10 +161,23 @@ def join_backfill(
     # monotonic uid keeps duplicate left rows distinct through temporal parts
     left = left.withColumn(ROW_UID, F.monotonically_increasing_id())
 
+    # bootstrap fold BEFORE parts: precomputed values land on the left and
+    # win the later coalesce against computed part columns
+    # (spark/Join.scala:464-558; covering-set skip-recompute is a planned
+    # optimization — semantics are identical, work is not skipped yet)
+    for bp in join.bootstrap_parts:
+        bdf = scan_table(spark, bp.table)
+        left = coalesced_join(left, bdf, list(bp.key_columns), "left")
+
     out = left
     for part in join.right_parts:
         feats, join_cols = compute_join_part(spark, left, part, start_ds, end_ds, join.skew_keys)
         out = coalesced_join(out, feats, join_cols, "left")
+
+    if join.label_part is not None:
+        from chronon_spark.operators.labels import attach_labels
+
+        out = attach_labels(spark, out, join.label_part, start_ds, end_ds)
 
     if join.derivations:
         exprs = ["*"] if "*" in join.derivations else [c for c in out.columns if c != ROW_UID]

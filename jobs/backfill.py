@@ -1,0 +1,80 @@
+"""spark-submit entry point for backfills.
+
+Usage (cluster or local — the engine ships as a zip via --py-files):
+
+    python tools/make_dist.py                      # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        jobs/backfill.py --config my_configs.py --name my_join \\
+        --start 2023-01-01 --end 2023-06-30 \\
+        --warehouse /data/warehouse [--step-days 30]
+
+``--config`` is a python module path (file) that defines GroupBy /
+Join / StagingQuery objects at module level; ``--name`` picks one by its
+``.name``. Mirrors the reference's run.py → Driver flow
+(api/py/ai/chronon/repo/run.py:401-495, spark/Driver.scala:1091-1126)
+with python configs instead of compiled thrift JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+
+# local runs: the package lives next to jobs/; under spark-submit the
+# --py-files zip provides it instead
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "chronon_spark")):
+    sys.path.insert(0, _repo_root)
+
+
+def load_config_module(path: str):
+    spec = importlib.util.spec_from_file_location("user_configs", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def find_config(mod, name: str):
+    from chronon_spark.api.types import GroupBy, Join
+    from chronon_spark.operators.staging import StagingQuery
+
+    for v in vars(mod).values():
+        if isinstance(v, (GroupBy, Join, StagingQuery)) and getattr(v, "name", None) == name:
+            return v
+    raise SystemExit(f"no GroupBy/Join/StagingQuery named '{name}' in config module")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--name", required=True)
+    ap.add_argument("--start", required=True)
+    ap.add_argument("--end", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--step-days", type=int, default=30)
+    args = ap.parse_args()
+
+    from chronon_spark.api.types import GroupBy, Join
+    from chronon_spark.operators.staging import StagingQuery, run_staging_query
+    from chronon_spark.runner import run_group_by_backfill, run_join_backfill
+    from chronon_spark.session import build_session
+    from chronon_spark.sources.warehouse import Warehouse
+
+    spark = build_session(app_name=f"backfill:{args.name}")
+    wh = Warehouse(spark, args.warehouse)
+    conf = find_config(load_config_module(args.config), args.name)
+    if isinstance(conf, GroupBy):
+        table = run_group_by_backfill(spark, wh, conf, args.start, args.end, args.step_days)
+    elif isinstance(conf, Join):
+        table = run_join_backfill(spark, wh, conf, args.start, args.end, args.step_days)
+    else:
+        table = run_staging_query(spark, wh, conf, args.start, args.end, args.step_days)
+    parts = wh.partitions(table)
+    print(f"done: {table} partitions [{parts[0]} .. {parts[-1]}] ({len(parts)})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

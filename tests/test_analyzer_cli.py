@@ -1,0 +1,76 @@
+"""Analyzer checks + spark-submit packaging/CLI smoke."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.analyzer import hot_keys, uniqueness_audit, validate_group_by
+from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_validate_group_by(spark):
+    df = spark.createDataFrame([("u", 1, 2.0)], "user string, ts long, v double")
+    gb_ok = GroupBy(
+        name="a", sources=(EventSource(table="t"),), key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.SUM),),
+    )
+    assert validate_group_by(gb_ok, df) == []
+    gb_bad = GroupBy(
+        name="b", sources=(EventSource(table="t"),), key_columns=("nope",),
+        aggregations=(Aggregation("missing", Operation.SUM), Aggregation("v", Operation.SUM, buckets=("ts",))),
+    )
+    probs = validate_group_by(gb_bad, df)
+    assert any("nope" in p for p in probs)
+    assert any("missing" in p for p in probs)
+    assert any("must be string" in p for p in probs)
+
+
+def test_hot_keys_and_uniqueness(spark):
+    rows = [("hot", i) for i in range(900)] + [(f"u{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "user string, ts long")
+    hk = hot_keys(df, ["user"], top=5, min_share=0.05).collect()
+    assert hk[0]["__key"] == "hot" and hk[0]["n"] == 900
+    dup = spark.createDataFrame([("u", 1), ("u", 1), ("u", 2)], "user string, ts long")
+    audit = uniqueness_audit(dup, ["user"])
+    assert audit == {"rows": 3, "distinct_key_ts": 2, "duplicates": 1, "duplicate_share": round(1 / 3, 6)}
+
+
+def test_make_dist_and_cli(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "make_dist.py")],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+    assert out.returncode == 0, out.stderr
+    zpath = out.stdout.strip()
+    assert os.path.exists(zpath) and os.path.getsize(zpath) > 10_000
+
+    # end-to-end CLI smoke: config module + backfill job in a subprocess
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        "gb = GroupBy(name='cli_gb',\n"
+        "  sources=(EventSource(table='/root/testdata/sf0.001/events.parquet',\n"
+        "    query=Query(selects={'user_id': None, 'value': None},\n"
+        "                time_column='unix_millis(cast(ts as timestamp))')),),\n"
+        "  key_columns=('user_id',),\n"
+        "  aggregations=(Aggregation('value', Operation.SUM, windows=(Window(7),)),))\n"
+    )
+    wh = tmp_path / "wh"
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "backfill.py"),
+            "--config", str(cfg), "--name", "cli_gb",
+            "--start", "2024-01-10", "--end", "2024-01-12",
+            "--warehouse", str(wh),
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done: cli_gb partitions [2024-01-10 .. 2024-01-12] (3)" in out.stdout

@@ -1,0 +1,97 @@
+"""Temporal entities (mutations) vs hand-computed expectations —
+the MutationsTest.scala:33-62 scenarios: update (before+after pair),
+insert (after-only), delete (before-only)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import Aggregation, EntitySource, GroupBy, Operation
+from chronon_spark.operators.mutations import temporal_entities
+
+D = "2023-11-20"  # query day; snapshot day is D-1
+MID = 1_700_438_400_000  # 2023-11-20 00:00 UTC
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # EOD state of 2023-11-19: listing 1 → ratings [4, 5]; listing 2 → [3]
+    snapshots = spark.createDataFrame(
+        [
+            (1, 4.0, "2023-11-19"),
+            (1, 5.0, "2023-11-19"),
+            (2, 3.0, "2023-11-19"),
+        ],
+        "listing_id int, rating double, ds string",
+    )
+    # day-D mutations:
+    #   t1: update listing1 rating 4 → 2   (before 4, after 2)
+    #   t2: insert listing2 rating 5       (after only)
+    #   t3: delete listing1 rating 5       (before only)
+    t1, t2, t3 = MID + 1_000_000, MID + 2_000_000, MID + 3_000_000
+    mutations = spark.createDataFrame(
+        [
+            (1, 4.0, t1, True, D),
+            (1, 2.0, t1, False, D),
+            (2, 5.0, t2, False, D),
+            (1, 5.0, t3, True, D),
+        ],
+        "listing_id int, rating double, mutation_ts long, is_before boolean, ds string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, MID + 500_000, D),   # before any mutation → snapshot state
+            (1, t1, D),              # at t1 (inclusive) → [2, 5]
+            (1, t3 + 1, D),          # after delete → [2]
+            (2, t2 + 1, D),          # after insert → [3, 5]
+            (3, MID + 10, D),        # unseen listing → nulls
+        ],
+        "listing_id int, ts long, ds string",
+    )
+    return snapshots, mutations, queries
+
+
+def _gb(*aggs):
+    return GroupBy(
+        name="mut",
+        sources=(EntitySource(snapshot_table="snap"),),
+        key_columns=("listing_id",),
+        aggregations=tuple(aggs),
+    )
+
+
+def test_abelian_ops_honor_deletes(spark, frames):
+    snapshots, mutations, queries = frames
+    gb = _gb(
+        Aggregation("rating", Operation.SUM),
+        Aggregation("rating", Operation.COUNT),
+        Aggregation("rating", Operation.AVERAGE),
+    )
+    out = temporal_entities(spark, gb, queries, snapshots, mutations)
+    rows = {(r["listing_id"], r["ts"]): r for r in out.collect()}
+    t1, t3 = MID + 1_000_000, MID + 3_000_000
+
+    r = rows[(1, MID + 500_000)]  # snapshot [4,5]
+    assert (r["rating_sum"], r["rating_count"], r["rating_average"]) == (9.0, 2, 4.5)
+    r = rows[(1, t1)]  # update applied at exactly t1 → [2,5]
+    assert (r["rating_sum"], r["rating_count"]) == (7.0, 2)
+    r = rows[(1, t3 + 1)]  # delete of 5 → [2]
+    assert (r["rating_sum"], r["rating_count"]) == (2.0, 1)
+    r = rows[(2, MID + 2_000_000 + 1)]  # insert → [3,5]
+    assert (r["rating_sum"], r["rating_count"]) == (8.0, 2)
+    r = rows[(3, MID + 10)]
+    assert r["rating_sum"] is None and r["rating_count"] is None
+
+
+def test_monoid_ops_ignore_deletes(spark, frames):
+    snapshots, mutations, queries = frames
+    gb = _gb(
+        Aggregation("rating", Operation.MAX),
+        Aggregation("rating", Operation.UNIQUE_COUNT),
+    )
+    out = temporal_entities(spark, gb, queries, snapshots, mutations)
+    rows = {(r["listing_id"], r["ts"]): r for r in out.collect()}
+    t3 = MID + 3_000_000
+    # monoid MAX keeps 5 even after its delete (inserts-only fold)
+    r = rows[(1, t3 + 1)]
+    assert r["rating_max"] == 5.0
+    assert r["rating_unique_count"] == 3  # {4, 5, 2} inserted at some point
