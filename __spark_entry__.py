@@ -426,6 +426,96 @@ def q_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(F.approx_count_distinct("value").alias("value_approx_unique"))
 
 
+def q_map_column_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column aggregation: Map[type → value] summed per key
+    (operators/collections.aggregate_map_column), rendered sorted."""
+    from chronon_spark.api.types import Operation
+    from chronon_spark.operators.collections import aggregate_map_column
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+    )
+    out = aggregate_map_column(ev, ["user_id"], "m", Operation.SUM)
+    return out.select(
+        "user_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_keys(m_sum)), "
+            "k -> concat(k, ':', cast(round(element_at(m_sum, k), 6) AS string))))"
+        ).alias("type_sums"),
+    )
+
+
+def q_elementwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise AVERAGE over embedding vectors per label (the mean
+    embedding — operators/collections.aggregate_elementwise)."""
+    from chronon_spark.api.types import Operation
+    from chronon_spark.operators.collections import aggregate_elementwise
+
+    emb = _emb(spark, sf_dir).select("label", F.col("embedding").alias("v"))
+    out = aggregate_elementwise(emb, ["label"], "v", Operation.AVERAGE)
+    return out.select(
+        "label",
+        F.expr("transform(v_average_elementwise, x -> round(x, 6))").alias("emb_mean"),
+    )
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector auto-explode: scalar aggregate over all list elements."""
+    from chronon_spark.api.types import Operation
+    from chronon_spark.operators.collections import aggregate_vector_column
+
+    emb = _emb(spark, sf_dir).select("label", F.col("embedding").alias("v"))
+    out = aggregate_vector_column(emb, ["label"], "v", Operation.AVERAGE, output_col="elem_avg")
+    return out.select("label", F.round("elem_avg", 6).alias("elem_avg"))
+
+
+def q_temporal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal entities with mutations: each event inserts its value and
+    deletes the user's previous value (same day), so the point-in-time
+    state sum at each event == that event's value — only if is_before
+    deletes cancel exactly (operators/mutations)."""
+    _utc(spark)
+    from pyspark.sql import Window as W
+
+    from chronon_spark.api.types import Aggregation, EntitySource, GroupBy, Operation
+    from chronon_spark.operators.mutations import temporal_entities
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "ds").orderBy("ts")
+    ins = ev.select(
+        "user_id", F.col("value"), F.col("ts").alias("mutation_ts"), F.lit(False).alias("is_before"), "ds"
+    )
+    dels = (
+        ev.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.col("prev").alias("value"),
+            F.col("ts").alias("mutation_ts"),
+            F.lit(True).alias("is_before"),
+            "ds",
+        )
+    )
+    mutations = ins.unionByName(dels)
+    snapshots = spark.createDataFrame([], "user_id long, value double, ds string")
+    gb = GroupBy(
+        name="te",
+        sources=(EntitySource(snapshot_table="snap"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM),
+            Aggregation("value", Operation.COUNT),
+        ),
+    )
+    queries = ev.select("event_id", "user_id", "ts", "ds")
+    out = temporal_entities(spark, gb, queries, snapshots, mutations)
+    return out.select(
+        "event_id",
+        F.round("value_sum", 6).alias("state_sum"),
+        F.col("value_count").alias("state_count"),
+    )
+
+
 # ----------------------------------------------------------------------- API
 
 
@@ -461,6 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "webtext_flagship": q_webtext_flagship,
         "approx_unique": q_approx_unique,
+        "map_column_agg": q_map_column_agg,
+        "elementwise_mean": q_elementwise_mean,
+        "vector_stats": q_vector_stats,
+        "temporal_entities": q_temporal_entities,
     }
 
 
@@ -666,5 +760,28 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "map_column_agg": """
+WITH c AS (SELECT user_id, event_type, sum(value) AS s FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(round(s, 6) AS VARCHAR), ',' ORDER BY event_type) AS type_sums
+FROM c GROUP BY user_id
+""",
+        "elementwise_mean": """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos FROM embeddings
+), p AS (
+  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS a FROM e GROUP BY label, pos
+)
+SELECT label, list(round(a, 6) ORDER BY pos) AS emb_mean FROM p GROUP BY label
+""",
+        "vector_stats": """
+SELECT label, round(avg(CAST(v AS DOUBLE)), 6) AS elem_avg
+FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+GROUP BY label
+""",
+        "temporal_entities": """
+SELECT event_id, round(value, 6) AS state_sum, CAST(1 AS BIGINT) AS state_count
+FROM events
 """,
     }
