@@ -396,6 +396,7 @@ def temporal_events(
     gb: GroupBy,
     queries: DataFrame,
     events: DataFrame,
+    mode: str = "auto",
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
@@ -403,7 +404,16 @@ def temporal_events(
     every query column passes through to the output, duplicates preserved
     1:1 (JoinTest.scala:389-394 contract). Query rows whose keys are all
     null get null features (padGroupByFields, spark/Join.scala:410-432).
+
+    ``mode``: "auto" uses the hop-tiled path (operators/tiled.py) when
+    every aggregation is algebraic — hot keys then cost O(5-min tiles)
+    instead of O(events); "raw"/"tiled" force a path.
     """
+    if mode != "raw":
+        from chronon_spark.operators.tiled import is_tileable, temporal_events_tiled
+
+        if mode == "tiled" or (mode == "auto" and is_tileable(gb)):
+            return temporal_events_tiled(spark, gb, queries, events)
     keys = list(gb.key_columns)
     parts = gb.unpacked()
     ev_schema = events.schema

@@ -1,0 +1,385 @@
+"""Hop-tiled temporal (as-of) GroupBy — the hot-key scale path.
+
+The raw kernel (operators/temporal.py) ships every event of a key into
+one Arrow group: exact, but a crawl-storm url with 10M events becomes a
+10M-row pandas batch. This module reproduces the reference's hop tiling
+(HopsAggregator.scala:92-156 + SawtoothAggregator.scala:64-139): events
+are pre-compressed into per-(key, 5-minute-tile) partial IRs by a
+DataFrame groupBy (map-side combine — the full event volume never
+shuffles raw), raw events are kept ONLY for tiles that contain a query
+head (semi-join), and the kernel stitches
+
+    window(qt) = merge(tiles in [tail, headStart)) + raw head [headStart, qt)
+
+with tail = floor((qt−w)/hop)·hop on the window's hop grid and
+headStart = floor(qt / 5min)·5min. Hot keys thus cost O(tiles) ≈
+105k/year instead of O(events), and the shuffle moves IRs, not rows.
+
+Supported ops: the algebraic family (COUNT/SUM/AVERAGE/MIN/MAX/
+VARIANCE/SKEW/KURTOSIS/FIRST/LAST) whose IRs merge losslessly across
+tiles. temporal_events(mode="auto") picks this path when every part
+qualifies, else the exact raw kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import FIVE_MINUTES_MS, GroupBy, Operation
+from chronon_spark.operators.temporal import _SparseTable, output_field
+from chronon_spark.sources.scan import TS_COL, null_key_filter
+
+TILE_MS = FIVE_MINUTES_MS
+
+TILEABLE = {
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.MIN,
+    Operation.MAX,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+    Operation.FIRST,
+    Operation.LAST,
+}
+
+
+def is_tileable(gb: GroupBy) -> bool:
+    return all(p.bucket is None and p.operation in TILEABLE for p in gb.unpacked())
+
+
+def _needed_stats(gb: GroupBy) -> dict[str, set[str]]:
+    """Which tile statistics each input column needs."""
+    need: dict[str, set[str]] = {}
+    for p in gb.unpacked():
+        s = need.setdefault(p.input_column, set())
+        op = p.operation
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE):
+            s.update({"n", "s1"})
+        if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+            s.update({"n", "s1", "s2", "s3", "s4"})
+        if op is Operation.MIN:
+            s.add("mn")
+        if op is Operation.MAX:
+            s.add("mx")
+        if op is Operation.FIRST:
+            s.add("fst")
+        if op is Operation.LAST:
+            s.add("lst")
+    return need
+
+
+_STAT_EXPR = {
+    "n": lambda c: f"count({c})",
+    "s1": lambda c: f"sum(CAST({c} AS DOUBLE))",
+    "s2": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
+    "s3": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
+    "s4": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
+    "mn": lambda c: f"min(CAST({c} AS DOUBLE))",
+    "mx": lambda c: f"max(CAST({c} AS DOUBLE))",
+    "fst": lambda c: f"min(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', CAST({c} AS DOUBLE)) END)",
+    "lst": lambda c: f"max(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', CAST({c} AS DOUBLE)) END)",
+}
+
+
+def _stat_col(c: str, s: str) -> str:
+    return f"__t_{c}_{s}"
+
+
+class _TilePrefix:
+    """Prefix/sparse structures over the per-key tile arrays."""
+
+    def __init__(self, tdf: pd.DataFrame, col: str, stats: set[str]):
+        n_t = len(tdf)
+        self.n = None
+        self.prefix: dict[str, np.ndarray] = {}
+        for s in ("n", "s1", "s2", "s3", "s4"):
+            if s in stats:
+                arr = pd.to_numeric(tdf[_stat_col(col, s)], errors="coerce").to_numpy(np.float64)
+                arr = np.nan_to_num(arr, nan=0.0)
+                p = np.empty(n_t + 1)
+                p[0] = 0.0
+                np.cumsum(arr, out=p[1:])
+                self.prefix[s] = p
+        self.tmin = (
+            _SparseTable(
+                np.nan_to_num(
+                    pd.to_numeric(tdf[_stat_col(col, "mn")], errors="coerce").to_numpy(np.float64),
+                    nan=np.inf,
+                ),
+                is_min=True,
+            )
+            if "mn" in stats
+            else None
+        )
+        self.tmax = (
+            _SparseTable(
+                np.nan_to_num(
+                    pd.to_numeric(tdf[_stat_col(col, "mx")], errors="coerce").to_numpy(np.float64),
+                    nan=-np.inf,
+                ),
+                is_min=False,
+            )
+            if "mx" in stats
+            else None
+        )
+        # indices of tiles whose first/last struct is non-null
+        for fl in ("fst", "lst"):
+            if fl in stats:
+                vals = tdf[_stat_col(col, fl)].to_numpy(object)
+                nn = np.array([v is not None for v in vals], dtype=bool)
+                setattr(self, f"{fl}_vals", vals)
+                setattr(self, f"{fl}_nn", np.flatnonzero(nn))
+
+
+class _HeadCol:
+    """Raw head-event arrays for one input column."""
+
+    def __init__(self, hdf: pd.DataFrame, col: str):
+        vals = pd.to_numeric(hdf[col], errors="coerce").to_numpy(np.float64)
+        self.mask = ~np.isnan(vals)
+        z = np.where(self.mask, vals, 0.0)
+        self.pc = np.concatenate([[0.0], np.cumsum(self.mask.astype(np.float64))])
+        self.ps = np.concatenate([[0.0], np.cumsum(z)])
+        self.p2 = np.concatenate([[0.0], np.cumsum(z * z)])
+        self.p3 = np.concatenate([[0.0], np.cumsum(z * z * z)])
+        self.p4 = np.concatenate([[0.0], np.cumsum(z * z * z * z)])
+        self.vals = vals
+        self.nn_idx = np.flatnonzero(self.mask)
+        self._tmin = None
+        self._tmax = None
+
+    def tmin(self) -> _SparseTable:
+        if self._tmin is None:
+            self._tmin = _SparseTable(np.where(self.mask, self.vals, np.inf), is_min=True)
+        return self._tmin
+
+    def tmax(self) -> _SparseTable:
+        if self._tmax is None:
+            self._tmax = _SparseTable(np.where(self.mask, self.vals, -np.inf), is_min=False)
+        return self._tmax
+
+
+def make_tiled_kernel(gb: GroupBy, slim_cols: list[str], stats_by_col: dict[str, set[str]]):
+    parts = gb.unpacked()
+
+    def kernel(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        out = qdf.loc[:, slim_cols].copy()
+        nq = len(qdf)
+        if nq == 0:
+            for p in parts:
+                out[p.output_column] = pd.Series([], dtype=object)
+            return out
+        tdf = cdf[cdf["__kind"] == 0].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        hdf = cdf[cdf["__kind"] == 1].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        tile_ts = tdf[TS_COL].to_numpy(np.int64)
+        head_ts = hdf[TS_COL].to_numpy(np.int64)
+        qt = qdf[TS_COL].to_numpy(np.int64)
+        head_start = (qt // TILE_MS) * TILE_MS
+
+        # shared index arrays
+        t_hi = np.searchsorted(tile_ts, head_start, side="left")  # tiles < headStart
+        h_lo = np.searchsorted(head_ts, head_start, side="left")
+        h_hi = np.searchsorted(head_ts, qt, side="left")  # strict ts < qt
+
+        tcols = {c: _TilePrefix(tdf, c, st) for c, st in stats_by_col.items()}
+        hcols = {c: _HeadCol(hdf, c) for c in stats_by_col}
+
+        for p in parts:
+            tc, hc = tcols[p.input_column], hcols[p.input_column]
+            if p.window is None:
+                t_lo = np.zeros(nq, dtype=np.int64)
+            else:
+                w, hop = p.window.millis, p.hop_millis
+                tail = ((qt - w) // hop) * hop
+                t_lo = np.searchsorted(tile_ts, tail, side="left")
+                # head events are also bounded below by tail (tiny windows)
+            op = p.operation
+            res: list = [None] * nq
+
+            if op in (
+                Operation.COUNT,
+                Operation.SUM,
+                Operation.AVERAGE,
+                Operation.VARIANCE,
+                Operation.SKEW,
+                Operation.KURTOSIS,
+            ):
+                # head lower bound: max(headStart, tail)
+                if p.window is None:
+                    hl = h_lo
+                else:
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                n = (tc.prefix["n"][t_hi] - tc.prefix["n"][t_lo]) + (hc.pc[h_hi] - hc.pc[hl])
+                s1 = (tc.prefix["s1"][t_hi] - tc.prefix["s1"][t_lo]) + (hc.ps[h_hi] - hc.ps[hl])
+                if op is Operation.COUNT:
+                    res = [int(v) if v > 0 else None for v in n]
+                elif op is Operation.SUM:
+                    res = [float(s) if c_ > 0 else None for s, c_ in zip(s1, n)]
+                elif op is Operation.AVERAGE:
+                    res = [float(s / c_) if c_ > 0 else None for s, c_ in zip(s1, n)]
+                else:
+                    s2 = (tc.prefix["s2"][t_hi] - tc.prefix["s2"][t_lo]) + (hc.p2[h_hi] - hc.p2[hl])
+                    s3 = (tc.prefix["s3"][t_hi] - tc.prefix["s3"][t_lo]) + (hc.p3[h_hi] - hc.p3[hl])
+                    s4 = (tc.prefix["s4"][t_hi] - tc.prefix["s4"][t_lo]) + (hc.p4[h_hi] - hc.p4[hl])
+                    for i in range(nq):
+                        c_ = n[i]
+                        if c_ <= 0:
+                            continue
+                        m1 = s1[i] / c_
+                        m2 = s2[i] / c_ - m1**2
+                        if op is Operation.VARIANCE:
+                            res[i] = float(max(m2, 0.0))
+                        elif op is Operation.SKEW:
+                            if c_ < 3 or m2 <= 0:
+                                res[i] = float("nan")
+                            else:
+                                m3 = s3[i] / c_ - 3 * m1 * s2[i] / c_ + 2 * m1**3
+                                res[i] = float(m3 / m2**1.5)
+                        else:
+                            if c_ < 4 or m2 <= 0:
+                                res[i] = float("nan")
+                            else:
+                                m4 = (
+                                    s4[i] / c_
+                                    - 4 * m1 * s3[i] / c_
+                                    + 6 * m1**2 * s2[i] / c_
+                                    - 3 * m1**4
+                                )
+                                res[i] = float(m4 / m2**2 - 3.0)
+            elif op in (Operation.MIN, Operation.MAX):
+                is_min = op is Operation.MIN
+                table = tc.tmin if is_min else tc.tmax
+                tv = table.query(t_lo, t_hi)
+                if p.window is None:
+                    hl = h_lo
+                else:
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                hv = (hc.tmin() if is_min else hc.tmax()).query(hl, h_hi)
+                comb = np.minimum(tv, hv) if is_min else np.maximum(tv, hv)
+                valid = np.isfinite(comb)
+                res = [float(v) if ok else None for v, ok in zip(comb, valid)]
+            elif op in (Operation.FIRST, Operation.LAST):
+                fl = "fst" if op is Operation.FIRST else "lst"
+                nn = getattr(tc, f"{fl}_nn")
+                vals = getattr(tc, f"{fl}_vals")
+                if p.window is None:
+                    hl = h_lo
+                else:
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                # vectorized index lookups: tile pick + head pick per query
+                t_pos_first = np.searchsorted(nn, t_lo, side="left")
+                t_pos_last = np.searchsorted(nn, t_hi, side="left") - 1
+                h_pos_first = np.searchsorted(hc.nn_idx, hl, side="left")
+                h_pos_last = np.searchsorted(hc.nn_idx, h_hi, side="left") - 1
+                for i in range(nq):
+                    if op is Operation.FIRST:
+                        j = t_pos_first[i]
+                        if j < len(nn) and nn[j] < t_hi[i]:
+                            res[i] = float(vals[nn[j]]["v"])
+                        else:
+                            k2 = h_pos_first[i]
+                            if k2 < len(hc.nn_idx) and hc.nn_idx[k2] < h_hi[i]:
+                                res[i] = float(hc.vals[hc.nn_idx[k2]])
+                    else:
+                        k2 = h_pos_last[i]
+                        if k2 >= 0 and k2 < len(hc.nn_idx) and hc.nn_idx[k2] >= hl[i]:
+                            res[i] = float(hc.vals[hc.nn_idx[k2]])
+                        else:
+                            j = t_pos_last[i]
+                            if j >= 0 and nn[j] >= t_lo[i]:
+                                res[i] = float(vals[nn[j]]["v"])
+            else:  # pragma: no cover
+                raise ValueError(f"op {op} not tileable")
+
+            if op is Operation.COUNT:
+                out[p.output_column] = pd.array(
+                    [v if v is not None else None for v in res], dtype="Int64"
+                )
+            else:
+                mask = np.array([v is None for v in res], dtype=bool)
+                arr = np.array([0.0 if m else float(v) for v, m in zip(res, mask)], dtype=np.float64)
+                out[p.output_column] = pd.arrays.FloatingArray(arr, mask)
+        return out
+
+    return kernel
+
+
+def temporal_events_tiled(
+    spark: SparkSession,
+    gb: GroupBy,
+    queries: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Tiled exact as-of aggregation (see module docstring)."""
+    keys = list(gb.key_columns)
+    if not is_tileable(gb):
+        raise ValueError("GroupBy contains non-tileable parts; use temporal_events")
+    stats_by_col = _needed_stats(gb)
+
+    events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
+    events = events.select(*[F.col(c).alias(c) for c in events.columns])
+
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond | c)
+    qlite = queries.select(*keys, TS_COL).filter(F.col(TS_COL).isNotNull())
+    if cond is not None:
+        qlite = qlite.filter(cond)
+    qlite = qlite.distinct()
+
+    # ---- tiles: per-(key, 5min) IR stats; map-side combine compresses the
+    # raw volume before the shuffle
+    tile_col = (F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS
+    aggs = []
+    for c, stats in stats_by_col.items():
+        for s in sorted(stats):
+            aggs.append(F.expr(_STAT_EXPR[s](c)).alias(_stat_col(c, s)))
+    tiles = (
+        events.withColumn("__tile", tile_col)
+        .groupBy(*keys, "__tile")
+        .agg(*aggs)
+        .withColumnRenamed("__tile", TS_COL)
+        .withColumn("__kind", F.lit(0))
+    )
+
+    # ---- head events: raw rows only inside tiles that contain a query
+    heads = qlite.select(*keys, ((F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS).alias("__tile")).distinct()
+    head_events = (
+        events.withColumn("__tile", tile_col)
+        .join(heads, keys + ["__tile"], "left_semi")
+        .drop("__tile")
+        .withColumn("__kind", F.lit(1))
+    )
+
+    combined = tiles.unionByName(head_events.select(
+        *keys, TS_COL, "__kind", *[F.col(c) for c in stats_by_col]
+    ), allowMissingColumns=True)
+
+    slim_cols = keys + [TS_COL]
+    ev_schema = events.schema
+    schema = T.StructType(
+        [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in gb.unpacked()]
+    )
+    # tiled IRs are double-typed; widen scalar outputs to double
+    widened = []
+    for f in schema.fields:
+        if f.name not in slim_cols and isinstance(f.dataType, (T.FloatType, T.IntegerType)):
+            widened.append(T.StructField(f.name, T.DoubleType(), True))
+        else:
+            widened.append(f)
+    schema = T.StructType(widened)
+
+    kernel = make_tiled_kernel(gb, slim_cols, stats_by_col)
+    feats = (
+        qlite.groupBy(*keys)
+        .cogroup(combined.groupBy(*keys))
+        .applyInPandas(kernel, schema=schema)
+    )
+    return queries.join(feats, slim_cols, "left")

@@ -1,0 +1,103 @@
+"""Tiled temporal path vs the naive oracle and vs the raw kernel."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Operation,
+    TimeUnit,
+    Window,
+)
+from chronon_spark.operators.temporal import temporal_events
+from chronon_spark.operators.tiled import is_tileable, temporal_events_tiled
+from tests.naive_oracle import allclose_feature, naive_feature
+
+MS_DAY = 86_400_000
+T0 = 1_700_000_000_000
+
+AGGS = (
+    Aggregation("price", Operation.COUNT, windows=(None, Window(7), Window(6, TimeUnit.HOURS))),
+    Aggregation("price", Operation.SUM, windows=(Window(7), Window(30))),
+    Aggregation("price", Operation.AVERAGE, windows=(Window(3),)),
+    Aggregation("price", Operation.MIN, windows=(Window(7), None)),
+    Aggregation("price", Operation.MAX, windows=(Window(7),)),
+    Aggregation("price", Operation.VARIANCE, windows=(Window(14),)),
+    Aggregation("price", Operation.SKEW, windows=(Window(14),)),
+    Aggregation("price", Operation.FIRST, windows=(Window(7),)),
+    Aggregation("price", Operation.LAST, windows=(Window(7), None)),
+)
+
+GB = GroupBy(name="t", sources=(EventSource(table="ev"),), key_columns=("user",),
+             aggregations=AGGS, accuracy=Accuracy.TEMPORAL)
+
+
+def _gen(seed=17, n_events=900, n_queries=300, n_keys=5):
+    rng = np.random.default_rng(seed)
+    ev_ts = T0 + rng.integers(0, 32 * MS_DAY, n_events)
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, n_keys, n_events)],
+            "ts": ev_ts.astype(np.int64),
+            "price": rng.integers(1, 500, n_events).astype(float),
+        }
+    )
+    ev.loc[ev.index % 31 == 0, "price"] = None
+    q_ts = T0 + rng.integers(0, 33 * MS_DAY, n_queries)
+    q_ts[:30] = ev_ts[:30]  # exact-collision edges
+    q_ts[30:40] = (q_ts[30:40] // 300_000) * 300_000  # on-tile-boundary edges
+    q = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, n_keys + 1, n_queries)],
+            "ts": q_ts.astype(np.int64),
+        }
+    )
+    return ev, q
+
+
+def test_is_tileable():
+    assert is_tileable(GB)
+    gb2 = GroupBy(name="x", sources=GB.sources, key_columns=("user",),
+                  aggregations=(Aggregation("price", Operation.LAST_K, arg_map={"k": 2}),))
+    assert not is_tileable(gb2)
+
+
+def test_tiled_vs_naive(spark):
+    ev, q = _gen()
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(q)
+    out = [r.asDict() for r in temporal_events_tiled(spark, GB, q_df, ev_df).collect()]
+    by_user = {u: g.sort_values("ts", kind="mergesort") for u, g in ev.groupby("user")}
+    parts = GB.unpacked()
+    bad = []
+    for row in out:
+        g = by_user.get(row["user"])
+        for p in parts:
+            got = row[p.output_column]
+            exp = (
+                None
+                if g is None
+                else naive_feature(p, g["ts"].to_numpy(np.int64), g["price"].to_numpy(object), int(row["ts"]))
+            )
+            if not allclose_feature(got, exp):
+                bad.append((row["user"], row["ts"], p.output_column, got, exp))
+    assert not bad, f"{len(bad)} mismatches, first 5: {bad[:5]}"
+
+
+def test_tiled_equals_raw(spark):
+    ev, q = _gen(seed=23)
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(q)
+    tiled = temporal_events_tiled(spark, GB, q_df, ev_df)
+    raw = temporal_events(spark, GB, q_df, ev_df)
+    cols = [p.output_column for p in GB.unpacked()]
+    t = sorted([tuple(r) for r in tiled.select("user", "ts", *cols).collect()], key=repr)
+    r = sorted([tuple(r) for r in raw.select("user", "ts", *cols).collect()], key=repr)
+    assert len(t) == len(r)
+    for a, b in zip(t, r):
+        assert allclose_feature(list(a), list(b)), (a, b)
