@@ -397,6 +397,7 @@ def temporal_events(
     queries: DataFrame,
     events: DataFrame,
     mode: str = "auto",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
@@ -406,16 +407,43 @@ def temporal_events(
     null get null features (padGroupByFields, spark/Join.scala:410-432).
 
     ``mode``: "auto" uses the hop-tiled path (operators/tiled.py) when
-    every aggregation is algebraic — hot keys then cost O(5-min tiles)
-    instead of O(events); "raw"/"tiled" force a path.
-    """
-    if mode != "raw":
-        from chronon_spark.operators.tiled import is_tileable, temporal_events_tiled
+    EVERY aggregation is algebraic — hot keys then cost O(5-min tiles)
+    instead of O(events). "split" computes tileable parts tiled and the
+    rest raw, joined on (keys, ts) — only worth it when the raw parts
+    are rare/cheap, since the raw half still ships the full event stream
+    (measured: splitting a mixed GroupBy costs ~2x; see BENCH).
+    "raw"/"tiled" force a single path.
 
-        if mode == "tiled" or (mode == "auto" and is_tileable(gb)):
-            return temporal_events_tiled(spark, gb, queries, events)
+    ``passthrough=True`` declares that query rows are already unique on
+    (keys, ts): every query column rides through the Arrow kernel and the
+    uniqSort-distinct + join-back (3 shuffles) are skipped. Only use with
+    slim query frames — wide payloads belong on the join-back path.
+    """
     keys = list(gb.key_columns)
+    if mode != "raw":
+        from chronon_spark.operators.tiled import (
+            is_tileable,
+            split_by_tileability,
+            temporal_events_tiled,
+        )
+
+        if mode == "tiled" or (mode == "auto" and is_tileable(gb, events.schema)):
+            return temporal_events_tiled(spark, gb, queries, events, passthrough=passthrough)
+        if mode == "split":
+            gb_tiled, gb_raw = split_by_tileability(gb, events.schema)
+            if gb_tiled is not None and gb_raw is not None:
+                tiled_out = temporal_events_tiled(spark, gb_tiled, queries, events)
+                return temporal_events(spark, gb_raw, tiled_out, events, mode="raw")
     parts = gb.unpacked()
+
+    # ship only the columns the kernel reads (inputs + buckets), never
+    # passthrough payload
+    needed = sorted(
+        ({p.input_column for p in parts} | {p.bucket for p in parts if p.bucket})
+        - set(keys)
+        - {TS_COL}
+    )
+    events = events.select(*keys, TS_COL, *needed)
     ev_schema = events.schema
 
     events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
@@ -430,23 +458,51 @@ def temporal_events(
     # (e.g. multi-KB text) never leave the JVM; duplicate left rows are
     # rehydrated 1:1 by the join back. Null-key/null-ts left rows fall out
     # of the equi-join with null features (padGroupByFields semantics).
-    qlite = queries.select(*keys, TS_COL).filter(F.col(TS_COL).isNotNull())
-    cond = None
+    cond = F.col(TS_COL).isNotNull()
+    kcond = None
     for k in keys:
         c = F.col(k).isNotNull()
-        cond = c if cond is None else (cond | c)
-    if cond is not None:
-        qlite = qlite.filter(cond)
-    qlite = qlite.distinct()
+        kcond = c if kcond is None else (kcond | c)
+    if kcond is not None:
+        cond = cond & kcond
 
-    slim_cols = keys + [TS_COL]
+    if passthrough:
+        qlite = queries.filter(cond)
+        pad = queries.filter(~cond)
+        slim_cols = queries.columns
+    else:
+        qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
+        pad = None
+        slim_cols = keys + [TS_COL]
+
     schema = T.StructType(
         [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in parts]
     )
     kernel = make_temporal_kernel(gb, ev_schema, slim_cols)
+    # explicit keys-hash repartition with a pinned partition count: the
+    # kernel stage is CPU-bound, and AQE's byte-targeted coalescing would
+    # otherwise shrink it to a handful of tasks (16MB of slim rows ≈ 10
+    # partitions on a 32-core box — a 3x parallelism loss measured)
+    p_n = kernel_partitions(spark)
     feats = (
-        qlite.groupBy(*keys)
-        .cogroup(events.groupBy(*keys))
+        qlite.repartition(p_n, *keys)
+        .groupBy(*keys)
+        .cogroup(events.repartition(p_n, *keys).groupBy(*keys))
         .applyInPandas(kernel, schema=schema)
     )
+    if passthrough:
+        if pad is not None:
+            for p in parts:
+                pad = pad.withColumn(
+                    p.output_column, F.lit(None).cast(output_field(p, ev_schema).dataType)
+                )
+            feats = feats.unionByName(pad)
+        return feats
     return queries.join(feats, slim_cols, "left")
+
+
+def kernel_partitions(spark: SparkSession) -> int:
+    """Partition count for Arrow-kernel stages: a few tasks per core so
+    stragglers (hot keys) overlap with other work."""
+    return max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+               spark.sparkContext.defaultParallelism * 3)

@@ -35,8 +35,7 @@ from chronon_spark.sources.scan import TS_COL, null_key_filter
 
 TILE_MS = FIVE_MINUTES_MS
 
-TILEABLE = {
-    Operation.COUNT,
+NUMERIC_TILEABLE = {
     Operation.SUM,
     Operation.AVERAGE,
     Operation.MIN,
@@ -44,13 +43,51 @@ TILEABLE = {
     Operation.VARIANCE,
     Operation.SKEW,
     Operation.KURTOSIS,
-    Operation.FIRST,
-    Operation.LAST,
 }
+ANYTYPE_TILEABLE = {Operation.COUNT, Operation.FIRST, Operation.LAST}
+TILEABLE = NUMERIC_TILEABLE | ANYTYPE_TILEABLE
 
 
-def is_tileable(gb: GroupBy) -> bool:
-    return all(p.bucket is None and p.operation in TILEABLE for p in gb.unpacked())
+def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
+    if part.bucket is not None:
+        return False
+    if part.operation in ANYTYPE_TILEABLE:
+        return True
+    if part.operation not in NUMERIC_TILEABLE:
+        return False
+    if ev_schema is None:
+        return True
+    dt = ev_schema[part.input_column].dataType
+    return isinstance(dt, (T.NumericType, T.BooleanType))
+
+
+def is_tileable(gb: GroupBy, ev_schema: T.StructType | None = None) -> bool:
+    return all(_part_tileable(p, ev_schema) for p in gb.unpacked())
+
+
+def split_by_tileability(
+    gb: GroupBy, ev_schema: T.StructType | None = None
+) -> tuple[GroupBy | None, GroupBy | None]:
+    """Split a mixed GroupBy into (tileable, raw) halves at Aggregation
+    granularity so the algebraic parts can ride the tiled path; both
+    halves keep the original output-column names."""
+    tiled_aggs, raw_aggs = [], []
+    for agg in gb.aggregations:
+        if all(_part_tileable(p, ev_schema) for p in agg.unpack()):
+            tiled_aggs.append(agg)
+        else:
+            raw_aggs.append(agg)
+    mk = lambda aggs, suffix: GroupBy(
+        name=f"{gb.name}{suffix}",
+        sources=gb.sources,
+        key_columns=gb.key_columns,
+        aggregations=tuple(aggs),
+        accuracy=gb.accuracy,
+    )
+    return (
+        mk(tiled_aggs, "__tiled") if tiled_aggs else None,
+        mk(raw_aggs, "__raw") if raw_aggs else None,
+    )
 
 
 def _needed_stats(gb: GroupBy) -> dict[str, set[str]]:
@@ -82,8 +119,8 @@ _STAT_EXPR = {
     "s4": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
     "mn": lambda c: f"min(CAST({c} AS DOUBLE))",
     "mx": lambda c: f"max(CAST({c} AS DOUBLE))",
-    "fst": lambda c: f"min(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', CAST({c} AS DOUBLE)) END)",
-    "lst": lambda c: f"max(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', CAST({c} AS DOUBLE)) END)",
+    "fst": lambda c: f"min(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', {c}) END)",
+    "lst": lambda c: f"max(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', {c}) END)",
 }
 
 
@@ -140,16 +177,22 @@ class _TilePrefix:
 class _HeadCol:
     """Raw head-event arrays for one input column."""
 
-    def __init__(self, hdf: pd.DataFrame, col: str):
-        vals = pd.to_numeric(hdf[col], errors="coerce").to_numpy(np.float64)
-        self.mask = ~np.isnan(vals)
-        z = np.where(self.mask, vals, 0.0)
+    def __init__(self, hdf: pd.DataFrame, col: str, numeric: bool):
+        self.numeric = numeric
+        if numeric:
+            vals = pd.to_numeric(hdf[col], errors="coerce").to_numpy(np.float64)
+            self.mask = ~np.isnan(vals)
+            z = np.where(self.mask, vals, 0.0)
+            self.ps = np.concatenate([[0.0], np.cumsum(z)])
+            self.p2 = np.concatenate([[0.0], np.cumsum(z * z)])
+            self.p3 = np.concatenate([[0.0], np.cumsum(z * z * z)])
+            self.p4 = np.concatenate([[0.0], np.cumsum(z * z * z * z)])
+            self.vals = vals
+        else:
+            raw = hdf[col].to_numpy(object)
+            self.mask = np.array([v is not None and v == v for v in raw], dtype=bool)
+            self.vals = raw
         self.pc = np.concatenate([[0.0], np.cumsum(self.mask.astype(np.float64))])
-        self.ps = np.concatenate([[0.0], np.cumsum(z)])
-        self.p2 = np.concatenate([[0.0], np.cumsum(z * z)])
-        self.p3 = np.concatenate([[0.0], np.cumsum(z * z * z)])
-        self.p4 = np.concatenate([[0.0], np.cumsum(z * z * z * z)])
-        self.vals = vals
         self.nn_idx = np.flatnonzero(self.mask)
         self._tmin = None
         self._tmax = None
@@ -165,7 +208,15 @@ class _HeadCol:
         return self._tmax
 
 
-def make_tiled_kernel(gb: GroupBy, slim_cols: list[str], stats_by_col: dict[str, set[str]]):
+def make_tiled_kernel(
+    gb: GroupBy,
+    slim_cols: list[str],
+    stats_by_col: dict[str, set[str]],
+    numeric_by_col: dict[str, bool],
+    input_types: dict[str, T.DataType],
+):
+    from chronon_spark.operators.temporal import _cast_feature
+
     parts = gb.unpacked()
 
     def kernel(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
@@ -188,7 +239,7 @@ def make_tiled_kernel(gb: GroupBy, slim_cols: list[str], stats_by_col: dict[str,
         h_hi = np.searchsorted(head_ts, qt, side="left")  # strict ts < qt
 
         tcols = {c: _TilePrefix(tdf, c, st) for c, st in stats_by_col.items()}
-        hcols = {c: _HeadCol(hdf, c) for c in stats_by_col}
+        hcols = {c: _HeadCol(hdf, c, numeric_by_col[c]) for c in stats_by_col}
 
         for p in parts:
             tc, hc = tcols[p.input_column], hcols[p.input_column]
@@ -216,10 +267,12 @@ def make_tiled_kernel(gb: GroupBy, slim_cols: list[str], stats_by_col: dict[str,
                 else:
                     hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
                 n = (tc.prefix["n"][t_hi] - tc.prefix["n"][t_lo]) + (hc.pc[h_hi] - hc.pc[hl])
-                s1 = (tc.prefix["s1"][t_hi] - tc.prefix["s1"][t_lo]) + (hc.ps[h_hi] - hc.ps[hl])
                 if op is Operation.COUNT:
                     res = [int(v) if v > 0 else None for v in n]
-                elif op is Operation.SUM:
+                    out[p.output_column] = pd.array(res, dtype="Int64")
+                    continue
+                s1 = (tc.prefix["s1"][t_hi] - tc.prefix["s1"][t_lo]) + (hc.ps[h_hi] - hc.ps[hl])
+                if op is Operation.SUM:
                     res = [float(s) if c_ > 0 else None for s, c_ in zip(s1, n)]
                 elif op is Operation.AVERAGE:
                     res = [float(s / c_) if c_ > 0 else None for s, c_ in zip(s1, n)]
@@ -281,30 +334,30 @@ def make_tiled_kernel(gb: GroupBy, slim_cols: list[str], stats_by_col: dict[str,
                     if op is Operation.FIRST:
                         j = t_pos_first[i]
                         if j < len(nn) and nn[j] < t_hi[i]:
-                            res[i] = float(vals[nn[j]]["v"])
+                            res[i] = vals[nn[j]]["v"]
                         else:
                             k2 = h_pos_first[i]
                             if k2 < len(hc.nn_idx) and hc.nn_idx[k2] < h_hi[i]:
-                                res[i] = float(hc.vals[hc.nn_idx[k2]])
+                                res[i] = hc.vals[hc.nn_idx[k2]]
                     else:
                         k2 = h_pos_last[i]
                         if k2 >= 0 and k2 < len(hc.nn_idx) and hc.nn_idx[k2] >= hl[i]:
-                            res[i] = float(hc.vals[hc.nn_idx[k2]])
+                            res[i] = hc.vals[hc.nn_idx[k2]]
                         else:
                             j = t_pos_last[i]
                             if j >= 0 and nn[j] >= t_lo[i]:
-                                res[i] = float(vals[nn[j]]["v"])
+                                res[i] = vals[nn[j]]["v"]
+                # FIRST/LAST keep the input column's type
+                out[p.output_column] = _cast_feature(
+                    np.array(res, dtype=object), p, input_types[p.input_column]
+                )
+                continue
             else:  # pragma: no cover
                 raise ValueError(f"op {op} not tileable")
 
-            if op is Operation.COUNT:
-                out[p.output_column] = pd.array(
-                    [v if v is not None else None for v in res], dtype="Int64"
-                )
-            else:
-                mask = np.array([v is None for v in res], dtype=bool)
-                arr = np.array([0.0 if m else float(v) for v, m in zip(res, mask)], dtype=np.float64)
-                out[p.output_column] = pd.arrays.FloatingArray(arr, mask)
+            mask = np.array([v is None for v in res], dtype=bool)
+            arr = np.array([0.0 if m else float(v) for v, m in zip(res, mask)], dtype=np.float64)
+            out[p.output_column] = pd.arrays.FloatingArray(arr, mask)
         return out
 
     return kernel
@@ -315,24 +368,30 @@ def temporal_events_tiled(
     gb: GroupBy,
     queries: DataFrame,
     events: DataFrame,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Tiled exact as-of aggregation (see module docstring)."""
     keys = list(gb.key_columns)
-    if not is_tileable(gb):
+    if not is_tileable(gb, events.schema):
         raise ValueError("GroupBy contains non-tileable parts; use temporal_events")
     stats_by_col = _needed_stats(gb)
 
     events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
     events = events.select(*[F.col(c).alias(c) for c in events.columns])
 
-    cond = None
+    cond = F.col(TS_COL).isNotNull()
+    kcond = None
     for k in keys:
         c = F.col(k).isNotNull()
-        cond = c if cond is None else (cond | c)
-    qlite = queries.select(*keys, TS_COL).filter(F.col(TS_COL).isNotNull())
-    if cond is not None:
-        qlite = qlite.filter(cond)
-    qlite = qlite.distinct()
+        kcond = c if kcond is None else (kcond | c)
+    if kcond is not None:
+        cond = cond & kcond
+    if passthrough:
+        qlite = queries.filter(cond)
+        pad = queries.filter(~cond)
+    else:
+        qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
+        pad = None
 
     # ---- tiles: per-(key, 5min) IR stats; map-side combine compresses the
     # raw volume before the shuffle
@@ -362,24 +421,38 @@ def temporal_events_tiled(
         *keys, TS_COL, "__kind", *[F.col(c) for c in stats_by_col]
     ), allowMissingColumns=True)
 
-    slim_cols = keys + [TS_COL]
+    slim_cols = qlite.columns if passthrough else keys + [TS_COL]
     ev_schema = events.schema
-    schema = T.StructType(
-        [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in gb.unpacked()]
-    )
-    # tiled IRs are double-typed; widen scalar outputs to double
-    widened = []
-    for f in schema.fields:
-        if f.name not in slim_cols and isinstance(f.dataType, (T.FloatType, T.IntegerType)):
-            widened.append(T.StructField(f.name, T.DoubleType(), True))
-        else:
-            widened.append(f)
-    schema = T.StructType(widened)
+    fields = [qlite.schema[c] for c in slim_cols]
+    for p in gb.unpacked():
+        f = output_field(p, ev_schema)
+        # tiled sums/means/extrema/moments compute in float64 → double out;
+        # COUNT stays long, FIRST/LAST keep the input type
+        if p.operation in NUMERIC_TILEABLE:
+            f = T.StructField(f.name, T.DoubleType(), True)
+        fields.append(f)
+    schema = T.StructType(fields)
 
-    kernel = make_tiled_kernel(gb, slim_cols, stats_by_col)
+    numeric_by_col = {
+        c: isinstance(ev_schema[c].dataType, (T.NumericType, T.BooleanType))
+        for c in stats_by_col
+    }
+    input_types = {c: ev_schema[c].dataType for c in stats_by_col}
+    kernel = make_tiled_kernel(gb, slim_cols, stats_by_col, numeric_by_col, input_types)
+    from chronon_spark.operators.temporal import kernel_partitions
+
+    p_n = kernel_partitions(spark)
     feats = (
-        qlite.groupBy(*keys)
-        .cogroup(combined.groupBy(*keys))
+        qlite.repartition(p_n, *keys)
+        .groupBy(*keys)
+        .cogroup(combined.repartition(p_n, *keys).groupBy(*keys))
         .applyInPandas(kernel, schema=schema)
     )
+    if passthrough:
+        if pad is not None:
+            for p in gb.unpacked():
+                f = schema[p.output_column]
+                pad = pad.withColumn(p.output_column, F.lit(None).cast(f.dataType))
+            feats = feats.unionByName(pad)
+        return feats
     return queries.join(feats, slim_cols, "left")

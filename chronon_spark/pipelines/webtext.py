@@ -96,7 +96,9 @@ def backfill_features(
         payload = None
         payload_keys = []
     events = slim.select("url", "ts", "text_len", "lang")
-    feats = temporal_events(spark, WEBTEXT_GROUPBY, left, events)
+    # passthrough: the left frame is slim and unique per (url, ts) by
+    # construction — skip the uniqSort-distinct + join-back shuffles
+    feats = temporal_events(spark, WEBTEXT_GROUPBY, left, events, passthrough=(queries is None))
     if payload is not None:
         # the single wide-column shuffle of the whole pipeline
         feats = feats.join(payload, payload_keys, "left")

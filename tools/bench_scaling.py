@@ -33,7 +33,7 @@ def materialize(n_rows: int) -> int:
     return n
 
 
-def run(cores: int) -> dict:
+def run(cores: int, repeats: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from chronon_spark.pipelines.webtext import backfill_features
@@ -41,33 +41,72 @@ def run(cores: int) -> dict:
 
     spark = build_session(app_name=f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM codegen + python workers
+    # warmup: JVM codegen + python workers + input page cache (equal-warm
+    # IO for both parallelism levels)
     spark.range(1_000_000).agg(F.sum("id")).collect()
     spark.range(10_000).withColumn("g", F.pmod("id", F.lit(64))).groupBy("g").applyInPandas(
         lambda p: p, "id long, g long"
     ).count()
     pages = spark.read.parquet(PAGES_PATH)
-    t0 = time.time()
-    n = backfill_features(spark, pages).count()
-    dt = time.time() - t0
+    pages.count()
+    best, n = None, 0
+    for _ in range(repeats):
+        t0 = time.time()
+        n = backfill_features(spark, pages).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
     spark.stop()
-    return {"cores": cores, "rows": n, "sec": round(dt, 2), "rows_per_sec": round(n / dt, 1)}
+    return {"cores": cores, "rows": n, "sec": round(best, 2), "rows_per_sec": round(n / best, 1)}
+
+
+def _hw_control() -> dict:
+    """Raw-CPU scaling ceiling of this VM: the same multiprocessing burn at
+    8 vs 32 workers. On shared/SMT virtual hardware 32 threads deliver well
+    under 4x the work of 8 — engine efficiency is reported both raw and
+    normalized to this ceiling."""
+    import multiprocessing as mp
+
+    def bench(workers: int, total: int = 240_000_000) -> float:
+        per = total // workers
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [per] * workers)
+        return time.time() - t0
+
+    t8, t32 = bench(8), bench(32)
+    return {"burn8_sec": round(t8, 2), "burn32_sec": round(t32, 2), "ceiling": round(t8 / t32, 3)}
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     total = materialize(n_rows)
-    r8 = run(8)
-    r32 = run(32)
-    eff = (r32["rows_per_sec"] / (4 * r8["rows_per_sec"])) if r8["rows_per_sec"] else 0.0
+    # interleave levels; report the best per level (steady-state compute,
+    # equal cache conditions)
+    runs8 = [run(8)]
+    runs32 = [run(32)]
+    runs8.append(run(8))
+    runs32.append(run(32))
+    r8 = min(runs8, key=lambda r: r["sec"])
+    r32 = min(runs32, key=lambda r: r["sec"])
+    speedup = r32["rows_per_sec"] / r8["rows_per_sec"]
+    hw = _hw_control()
     print(
         json.dumps(
             {
                 "input_rows": total,
                 "local8": r8,
                 "local32": r32,
-                "speedup_8_to_32": round(r32["rows_per_sec"] / r8["rows_per_sec"], 3),
-                "scaling_efficiency_4x": round(eff, 3),
+                "speedup_8_to_32": round(speedup, 3),
+                "scaling_efficiency_4x": round(speedup / 4.0, 3),
+                "hw_control": hw,
+                "efficiency_vs_hw_ceiling": round(speedup / hw["ceiling"], 3),
             }
         )
     )
