@@ -183,7 +183,18 @@ class EntitySource:
     mutation_table: str | None = None
 
 
-Source = EventSource | EntitySource
+@dataclass(frozen=True)
+class JoinSource:
+    """The output of another Join used as a GroupBy input — chaining
+    (api.thrift:128-147; materialized by spark/GroupBy.scala:406-457
+    replaceJoinSource). Behaves like an EventSource whose rows are the
+    upstream join's output (carrying its left's ts/ds)."""
+
+    join: "Join"
+    query: Query = field(default_factory=Query)
+
+
+Source = EventSource | EntitySource | JoinSource
 
 
 class Accuracy(enum.Enum):
@@ -214,6 +225,10 @@ class GroupBy:
         if any(isinstance(s, EventSource) and s.topic for s in self.sources):
             return Accuracy.TEMPORAL
         return Accuracy.SNAPSHOT
+
+    @property
+    def is_events(self) -> bool:
+        return all(isinstance(s, (EventSource, JoinSource)) for s in self.sources)
 
     def unpacked(self) -> list[AggregationPart]:
         return [p for a in self.aggregations for p in a.unpack()]

@@ -78,6 +78,35 @@ def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str
     return events.join(F.broadcast(distinct_keys), right_keys, "left_semi")
 
 
+def render_any_source(
+    spark: SparkSession,
+    source,
+    gb: GroupBy | None,
+    query_start: str | None,
+    query_end: str | None,
+) -> DataFrame:
+    """render_source extended with JoinSource chaining: the upstream Join
+    is materialized over the window-extended range, then the embedded
+    Query renders over its output (spark/GroupBy.scala:406-457
+    replaceJoinSource semantics)."""
+    from chronon_spark.api.types import MS_PER_DAY, JoinSource
+    from chronon_spark.sources.scan import render_query
+
+    if isinstance(source, JoinSource):
+        start = query_start
+        if gb is not None and query_start is not None:
+            max_w = gb.max_window_millis
+            if max_w is not None:
+                start = shift_ds(query_start, -int(-(-max_w // MS_PER_DAY)))
+            else:
+                start = None  # unbounded: upstream from its own beginning
+        upstream = join_backfill(
+            spark, source.join, start or "1970-01-01", query_end or "9999-12-31"
+        )
+        return render_query(upstream, source.query, needs_time=False)
+    return render_source(spark, source, gb, query_start=query_start, query_end=query_end)
+
+
 def compute_join_part(
     spark: SparkSession,
     left: DataFrame,
@@ -94,7 +123,7 @@ def compute_join_part(
     left_keys = [r2l[k] for k in right_keys]
 
     rights = [
-        render_source(spark, s, gb, query_start=left_start, query_end=left_end)
+        render_any_source(spark, s, gb, query_start=left_start, query_end=left_end)
         for s in gb.sources
     ]
     right_df = skew_filter(union_sources(rights), skew_keys)
@@ -114,6 +143,7 @@ def compute_join_part(
         queries = left.select(
             *[F.col(lk).alias(rk) for lk, rk in zip(left_keys, right_keys)],
             F.col(TS_COL),
+            F.col("ds"),
             F.col(ROW_UID),
         )
         right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
@@ -153,8 +183,17 @@ def join_backfill(
     join: Join,
     start_ds: str,
     end_ds: str,
+    part_warehouse=None,
+    part_parallelism: int = 4,
 ) -> DataFrame:
-    """Full Join backfill over [start_ds, end_ds] of the left source."""
+    """Full Join backfill over [start_ds, end_ds] of the left source.
+
+    ``part_warehouse``: optional Warehouse — each joinPart is then
+    materialized to its own table ``{join}__{part}`` (already-complete
+    parts are reused: lineage + resume, spark/JoinBase.scala:209-213)
+    and the part jobs run CONCURRENTLY on a thread pool so Spark
+    schedules their stages in parallel (spark/Join.scala:292-404,
+    spark.chronon.join.part.parallelism)."""
     left = render_source(spark, join.left, None, query_start=start_ds, query_end=end_ds)
     left = left.filter(F.col("ds").between(start_ds, end_ds))
     left = skew_filter(left, join.skew_keys)
@@ -170,9 +209,45 @@ def join_backfill(
         left = coalesced_join(left, bdf, list(bp.key_columns), "left")
 
     out = left
-    for part in join.right_parts:
-        feats, join_cols = compute_join_part(spark, left, part, start_ds, end_ds, join.skew_keys)
-        out = coalesced_join(out, feats, join_cols, "left")
+    if part_warehouse is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from chronon_spark.plans.ranges import PartitionRange
+
+        # materialize the left first: the row uid must be STABLE across the
+        # per-part jobs and the final fold (monotonically_increasing_id is
+        # plan-dependent; reading it back from disk pins it) — the analogue
+        # of computeLeft (spark/JoinBase.scala:423-466)
+        requested = PartitionRange(start_ds, end_ds)
+        ltable = f"{join.name}__left"
+        if part_warehouse.unfilled(ltable, requested):
+            part_warehouse.insert_partitions(left, ltable, lineage={"config": join.name})
+        left = part_warehouse.read(ltable)
+        out = left
+
+        def materialize(part: JoinPart):
+            table = f"{join.name}__{part.full_prefix}"
+            feats, join_cols = compute_join_part(
+                spark, left, part, start_ds, end_ds, join.skew_keys
+            )
+            if "ds" not in feats.columns:
+                feats = feats.withColumn(
+                    "ds", F.date_format(F.timestamp_millis(F.col(TS_COL)), "yyyy-MM-dd")
+                ) if TS_COL in feats.columns else feats.withColumn("ds", F.lit(start_ds))
+            if part_warehouse.unfilled(table, requested):
+                part_warehouse.insert_partitions(
+                    feats, table, lineage={"config": join.name, "part": part.full_prefix}
+                )
+            return table, join_cols
+
+        with ThreadPoolExecutor(max_workers=part_parallelism) as pool:
+            results = list(pool.map(materialize, join.right_parts))
+        for table, join_cols in results:
+            out = coalesced_join(out, part_warehouse.read(table), join_cols, "left")
+    else:
+        for part in join.right_parts:
+            feats, join_cols = compute_join_part(spark, left, part, start_ds, end_ds, join.skew_keys)
+            out = coalesced_join(out, feats, join_cols, "left")
 
     if join.label_part is not None:
         from chronon_spark.operators.labels import attach_labels

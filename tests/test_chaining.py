@@ -1,0 +1,116 @@
+"""JoinSource chaining + materialized/threaded join parts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    JoinSource,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.join import join_backfill
+from chronon_spark.sources.warehouse import Warehouse
+
+MS_DAY = 86_400_000
+T0 = 1_700_000_000_000
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    rng = np.random.default_rng(31)
+    n = 300
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, 4, n)],
+            "ts": (T0 + rng.integers(0, 15 * MS_DAY, n)).astype(np.int64),
+            "amount": rng.integers(1, 50, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    df.createOrReplaceTempView("chain_events")
+    return ev
+
+
+GB_INNER = GroupBy(
+    name="inner",
+    sources=(EventSource(table="chain_events", query=Query(time_column="ts")),),
+    key_columns=("user",),
+    aggregations=(Aggregation("amount", Operation.SUM, windows=(Window(7),)),),
+    accuracy=Accuracy.TEMPORAL,
+)
+
+INNER_JOIN = Join(
+    name="inner_join",
+    left=EventSource(table="chain_events", query=Query(selects={"user": None, "amount": None}, time_column="ts")),
+    right_parts=(JoinPart(GB_INNER),),
+)
+
+# outer GroupBy consumes the inner join's OUTPUT (enriched events)
+GB_CHAINED = GroupBy(
+    name="chained",
+    sources=(JoinSource(join=INNER_JOIN, query=Query()),),
+    key_columns=("user",),
+    aggregations=(
+        # average of the inner join's rolling 7d sum, as of each left ts
+        Aggregation("inner_amount_sum_7d", Operation.AVERAGE, windows=(None,)),
+    ),
+    accuracy=Accuracy.TEMPORAL,
+)
+
+OUTER_JOIN = Join(
+    name="outer_join",
+    left=EventSource(table="chain_events", query=Query(selects={"user": None}, time_column="ts")),
+    right_parts=(JoinPart(GB_CHAINED),),
+)
+
+START, END = "2023-11-20", "2023-11-28"
+
+
+def test_join_source_chaining(spark, env):
+    out = join_backfill(spark, OUTER_JOIN, START, END)
+    col = "chained_inner_amount_sum_7d_average"
+    assert col in out.columns
+    rows = out.filter(F.col(col).isNotNull()).collect()
+    assert len(rows) > 0
+    # spot-check one row against a hand computation
+    inner = join_backfill(spark, INNER_JOIN, "1970-01-01", END).collect()
+    by_user = {}
+    for r in inner:
+        by_user.setdefault(r["user"], []).append((r["ts"], r["inner_amount_sum_7d"]))
+    for r in rows[:10]:
+        vals = [v for t, v in by_user[r["user"]] if t < r["ts"] and v is not None]
+        exp = sum(vals) / len(vals) if vals else None
+        assert exp is not None and abs(r[col] - exp) < 1e-6, (r, exp)
+
+
+def test_materialized_parts_and_resume(spark, env, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    join = Join(
+        name="mat_join",
+        left=EventSource(table="chain_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(GB_INNER),),
+    )
+    out1 = join_backfill(spark, join, START, END, part_warehouse=wh).collect()
+    assert wh.exists("mat_join__left") and wh.exists("mat_join__inner")
+    # plain (non-materialized) run must agree on feature values
+    plain = join_backfill(spark, join, START, END).collect()
+    key = lambda r: (r["user"], r["ts"])
+    m1 = {key(r): r["inner_amount_sum_7d"] for r in out1}
+    m2 = {key(r): r["inner_amount_sum_7d"] for r in plain}
+    assert m1 == m2
+    # rerun reuses materialized part tables (no change in lineage)
+    lin = wh.lineage("mat_join__inner")
+    out2 = join_backfill(spark, join, START, END, part_warehouse=wh).collect()
+    assert wh.lineage("mat_join__inner") == lin
+    assert {key(r) for r in out2} == {key(r) for r in out1}
