@@ -1,0 +1,35 @@
+"""End-to-end run of the example flagship configs via the runner."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.fixtures.webtext import generate_webtext
+from chronon_spark.runner import run_join_backfill
+from chronon_spark.sources.warehouse import Warehouse
+
+
+def test_example_flagship_join(spark, tmp_path):
+    import examples.webtext_configs as cfg
+
+    pages = generate_webtext(spark, n_rows=6_000, n_urls=150, days=40)
+    pages.createOrReplaceTempView("pages")
+    lo, hi = pages.agg(F.min("ds"), F.max("ds")).first()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    start = max(lo, "2023-01-20")
+    run_join_backfill(spark, wh, cfg.url_features, start, hi)
+    out = wh.read("url_features")
+    assert out.count() > 0
+    cols = out.columns
+    assert "url_activity_text_len_count_30d" in cols
+    assert "dom_domain_activity_text_len_count_7d" in cols
+    assert "text_len_trend_30d" in cols
+    assert "text" in cols  # byte payload present
+    # text byte-identity within the join output
+    joined = out.select("url", "ts", F.md5("text").alias("h_out")).join(
+        pages.select("url", "ts", F.md5("text").alias("h_in")), ["url", "ts"]
+    )
+    assert joined.filter(F.col("h_out") != F.col("h_in")).count() == 0
+    # resumability: rerun is a no-op
+    lin = wh.lineage("url_features")
+    run_join_backfill(spark, wh, cfg.url_features, start, hi)
+    assert wh.lineage("url_features") == lin
