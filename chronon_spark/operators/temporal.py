@@ -502,7 +502,10 @@ def temporal_events(
 
 
 def kernel_partitions(spark: SparkSession) -> int:
-    """Partition count for Arrow-kernel stages: a few tasks per core so
-    stragglers (hot keys) overlap with other work."""
+    """Partition count for Arrow-kernel stages: at least one task per core
+    (AQE's byte-targeted coalescing would otherwise starve the CPU-bound
+    kernel stage), without over-sharding small inputs — python-worker
+    setup is ~50ms/task, so 3x-per-core sharding taxed small SFs more
+    than straggler smoothing repaid."""
     return max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-               spark.sparkContext.defaultParallelism * 3)
+               spark.sparkContext.defaultParallelism)
