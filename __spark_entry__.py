@@ -12,10 +12,17 @@ date/millis derivations agree with DuckDB's naive-timestamp arithmetic.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the engine importable regardless of the caller's cwd
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 MS_7D = 604_800_000
 MS_3D = 259_200_000

@@ -81,15 +81,30 @@ def main() -> None:
         else None,
     }
 
-    if os.environ.get("BENCH_SCALING") == "1":
-        t8, _ = run_suite("local[8]", sf_dir, 8)
-        t32, _ = run_suite("local[32]", sf_dir, 32)
-        s8, s32 = sum(t8.values()), sum(t32.values())
+    # scaling evidence (north-rule criterion): the flagship backfill on the
+    # same materialized input at local[8] vs local[32], plus the VM's own
+    # raw-CPU ceiling for the same 4x thread scaling (virtualized cores
+    # rarely deliver 4x; see BENCH/BASELINE.md §1). Skip with BENCH_SCALING=0.
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        import tools.bench_scaling as bs
+
+        # 4M rows: small enough to finish in ~1 min, large enough that
+        # compute dominates stage overheads (1M showed only task-startup)
+        n_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
+        bs.materialize(n_rows)
+        r8 = bs.run(8, repeats=2)
+        r32 = bs.run(32, repeats=2)
+        hw = bs._hw_control()
+        speedup = r32["rows_per_sec"] / r8["rows_per_sec"]
         out["scaling"] = {
-            "local8_sec": round(s8, 3),
-            "local32_sec": round(s32, 3),
-            "speedup": round(s8 / s32, 3),
-            "efficiency_4x": round((s8 / s32) / 4.0, 3),
+            "job": "webtext point-in-time backfill, same materialized input",
+            "input_rows": n_rows,
+            "local8": r8,
+            "local32": r32,
+            "speedup_8_to_32": round(speedup, 3),
+            "efficiency_4x": round(speedup / 4.0, 3),
+            "hw_ceiling_control": hw,
+            "efficiency_vs_hw_ceiling": round(speedup / hw["ceiling"], 3),
         }
 
     print(json.dumps(out))
