@@ -48,9 +48,19 @@ ANYTYPE_TILEABLE = {Operation.COUNT, Operation.FIRST, Operation.LAST}
 TILEABLE = NUMERIC_TILEABLE | ANYTYPE_TILEABLE
 
 
+BUCKETED_TILEABLE = {Operation.COUNT, Operation.SUM, Operation.AVERAGE}
+
+
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
     if part.bucket is not None:
-        return False
+        # bucketed additive ops tile as Map[bucket → stats] per tile
+        if part.operation not in BUCKETED_TILEABLE:
+            return False
+        if part.operation is Operation.COUNT:
+            return True
+        if ev_schema is None:
+            return True
+        return isinstance(ev_schema[part.input_column].dataType, (T.NumericType, T.BooleanType))
     if part.operation in ANYTYPE_TILEABLE:
         return True
     if part.operation not in NUMERIC_TILEABLE:
@@ -90,10 +100,21 @@ def split_by_tileability(
     )
 
 
+def _needed_bucket_pairs(gb: GroupBy) -> list[tuple[str, str]]:
+    """(input_column, bucket_column) pairs used by bucketed parts."""
+    return sorted({(p.input_column, p.bucket) for p in gb.unpacked() if p.bucket is not None})
+
+
+def _bt_col(col: str, bucket: str, s: str) -> str:
+    return f"__bt_{col}_{bucket}_{s}"
+
+
 def _needed_stats(gb: GroupBy) -> dict[str, set[str]]:
-    """Which tile statistics each input column needs."""
+    """Which tile statistics each input column needs (non-bucketed parts)."""
     need: dict[str, set[str]] = {}
     for p in gb.unpacked():
+        if p.bucket is not None:
+            continue
         s = need.setdefault(p.input_column, set())
         op = p.operation
         if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE):
@@ -208,6 +229,46 @@ class _HeadCol:
         return self._tmax
 
 
+class _BucketPrefix:
+    """Per-bucket prefix sums over tile maps + raw head rows for bucketed
+    additive ops (Map[bucket → count/sum/avg])."""
+
+    def __init__(self, tdf: pd.DataFrame, hdf: pd.DataFrame, col: str, bucket: str):
+        n_maps = tdf[_bt_col(col, bucket, "n")].to_numpy(object) if len(tdf) else np.array([], object)
+        s_maps = tdf[_bt_col(col, bucket, "s1")].to_numpy(object) if len(tdf) else np.array([], object)
+        hb = hdf[bucket].to_numpy(object) if len(hdf) else np.array([], object)
+        raw = hdf[col].to_numpy(object) if len(hdf) else np.array([], object)
+        hv = pd.to_numeric(hdf[col], errors="coerce").to_numpy(np.float64) if len(hdf) else np.array([])
+        hv = np.nan_to_num(hv, nan=0.0)
+        # update guard: input non-null (any type — COUNT works on strings)
+        # AND bucket non-null
+        h_valid = (
+            np.array([v is not None and v == v for v in raw], dtype=bool)
+            & np.array([b is not None for b in hb], dtype=bool)
+            if len(hdf)
+            else np.array([], bool)
+        )
+
+        universe = set()
+        for m in n_maps:
+            if m:
+                universe.update(m.keys())
+        universe.update(str(b) for b, ok in zip(hb, h_valid) if ok)
+        self.per_bucket: dict[str, tuple] = {}
+        n_t = len(n_maps)
+        for b in sorted(universe):
+            # map values can be null (e.g. sum over a tile whose inputs were
+            # all null) — treat as 0 contribution
+            tn = np.array([float(m.get(b) or 0) if m else 0.0 for m in n_maps])
+            ts_ = np.array([float((s_maps[i] or {}).get(b) or 0.0) for i in range(n_t)])
+            mask = h_valid & np.array([str(x) == b for x in hb], dtype=bool) if len(hb) else np.array([], bool)
+            pc_t = np.concatenate([[0.0], np.cumsum(tn)])
+            ps_t = np.concatenate([[0.0], np.cumsum(ts_)])
+            pc_h = np.concatenate([[0.0], np.cumsum(mask.astype(np.float64))])
+            ps_h = np.concatenate([[0.0], np.cumsum(np.where(mask, hv, 0.0))])
+            self.per_bucket[b] = (pc_t, ps_t, pc_h, ps_h)
+
+
 def make_tiled_kernel(
     gb: GroupBy,
     slim_cols: list[str],
@@ -218,6 +279,7 @@ def make_tiled_kernel(
     from chronon_spark.operators.temporal import _cast_feature
 
     parts = gb.unpacked()
+    bucket_pairs = _needed_bucket_pairs(gb)
 
     def kernel(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
         out = qdf.loc[:, slim_cols].copy()
@@ -240,8 +302,33 @@ def make_tiled_kernel(
 
         tcols = {c: _TilePrefix(tdf, c, st) for c, st in stats_by_col.items()}
         hcols = {c: _HeadCol(hdf, c, numeric_by_col[c]) for c in stats_by_col}
+        bcols = {(c, b): _BucketPrefix(tdf, hdf, c, b) for c, b in bucket_pairs}
 
         for p in parts:
+            if p.bucket is not None:
+                bp = bcols[(p.input_column, p.bucket)]
+                if p.window is None:
+                    t_lo = np.zeros(nq, dtype=np.int64)
+                    hl = h_lo
+                else:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                    t_lo = np.searchsorted(tile_ts, tail, side="left")
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                maps: list = [dict() for _ in range(nq)]
+                for b, (pc_t, ps_t, pc_h, ps_h) in bp.per_bucket.items():
+                    n = (pc_t[t_hi] - pc_t[t_lo]) + (pc_h[h_hi] - pc_h[hl])
+                    s1 = (ps_t[t_hi] - ps_t[t_lo]) + (ps_h[h_hi] - ps_h[hl])
+                    for i in range(nq):
+                        if n[i] > 0:
+                            if p.operation is Operation.COUNT:
+                                maps[i][b] = int(n[i])
+                            elif p.operation is Operation.SUM:
+                                maps[i][b] = float(s1[i])
+                            else:
+                                maps[i][b] = float(s1[i] / n[i])
+                out[p.output_column] = [m if m else None for m in maps]
+                continue
             tc, hc = tcols[p.input_column], hcols[p.input_column]
             if p.window is None:
                 t_lo = np.zeros(nq, dtype=np.int64)
@@ -400,13 +487,41 @@ def temporal_events_tiled(
     for c, stats in stats_by_col.items():
         for s in sorted(stats):
             aggs.append(F.expr(_STAT_EXPR[s](c)).alias(_stat_col(c, s)))
+    if not aggs:
+        # all parts bucketed: still need tile spine rows (counts only)
+        aggs = [F.expr("count(*)").alias("__t_rows")]
     tiles = (
         events.withColumn("__tile", tile_col)
         .groupBy(*keys, "__tile")
         .agg(*aggs)
         .withColumnRenamed("__tile", TS_COL)
-        .withColumn("__kind", F.lit(0))
     )
+
+    # bucketed additive parts: per-tile Map[bucket → (n, s1)] via a second
+    # (key, tile, bucket) aggregation rolled into map IRs
+    bucket_pairs = _needed_bucket_pairs(gb)
+    for col, bucket in bucket_pairs:
+        bt = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(bucket).isNotNull())
+            .groupBy(*keys, "__tile", bucket)
+            .agg(
+                F.expr(f"count({col})").alias("__n"),
+                F.expr(f"sum(CAST({col} AS DOUBLE))").alias("__s1"),
+            )
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {bucket}, 'value', __n)))"
+                ).alias(_bt_col(col, bucket, "n")),
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {bucket}, 'value', __s1)))"
+                ).alias(_bt_col(col, bucket, "s1")),
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(bt, keys + [TS_COL], "left")
+    tiles = tiles.withColumn("__kind", F.lit(0))
 
     # ---- head events: raw rows only inside tiles that contain a query
     heads = qlite.select(*keys, ((F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS).alias("__tile")).distinct()
@@ -417,8 +532,11 @@ def temporal_events_tiled(
         .withColumn("__kind", F.lit(1))
     )
 
+    head_cols = sorted(
+        set(stats_by_col) | {c for c, _ in bucket_pairs} | {b for _, b in bucket_pairs}
+    )
     combined = tiles.unionByName(head_events.select(
-        *keys, TS_COL, "__kind", *[F.col(c) for c in stats_by_col]
+        *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols]
     ), allowMissingColumns=True)
 
     slim_cols = qlite.columns if passthrough else keys + [TS_COL]
@@ -428,7 +546,10 @@ def temporal_events_tiled(
         f = output_field(p, ev_schema)
         # tiled sums/means/extrema/moments compute in float64 → double out;
         # COUNT stays long, FIRST/LAST keep the input type
-        if p.operation in NUMERIC_TILEABLE:
+        if p.bucket is not None:
+            vt = T.LongType() if p.operation is Operation.COUNT else T.DoubleType()
+            f = T.StructField(f.name, T.MapType(T.StringType(), vt), True)
+        elif p.operation in NUMERIC_TILEABLE:
             f = T.StructField(f.name, T.DoubleType(), True)
         fields.append(f)
     schema = T.StructType(fields)

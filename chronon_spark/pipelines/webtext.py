@@ -97,8 +97,13 @@ def backfill_features(
         payload_keys = []
     events = slim.select("url", "ts", "text_len", "lang")
     # passthrough: the left frame is slim and unique per (url, ts) by
-    # construction — skip the uniqSort-distinct + join-back shuffles
-    feats = temporal_events(spark, WEBTEXT_GROUPBY, left, events, passthrough=(queries is None))
+    # construction — skip the uniqSort-distinct + join-back shuffles.
+    # mode="raw": queries sit at EVERY event, so every 5-min tile contains
+    # a query head and tiling degenerates to raw + tile overhead (measured
+    # 3x slower); the tiled path wins for sparse/backfill query patterns.
+    feats = temporal_events(
+        spark, WEBTEXT_GROUPBY, left, events, mode="raw", passthrough=(queries is None)
+    )
     if payload is not None:
         # the single wide-column shuffle of the whole pipeline
         feats = feats.join(payload, payload_keys, "left")

@@ -31,6 +31,9 @@ AGGS = (
     Aggregation("price", Operation.SKEW, windows=(Window(14),)),
     Aggregation("price", Operation.FIRST, windows=(Window(7),)),
     Aggregation("price", Operation.LAST, windows=(Window(7), None)),
+    Aggregation("price", Operation.COUNT, windows=(Window(7),), buckets=("cat",)),
+    Aggregation("price", Operation.SUM, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.AVERAGE, windows=(Window(3),), buckets=("cat",)),
 )
 
 GB = GroupBy(name="t", sources=(EventSource(table="ev"),), key_columns=("user",),
@@ -45,6 +48,7 @@ def _gen(seed=17, n_events=900, n_queries=300, n_keys=5):
             "user": [f"u{i}" for i in rng.integers(0, n_keys, n_events)],
             "ts": ev_ts.astype(np.int64),
             "price": rng.integers(1, 500, n_events).astype(float),
+            "cat": rng.choice(["a", "b", "c", None], n_events, p=[0.4, 0.3, 0.25, 0.05]),
         }
     )
     ev.loc[ev.index % 31 == 0, "price"] = None
@@ -82,7 +86,13 @@ def test_tiled_vs_naive(spark):
             exp = (
                 None
                 if g is None
-                else naive_feature(p, g["ts"].to_numpy(np.int64), g["price"].to_numpy(object), int(row["ts"]))
+                else naive_feature(
+                    p,
+                    g["ts"].to_numpy(np.int64),
+                    g["price"].to_numpy(object),
+                    int(row["ts"]),
+                    buckets=g["cat"].to_numpy(object) if p.bucket else None,
+                )
             )
             if not allclose_feature(got, exp):
                 bad.append((row["user"], row["ts"], p.output_column, got, exp))
