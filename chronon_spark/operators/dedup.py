@@ -128,9 +128,14 @@ def minhash_near_dups(
         .withColumn("sig", sig_udf(F.col("__sh")))
         .select("id", "sig")
     )
+    # signatures computed once and persisted — the natural checkpoint
+    # between the signature and candidate-join stages at cluster scale
+    sig = sig.persist()
+    # band join on NARROW (id, band-hash) rows only; the 0.5KB signature
+    # arrays are re-attached per candidate pair afterwards (shuffling them
+    # through the self-join costs ~1000x the id rows)
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -138,18 +143,18 @@ def minhash_near_dups(
                 f"transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x as string))), b)))"
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # the self-join would recompute the signature lineage on both sides —
-    # persist the banded signatures once (at cluster scale this is the
-    # natural checkpoint table between the signature and join stages)
-    banded = banded.persist()
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    pairs = (
         left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     cand = cand.withColumn(
         "jaccard_est",
