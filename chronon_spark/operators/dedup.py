@@ -66,6 +66,28 @@ def shingle_hashes(text_col: str, k: int = 5):
     )
 
 
+def token_hashes(text_col: str):
+    """Per-token 31-bit hashes (each token xxhash64-ed once)."""
+    toks = f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    return F.expr(f"transform({toks}, t -> pmod(xxhash64(t), {MERSENNE}L))")
+
+
+def shingles_from_token_hashes(th_col: str, k: int = 5):
+    """Polynomial rolling combination of k token hashes per shingle —
+    integer ops over a MATERIALIZED token-hash column (hashing each token
+    once instead of building+hashing k-token strings per shingle)."""
+    A = 1_000_003
+    poly = f"element_at({th_col}, i + 1)"
+    for j in range(1, k):
+        poly = f"pmod({poly} * {A}L + element_at({th_col}, i + {j + 1}), {MERSENNE}L)"
+    whole = f"aggregate({th_col}, 0L, (acc, h) -> pmod(acc * {A}L + h, {MERSENNE}L))"
+    return F.expr(
+        f"CASE WHEN size({th_col}) >= {k} THEN "
+        f"transform(sequence(0, size({th_col}) - {k}), i -> {poly}) "
+        f"ELSE array({whole}) END"
+    )
+
+
 def minhash_signature(shingles_col: str, n_hashes: int = 64, seed: int = 7):
     """n permutation-min hashes: min over shingles of (a_i*x+b_i) mod M.
 
@@ -124,7 +146,8 @@ def minhash_near_dups(
     sig_udf = minhash_signature_udf(n_hashes)
     sig = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("__sh", shingle_hashes("t", k_shingle))
+        .withColumn("__th", token_hashes("t"))
+        .withColumn("__sh", shingles_from_token_hashes("__th", k_shingle))
         .withColumn("sig", sig_udf(F.col("__sh")))
         .select("id", "sig")
     )
