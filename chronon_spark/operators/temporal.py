@@ -243,6 +243,16 @@ def _compute_part(
     k = int(part.arg_map.get("k", 1))
     out = np.empty(len(lo), dtype=object)
     compact = col.compact
+
+    if op in (Operation.FIRST, Operation.LAST):
+        # vectorized gather: first/last non-null value in range
+        valid = chi > clo
+        idx = clo if op is Operation.FIRST else chi - 1
+        out[:] = None
+        sel = np.flatnonzero(valid)
+        if len(sel):
+            out[sel] = compact[idx[sel]]
+        return out
     for i in range(len(lo)):
         a, b = clo[i], chi[i]
         if b <= a:
