@@ -66,14 +66,22 @@ def image_metadata(df: DataFrame, binary_col: str = "html", fake: bool = True) -
 
 
 def image_features(
-    df: DataFrame, binary_col: str = "html", n_features: int = 8, fake: bool = True
+    df: DataFrame,
+    binary_col: str = "html",
+    n_features: int = 8,
+    fake: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
-    """binary → fixed-size float feature vector (stubbed embedding).
+    """binary → fixed-size feature vector (stubbed embedding).
 
     The fake featureizer is a deterministic byte-histogram projection, so
-    tests can assert exact values and parallelism-invariance."""
+    tests can assert exact values and parallelism-invariance.
+    ``normalize=True`` → L1-normalized float vector; ``normalize=False`` →
+    raw integer counts (exactly reproducible in plain SQL, used by the
+    correctness gate)."""
     fields = [f for f in df.schema.fields]
-    out_schema = T.StructType(fields + [T.StructField("image_vec", T.ArrayType(T.FloatType()))])
+    elem = T.FloatType() if normalize else T.LongType()
+    out_schema = T.StructType(fields + [T.StructField("image_vec", T.ArrayType(elem))])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,9 +93,13 @@ def image_features(
                     vecs.append(None)
                     continue
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % n_features, minlength=n_features).astype(np.float32)
-                s = hist.sum()
-                vecs.append((hist / s if s else hist).tolist())
+                hist = np.bincount(arr % n_features, minlength=n_features)
+                if normalize:
+                    hist = hist.astype(np.float32)
+                    s = hist.sum()
+                    vecs.append((hist / s if s else hist).tolist())
+                else:
+                    vecs.append([int(x) for x in hist])
             pdf = pdf.copy()
             pdf["image_vec"] = vecs
             yield pdf

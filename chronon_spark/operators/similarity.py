@@ -76,36 +76,68 @@ def _hyperplane_bucket(vec_col: str, dim: int, n_planes: int, seed: int):
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
+def _hyperplane_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int):
+    """Array of per-table hyperplane bucket strings (one signature per
+    table, independent planes)."""
+    return F.array(
+        *[
+            _hyperplane_bucket(vec_col, dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 17,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's hyperplane
-    bucket. Recall < 1; scan cost ÷ ~2^n_planes. Same output schema as
-    brute_force_top_k."""
+    """Approximate top-k via multi-table hyperplane LSH: candidates = union
+    over ``n_tables`` independent hash tables of corpus rows sharing the
+    query's bucket; exact cosine scoring on candidates only. Same output
+    schema as brute_force_top_k.
+
+    Scale shape (mirrors the minhash band join): the bucket self-join runs
+    on NARROW (id, table, bucket) rows; vectors are re-attached per
+    deduped candidate pair, so the ~KB embedding arrays never ride the
+    candidate-generation shuffle. Scan cost ≈ n_tables/2^n_planes of brute
+    force; recall rises with n_tables (1-(1-p^b)^L amplification)."""
     dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("cv"),
-        _hyperplane_bucket(corpus_vec, dim, n_planes, seed).alias("bucket"),
-    ).withColumn("cn", _norm("cv"))
+        _hyperplane_buckets(corpus_vec, dim, n_planes, n_tables, seed).alias("bks"),
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
-        _hyperplane_bucket(query_vec, dim, n_planes, seed).alias("bucket"),
-    ).withColumn("qn", _norm("qv"))
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cosine",
-        F.when(F.col("cn") * F.col("qn") > 0, _dot("cv", "qv") / (F.col("cn") * F.col("qn"))).otherwise(
-            F.lit(0.0)
-        ),
+        _hyperplane_buckets(query_vec, dim, n_planes, n_tables, seed).alias("bks"),
+    )
+    c_narrow = c.select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    q_narrow = q.select("query_id", F.posexplode("bks").alias("t", "bucket"))
+    cand = (
+        c_narrow.join(F.broadcast(q_narrow), ["t", "bucket"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(c.select("vec_id", "cv"), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn("cn", _norm("cv"))
+        .withColumn("qn", _norm("qv"))
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("cn") * F.col("qn") > 0, _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+            ).otherwise(F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -131,10 +163,15 @@ def ivf_top_k(
     corpus vectors as centroids — one cheap pass instead of full k-means),
     assign each vector to its nearest cell, probe the n_probe nearest
     cells per query. Scan cost ≈ n_probe/n_cells of brute force."""
+    # deterministic pseudo-random centroid sample: order by a seeded hash
+    # of the id (an unordered limit() would be plan/parallelism-dependent)
     cents = [
-        (i, [float(x) for x in row[0]])
+        (i, [float(x) for x in row["cv"]])
         for i, row in enumerate(
-            corpus.select(corpus_vec).limit(n_cells * 7).sample(0.9, seed=seed).limit(n_cells).collect()
+            corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+            .orderBy(F.abs(F.xxhash64(F.col("cid") + F.lit(seed))), F.col("cid"))
+            .limit(n_cells)
+            .collect()
         )
     ]
 

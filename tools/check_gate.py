@@ -1,6 +1,9 @@
 """Local stand-in for the driver's correctness gate: run every queries()
-entry on Spark and its oracle_sql() in DuckDB at sf0.01, compare
-row-count + sorted values. Usage: python tools/check_gate.py [sf_dir] [name...]
+entry on Spark and its oracle_sql() in DuckDB at sf0.01, canonicalize both
+sides the way the driver does (columns sorted by name, rows sorted by all
+columns, pandas dtype + exact values), and diff.
+
+Usage: python tools/check_gate.py [sf_dir] [name...]
 """
 
 import math
@@ -9,6 +12,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entry
 from chronon_spark.session import build_session
@@ -19,25 +24,50 @@ TABLES = [
 ]
 
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    try:
-        import decimal
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # mirror the driver: sort rows by every column (hash is order-free only
+    # because both sides sort identically)
+    sort_keys = [c for c in df.columns]
+    key_frame = df.copy()
+    for c in key_frame.columns:
+        if key_frame[c].dtype == object:
+            key_frame[c] = key_frame[c].map(lambda v: "" if v is None else str(v))
+    order = key_frame.sort_values(by=sort_keys, kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
-    except Exception:
+
+def dtype_norm(dt) -> str:
+    """Width-insensitive dtype class, mirroring pandas value hashing:
+    hash_pandas_object hashes all int widths as the same uint64 value, but
+    int vs float (52 vs 52.0) hash differently."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    return s
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) or pd.isna(b):
+            return False
+    except (TypeError, ValueError):
         pass
-    return v
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, (np.integer, int)) and isinstance(b, (np.integer, int)):
+        return int(a) == int(b)
+    return a == b
 
 
 def main():
@@ -56,41 +86,49 @@ def main():
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf)
-            cols = sorted(df.columns)
-            rows = df.collect()
-            got = sorted((tuple(norm(r[c]) for c in cols) for r in rows), key=repr)
+            got = canon(fn(spark, sf).toPandas())
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
-            print(f"FAIL  {name}: spark error {str(e)[:300]}")
+            print(f"FAIL  {name}: spark error {str(e)[:500]}")
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(got)} rows)")
-            if len(got) == 0 and name != "skip":
+            if len(got) == 0:
                 failures.append((name, "0 rows"))
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            order = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            exp = sorted((tuple(norm(r[i]) for i in order) for r in orows), key=repr)
+            exp = canon(con.execute(oracles[name]).df())
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
-            print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
+            print(f"FAIL  {name}: duckdb error {str(e)[:500]}")
             continue
-        if sorted(cols) != sorted(ocols):
-            failures.append((name, f"schema mismatch {sorted(cols)} vs {sorted(ocols)}"))
-            print(f"FAIL  {name}: schema {sorted(cols)} vs {sorted(ocols)}")
+        if list(got.columns) != list(exp.columns):
+            failures.append((name, f"schema {list(got.columns)} vs {list(exp.columns)}"))
+            print(f"FAIL  {name}: schema {list(got.columns)} vs {list(exp.columns)}")
             continue
         if len(got) != len(exp):
             failures.append((name, f"rowcount {len(got)} vs {len(exp)}"))
             print(f"FAIL  {name}: rowcount {len(got)} vs {len(exp)}")
             continue
-        bad = [(g, e) for g, e in zip(got, exp) if g != e]
+        bad = None
+        for c in got.columns:
+            gd, ed = dtype_norm(got[c].dtype), dtype_norm(exp[c].dtype)
+            if gd != ed:
+                bad = f"dtype[{c}] {gd} vs {ed}"
+                break
+            gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+            if got[c].dtype == object or str(got[c].dtype).startswith("datetime"):
+                mism = [i for i in range(len(gv)) if not values_equal(gv[i], ev[i])]
+            else:
+                eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
+                mism = np.nonzero(~eq)[0].tolist()
+            if mism:
+                i = mism[0]
+                bad = f"{len(mism)} mismatches in [{c}]; first at row {i}: got {gv[i]!r} exp {ev[i]!r} | row got={got.iloc[i].to_dict()} exp={exp.iloc[i].to_dict()}"
+                break
         if bad:
-            failures.append((name, f"{len(bad)} value mismatches; first: {bad[0]}"))
-            print(f"FAIL  {name}: {len(bad)}/{len(got)} mismatches; first:\n  got {bad[0][0]}\n  exp {bad[0][1]}")
+            failures.append((name, bad))
+            print(f"FAIL  {name}: {bad[:600]}")
         else:
             print(f"PASS  {name}: {len(got)} rows")
     print()
