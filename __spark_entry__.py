@@ -588,9 +588,11 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_temporal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal entities with mutations: each event inserts its value and
-    deletes the user's previous value (same day), so the point-in-time
-    state sum at each event == that event's value — only if is_before
-    deletes cancel exactly (operators/mutations)."""
+    deletes the user's previous value (same day). Mutations at exactly
+    query time are EXCLUDED (mutationTs < queryTs), so the point-in-time
+    state at each event == the PREVIOUS event's value of that day (NULL
+    for the day's first event) — only if is_before deletes cancel exactly
+    and the boundary is strict (operators/mutations)."""
     _utc(spark)
     from pyspark.sql import Window as W
 
@@ -898,8 +900,11 @@ FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
 GROUP BY label
 """,
         "temporal_entities": """
-SELECT event_id, round(value, 6) AS state_sum, CAST(1 AS BIGINT) AS state_count
+SELECT event_id,
+       round(lag(value) OVER w, 6) AS state_sum,
+       CASE WHEN lag(value) OVER w IS NOT NULL THEN CAST(1 AS BIGINT) END AS state_count
 FROM events
+WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts)
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc

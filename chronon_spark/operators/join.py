@@ -75,7 +75,11 @@ def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str
     distinct_keys = left.select(
         *[F.col(lk).alias(rk) for lk, rk in zip(left_keys, right_keys)]
     ).dropna().distinct()
-    return events.join(F.broadcast(distinct_keys), right_keys, "left_semi")
+    # no explicit broadcast hint: Catalyst/AQE picks broadcast-semi when the
+    # distinct key set fits under autoBroadcastJoinThreshold and falls back
+    # to a shuffled semi join above it — an explicit hint is never demoted
+    # and would OOM the driver on high-cardinality left keys.
+    return events.join(distinct_keys, right_keys, "left_semi")
 
 
 def render_any_source(

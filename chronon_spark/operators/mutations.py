@@ -70,16 +70,42 @@ def _weighted_kernel(gb: GroupBy, ev_schema: T.StructType, slim_cols: list[str])
         ev_ts = edf[TS_COL].to_numpy(dtype=np.int64)
         w = edf["__w"].to_numpy(dtype=np.float64)
         qt = qdf[TS_COL].to_numpy(dtype=np.int64)
-        # mutations at exactly qt are INCLUDED (mutationTs <= qt,
-        # SawtoothMutationAggregator.scala:205-212) — side='right'
-        hi = np.searchsorted(ev_ts, qt, side="right")
+        # mutations at exactly qt are EXCLUDED (strictly mutationTs < queryTs,
+        # SawtoothMutationAggregator.scala:204) — side='left'. Queries that
+        # derive from the mutation stream must NOT see their own mutation.
+        hi = np.searchsorted(ev_ts, qt, side="left")
 
         for p in parts:
             colname = p.input_column
             vals = pd.to_numeric(edf[colname], errors="coerce").to_numpy(dtype=np.float64) \
                 if isinstance(input_types[colname], (T.NumericType, T.BooleanType)) \
                 else None
-            if p.operation in DELETABLE and p.operation is not Operation.HISTOGRAM:
+            if p.operation is Operation.HISTOGRAM:
+                # deletable histogram (SimpleAggregators.scala:250-322):
+                # ± weighted counts per value; entries at exactly 0 are
+                # removed, negative net counts are kept (reference
+                # incrementInMap semantics).
+                notna = edf[colname].notna().to_numpy()
+                svals = edf[colname].astype(str).to_numpy(dtype=object)
+                codes, uniques = pd.factorize(svals)
+                res = []
+                for i in range(nq):
+                    n = hi[i]
+                    if n == 0:
+                        res.append(None)
+                        continue
+                    sel = notna[:n]
+                    if not sel.any():
+                        res.append(None)
+                        continue
+                    net = np.bincount(
+                        codes[:n][sel], weights=w[:n][sel], minlength=len(uniques)
+                    )
+                    res.append(
+                        {str(uniques[j]): int(net[j]) for j in range(len(uniques)) if net[j] != 0}
+                    )
+                out[p.output_column] = res
+            elif p.operation in DELETABLE:
                 mask = (~np.isnan(vals)) if vals is not None else edf[colname].notna().to_numpy()
                 x = np.where(mask, vals if vals is not None else 0.0, 0.0)
                 wm = np.where(mask, w, 0.0)
@@ -153,9 +179,6 @@ def _weighted_kernel(gb: GroupBy, ev_schema: T.StructType, slim_cols: list[str])
                         res.append(list(sl[:k]))
                     elif p.operation is Operation.UNIQUE_COUNT:
                         res.append(int(len(set(sl))))
-                    elif p.operation is Operation.HISTOGRAM:
-                        u, c = np.unique([str(x) for x in sl], return_counts=True)
-                        res.append({str(a): int(b) for a, b in zip(u, c)})
                     else:
                         raise ValueError(f"unsupported mutation op {p.operation}")
                 out[p.output_column] = res

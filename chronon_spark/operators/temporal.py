@@ -307,7 +307,9 @@ def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.Dat
     distinction (skew/kurtosis legitimately finalize to NaN for n<3 /
     zero variance, while an empty window is SQL NULL)."""
     plain = _plain_output_type(part, input_type)
-    if isinstance(plain, T.LongType):
+    if isinstance(plain, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        # int64 nullable array; Arrow safe-casts down to the declared
+        # narrower integer type on the way out of the kernel
         mask = np.array([v is None or v != v for v in out_vals], dtype=bool)
         vals = np.array([0 if m else int(v) for v, m in zip(out_vals, mask)], dtype=np.int64)
         return pd.arrays.IntegerArray(vals, mask)

@@ -134,6 +134,8 @@ def _needed_stats(gb: GroupBy) -> dict[str, set[str]]:
 
 _STAT_EXPR = {
     "n": lambda c: f"count({c})",
+    # float s1; integral inputs use _STAT_EXPR_S1_INT instead so long sums
+    # accumulate exactly (no float64 2^53 loss) and finalize back to long
     "s1": lambda c: f"sum(CAST({c} AS DOUBLE))",
     "s2": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
     "s3": lambda c: f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))",
@@ -145,6 +147,12 @@ _STAT_EXPR = {
 }
 
 
+def _stat_expr(c: str, s: str, integral: bool) -> str:
+    if s == "s1" and integral:
+        return f"sum(CAST({c} AS BIGINT))"
+    return _STAT_EXPR[s](c)
+
+
 def _stat_col(c: str, s: str) -> str:
     return f"__t_{c}_{s}"
 
@@ -152,7 +160,7 @@ def _stat_col(c: str, s: str) -> str:
 class _TilePrefix:
     """Prefix/sparse structures over the per-key tile arrays."""
 
-    def __init__(self, tdf: pd.DataFrame, col: str, stats: set[str]):
+    def __init__(self, tdf: pd.DataFrame, col: str, stats: set[str], integral: bool = False):
         n_t = len(tdf)
         self.n = None
         self.prefix: dict[str, np.ndarray] = {}
@@ -160,6 +168,14 @@ class _TilePrefix:
             if s in stats:
                 arr = pd.to_numeric(tdf[_stat_col(col, s)], errors="coerce").to_numpy(np.float64)
                 arr = np.nan_to_num(arr, nan=0.0)
+                if s == "s1" and integral:
+                    # per-tile long sums cumulated in int64: exact long SUM
+                    # even when the running total exceeds 2^53
+                    ip = np.empty(n_t + 1, dtype=np.int64)
+                    ip[0] = 0
+                    np.cumsum(arr.astype(np.int64), out=ip[1:])
+                    self.prefix[s] = ip
+                    continue
                 p = np.empty(n_t + 1)
                 p[0] = 0.0
                 np.cumsum(arr, out=p[1:])
@@ -276,10 +292,13 @@ def make_tiled_kernel(
     numeric_by_col: dict[str, bool],
     input_types: dict[str, T.DataType],
 ):
-    from chronon_spark.operators.temporal import _cast_feature
+    from chronon_spark.operators.temporal import _INTEGRAL, _cast_feature
 
     parts = gb.unpacked()
     bucket_pairs = _needed_bucket_pairs(gb)
+    integral_by_col = {
+        c: isinstance(input_types[c], _INTEGRAL) for c in input_types
+    }
 
     def kernel(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
         out = qdf.loc[:, slim_cols].copy()
@@ -300,7 +319,10 @@ def make_tiled_kernel(
         h_lo = np.searchsorted(head_ts, head_start, side="left")
         h_hi = np.searchsorted(head_ts, qt, side="left")  # strict ts < qt
 
-        tcols = {c: _TilePrefix(tdf, c, st) for c, st in stats_by_col.items()}
+        tcols = {
+            c: _TilePrefix(tdf, c, st, integral=integral_by_col.get(c, False))
+            for c, st in stats_by_col.items()
+        }
         hcols = {c: _HeadCol(hdf, c, numeric_by_col[c]) for c in stats_by_col}
         bcols = {(c, b): _BucketPrefix(tdf, hdf, c, b) for c, b in bucket_pairs}
 
@@ -316,6 +338,9 @@ def make_tiled_kernel(
                     t_lo = np.searchsorted(tile_ts, tail, side="left")
                     hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
                 maps: list = [dict() for _ in range(nq)]
+                sum_as_int = p.operation is Operation.SUM and integral_by_col.get(
+                    p.input_column, False
+                )
                 for b, (pc_t, ps_t, pc_h, ps_h) in bp.per_bucket.items():
                     n = (pc_t[t_hi] - pc_t[t_lo]) + (pc_h[h_hi] - pc_h[hl])
                     s1 = (ps_t[t_hi] - ps_t[t_lo]) + (ps_h[h_hi] - ps_h[hl])
@@ -324,7 +349,7 @@ def make_tiled_kernel(
                             if p.operation is Operation.COUNT:
                                 maps[i][b] = int(n[i])
                             elif p.operation is Operation.SUM:
-                                maps[i][b] = float(s1[i])
+                                maps[i][b] = int(round(s1[i])) if sum_as_int else float(s1[i])
                             else:
                                 maps[i][b] = float(s1[i] / n[i])
                 out[p.output_column] = [m if m else None for m in maps]
@@ -357,6 +382,19 @@ def make_tiled_kernel(
                 if op is Operation.COUNT:
                     res = [int(v) if v > 0 else None for v in n]
                     out[p.output_column] = pd.array(res, dtype="Int64")
+                    continue
+                if op is Operation.SUM and integral_by_col.get(p.input_column, False):
+                    # exact long path: int64 tile prefix + head contribution
+                    # (head spans ≤ one 5-min tile, exact in float64)
+                    s1t = tc.prefix["s1"][t_hi] - tc.prefix["s1"][t_lo]
+                    s1h = np.rint(hc.ps[h_hi] - hc.ps[hl]).astype(np.int64)
+                    res = [
+                        int(a) + int(b) if c_ > 0 else None
+                        for a, b, c_ in zip(s1t, s1h, n)
+                    ]
+                    out[p.output_column] = _cast_feature(
+                        np.array(res, dtype=object), p, input_types[p.input_column]
+                    )
                     continue
                 s1 = (tc.prefix["s1"][t_hi] - tc.prefix["s1"][t_lo]) + (hc.ps[h_hi] - hc.ps[hl])
                 if op is Operation.SUM:
@@ -442,9 +480,11 @@ def make_tiled_kernel(
             else:  # pragma: no cover
                 raise ValueError(f"op {op} not tileable")
 
-            mask = np.array([v is None for v in res], dtype=bool)
-            arr = np.array([0.0 if m else float(v) for v, m in zip(res, mask)], dtype=np.float64)
-            out[p.output_column] = pd.arrays.FloatingArray(arr, mask)
+            # same output typing as the raw kernel: long for COUNT/integral
+            # SUM, input type for MIN/MAX, double for the rest
+            out[p.output_column] = _cast_feature(
+                np.array(res, dtype=object), p, input_types[p.input_column]
+            )
         return out
 
     return kernel
@@ -484,9 +524,12 @@ def temporal_events_tiled(
     # raw volume before the shuffle
     tile_col = (F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS
     aggs = []
+    from chronon_spark.operators.temporal import _INTEGRAL
+
     for c, stats in stats_by_col.items():
+        integral = isinstance(events.schema[c].dataType, _INTEGRAL)
         for s in sorted(stats):
-            aggs.append(F.expr(_STAT_EXPR[s](c)).alias(_stat_col(c, s)))
+            aggs.append(F.expr(_stat_expr(c, s, integral)).alias(_stat_col(c, s)))
     if not aggs:
         # all parts bucketed: still need tile spine rows (counts only)
         aggs = [F.expr("count(*)").alias("__t_rows")]
@@ -543,15 +586,11 @@ def temporal_events_tiled(
     ev_schema = events.schema
     fields = [qlite.schema[c] for c in slim_cols]
     for p in gb.unpacked():
-        f = output_field(p, ev_schema)
-        # tiled sums/means/extrema/moments compute in float64 → double out;
-        # COUNT stays long, FIRST/LAST keep the input type
-        if p.bucket is not None:
-            vt = T.LongType() if p.operation is Operation.COUNT else T.DoubleType()
-            f = T.StructField(f.name, T.MapType(T.StringType(), vt), True)
-        elif p.operation in NUMERIC_TILEABLE:
-            f = T.StructField(f.name, T.DoubleType(), True)
-        fields.append(f)
+        # identical output schema to the raw kernel (output_field /
+        # _plain_output_type): auto-dispatch must never change types —
+        # integral SUM stays long, MIN/MAX keep the input type, AVERAGE/
+        # moments are double, COUNT long
+        fields.append(output_field(p, ev_schema))
     schema = T.StructType(fields)
 
     numeric_by_col = {

@@ -87,7 +87,13 @@ class Warehouse:
                 .sortWithinPartitions("ds", *(sort_cols or salt_cols))
                 .drop("__salt")
             )
-        df.write.mode("overwrite").partitionBy("ds").parquet(out_path)
+        # dynamic mode on the writer itself: under a session not built by
+        # build_session the default is static overwrite, which would
+        # truncate the whole table and destroy completed partitions that
+        # the unfilled/resume contract depends on.
+        df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            "ds"
+        ).parquet(out_path)
 
         written = self.partitions(table)
         ldir = self._lineage_dir(table)

@@ -40,7 +40,8 @@ def frames(spark):
     queries = spark.createDataFrame(
         [
             (1, MID + 500_000, D),   # before any mutation → snapshot state
-            (1, t1, D),              # at t1 (inclusive) → [2, 5]
+            (1, t1, D),              # at exactly t1 (EXCLUSIVE) → snapshot [4, 5]
+            (1, t1 + 1, D),          # just after t1 → [2, 5]
             (1, t3 + 1, D),          # after delete → [2]
             (2, t2 + 1, D),          # after insert → [3, 5]
             (3, MID + 10, D),        # unseen listing → nulls
@@ -72,7 +73,11 @@ def test_abelian_ops_honor_deletes(spark, frames):
 
     r = rows[(1, MID + 500_000)]  # snapshot [4,5]
     assert (r["rating_sum"], r["rating_count"], r["rating_average"]) == (9.0, 2, 4.5)
-    r = rows[(1, t1)]  # update applied at exactly t1 → [2,5]
+    # a query at exactly t1 must NOT see t1's mutation (mutationTs < queryTs
+    # strictly, SawtoothMutationAggregator.scala:204) — still snapshot [4,5]
+    r = rows[(1, t1)]
+    assert (r["rating_sum"], r["rating_count"]) == (9.0, 2)
+    r = rows[(1, t1 + 1)]  # update visible just after t1 → [2,5]
     assert (r["rating_sum"], r["rating_count"]) == (7.0, 2)
     r = rows[(1, t3 + 1)]  # delete of 5 → [2]
     assert (r["rating_sum"], r["rating_count"]) == (2.0, 1)
@@ -80,6 +85,24 @@ def test_abelian_ops_honor_deletes(spark, frames):
     assert (r["rating_sum"], r["rating_count"]) == (8.0, 2)
     r = rows[(3, MID + 10)]
     assert r["rating_sum"] is None and r["rating_count"] is None
+
+
+def test_histogram_honors_deletes(spark, frames):
+    """HISTOGRAM is deletable in the reference (SimpleAggregators.scala:
+    250-322): ±1 per value, keys removed at exactly 0, negatives kept."""
+    snapshots, mutations, queries = frames
+    gb = _gb(Aggregation("rating", Operation.HISTOGRAM))
+    out = temporal_entities(spark, gb, queries, snapshots, mutations)
+    rows = {(r["listing_id"], r["ts"]): r for r in out.collect()}
+    t1, t3 = MID + 1_000_000, MID + 3_000_000
+    # snapshot [4.0, 5.0]
+    assert dict(rows[(1, MID + 500_000)]["rating_histogram"]) == {"4.0": 1, "5.0": 1}
+    # at exactly t1: mutation excluded → still snapshot
+    assert dict(rows[(1, t1)]["rating_histogram"]) == {"4.0": 1, "5.0": 1}
+    # after t1 update (4→2): key '4.0' dropped at zero, '2.0' added
+    assert dict(rows[(1, t1 + 1)]["rating_histogram"]) == {"2.0": 1, "5.0": 1}
+    # after t3 delete of 5 → only '2.0' remains
+    assert dict(rows[(1, t3 + 1)]["rating_histogram"]) == {"2.0": 1}
 
 
 def test_monoid_ops_ignore_deletes(spark, frames):
