@@ -325,26 +325,145 @@ _register(
     finalize=lambda ir, p: F.expr(f"CASE WHEN size({ir}) > 0 THEN least(size({ir}), {_k(p)}) END"),
 )
 
+def _pct_samples(part: AggregationPart) -> int:
+    """Per-day quantile-sample budget (reference KLL k=128 default,
+    SimpleAggregators.scala:762-802; override via argMap['accuracy'])."""
+    return int(part.arg_map.get("accuracy", 128))
+
+
+def _pct_ir(inp: str, part: AggregationPart) -> Column:
+    """Compact mergeable day IR: (count, ≤S equi-rank samples). Days with
+    ≤S values keep every value — the merge is then EXACT (numpy-identical
+    interpolation); busier days degrade gracefully to a quantile sketch,
+    which is the reference's own contract for APPROX_PERCENTILE."""
+    s = _pct_samples(part)
+    lst = f"sort_array(collect_list(CAST({inp} AS DOUBLE)))"
+    sampled = (
+        f"CASE WHEN size({lst}) <= {s} THEN {lst} "
+        f"ELSE transform(sequence(0, {s} - 1), "
+        f"i -> element_at({lst}, CAST(floor(i * (size({lst}) - 1) / ({s} - 1)) AS INT) + 1)) END"
+    )
+    return F.expr(
+        f"CASE WHEN size({lst}) > 0 THEN named_struct('n', size({lst}), 'q', {sampled}) END"
+    )
+
+
+def _pct_merge(ir: str) -> WindowMerge:
+    """Merge day IRs over the window frame into (sorted weighted samples,
+    total weight) — O(window_days × S) per output row instead of
+    re-materializing every raw value (the r1 flatten(collect_list) path)."""
+
+    def fn(w):
+        irs = F.collect_list(ir).over(w)
+        samples = F.flatten(
+            F.transform(
+                irs,
+                lambda r: F.transform(
+                    r["q"],
+                    lambda v: F.struct(
+                        v.alias("v"), (r["n"].cast("double") / F.size(r["q"])).alias("w")
+                    ),
+                ),
+            )
+        )
+        samples = F.array_sort(samples)
+        total = F.aggregate(samples, F.lit(0.0), lambda a, s: a + s["w"])
+        return F.struct(samples.alias("smp"), total.alias("tot"))
+
+    return _wm(fn)
+
+
+def _pct_scan(ir: str, p_val: float) -> str:
+    """Weighted linear-interpolated percentile over sorted (v, w) samples:
+    position x = p·(Σw − 1); with unit weights this is exactly numpy's
+    linear interpolation. Single aggregate() scan, no UDF."""
+    x = f"({p_val} * ({ir}.tot - 1.0D))"
+    return (
+        f"aggregate({ir}.smp, "
+        f"named_struct('cum', 0.0D, 'ppos', CAST(NULL AS DOUBLE), "
+        f"'pv', CAST(NULL AS DOUBLE), 'res', CAST(NULL AS DOUBLE)), "
+        f"(acc, s) -> named_struct("
+        f"'cum', acc.cum + s.w, "
+        f"'ppos', acc.cum + s.w - 1.0D, "
+        f"'pv', s.v, "
+        f"'res', CASE WHEN acc.res IS NOT NULL THEN acc.res "
+        f"WHEN acc.cum + s.w - 1.0D >= {x} THEN "
+        f"CASE WHEN acc.pv IS NULL OR acc.cum + s.w - 1.0D <= acc.ppos THEN s.v "
+        f"ELSE acc.pv + (s.v - acc.pv) * ({x} - acc.ppos) / (acc.cum + s.w - 1.0D - acc.ppos) END "
+        f"END), "
+        f"acc -> coalesce(acc.res, acc.pv))"
+    )
+
+
 _register(
     Operation.APPROX_PERCENTILE,
     direct=lambda inp, p: F.expr(
         f"percentile({inp}, array({', '.join(str(x) for x in _percentiles(p))}))"
     ),
-    ir=lambda inp, p: F.expr(f"sort_array(collect_list(CAST({inp} AS DOUBLE)))"),
-    merge=lambda ir, p: _wm(lambda w: F.sort_array(F.flatten(F.collect_list(ir).over(w)))),
+    ir=_pct_ir,
+    merge=lambda ir, p: _pct_merge(ir),
     finalize=lambda ir, p: F.expr(
-        "CASE WHEN size({ir}) > 0 THEN array({exprs}) END".format(
-            ir=ir, exprs=", ".join(_interp_percentile(ir, q) for q in _percentiles(p))
+        "CASE WHEN size({ir}.smp) > 0 THEN array({exprs}) END".format(
+            ir=ir, exprs=", ".join(_pct_scan(ir, q) for q in _percentiles(p))
         )
     ),
 )
 
+
+def _hist_ir(inp: str) -> Column:
+    """Day IR = Map[value → count] (matches the reference's Histogram IR,
+    SimpleAggregators.scala:250-322) instead of the raw value list — the
+    window merge then moves O(distinct/day), not O(events/day)."""
+    lst = f"collect_list({inp})"
+    ks = f"array_distinct({lst})"
+    return F.expr(
+        f"CASE WHEN size({lst}) > 0 THEN map_from_entries(transform({ks}, "
+        f"kk -> named_struct('key', kk, 'value', CAST(size(filter({lst}, x -> x = kk)) AS BIGINT)))) END"
+    )
+
+
+def _hist_map_merge(ir: str) -> WindowMerge:
+    def fn(w):
+        ents = F.flatten(
+            F.transform(F.collect_list(ir).over(w), lambda m: F.map_entries(m))
+        )
+        ks = F.array_distinct(F.transform(ents, lambda e: e["key"]))
+        return F.map_from_entries(
+            F.transform(
+                ks,
+                lambda kk: F.struct(
+                    kk.alias("key"),
+                    F.aggregate(
+                        F.filter(ents, lambda e: e["key"] == kk),
+                        F.lit(0).cast("long"),
+                        lambda a, e: a + e["value"],
+                    ).alias("value"),
+                ),
+            )
+        )
+
+    return _wm(fn)
+
+
+def _hist_map_finalize(ir: str, part: AggregationPart) -> Column:
+    entries = f"map_entries({ir})"
+    k = part.arg_map.get("k")
+    if k:
+        entries = (
+            f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
+            f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {int(k)})"
+        )
+    return F.expr(
+        f"CASE WHEN {ir} IS NOT NULL AND size({ir}) > 0 THEN map_from_entries({entries}) END"
+    )
+
+
 _register(
     Operation.HISTOGRAM,
     direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized below via direct_finalize
-    ir=lambda inp, p: F.expr(f"collect_list({inp})"),
-    merge=lambda ir, p: _collect_merge(ir),
-    finalize=lambda ir, p: _hist_finalize(ir, p),
+    ir=lambda inp, p: _hist_ir(inp),
+    merge=lambda ir, p: _hist_map_merge(ir),
+    finalize=lambda ir, p: _hist_map_finalize(ir, p),
 )
 
 _register(

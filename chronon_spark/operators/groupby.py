@@ -120,6 +120,48 @@ def snapshot_events(
     return out
 
 
+_DELTA_UNIQUE_OPS = {Operation.UNIQUE_COUNT, Operation.BOUNDED_UNIQUE_COUNT}
+
+
+def _unique_deltas(
+    ev: DataFrame, keys: list[str], part: AggregationPart, out_name: str
+) -> DataFrame:
+    """Exact sliding-window distinct counts WITHOUT materializing value
+    sets: a value's occurrence on day d contributes +1 to output day D iff
+    its previous occurrence is outside D's window — an interval of output
+    days, encoded as ±1 difference rows and integrated by a running sum.
+    Total work is O(distinct (key, value, day) occurrences); the r1 path
+    re-materialized every day's collect_set once per output day."""
+    inp = part.input_column
+    occ = (
+        ev.filter(F.col(inp).isNotNull())
+        .select(*keys, DAY_IDX, inp)
+        .distinct()
+        .withColumn(
+            "__prev",
+            F.lag(DAY_IDX).over(Window.partitionBy(*keys, inp).orderBy(F.col(DAY_IDX))),
+        )
+    )
+    if part.window is None:
+        deltas = (
+            occ.filter(F.col("__prev").isNull())
+            .groupBy(*keys, DAY_IDX)
+            .agg(F.count("*").alias(out_name))
+        )
+    else:
+        wd = part.window.days_ceil
+        plus = occ.select(
+            *keys,
+            F.greatest(
+                F.col(DAY_IDX), F.coalesce(F.col("__prev") + wd, F.col(DAY_IDX))
+            ).alias(DAY_IDX),
+            F.lit(1).alias("__d"),
+        )
+        minus = occ.select(*keys, (F.col(DAY_IDX) + wd).alias(DAY_IDX), F.lit(-1).alias("__d"))
+        deltas = plus.unionByName(minus).groupBy(*keys, DAY_IDX).agg(F.sum("__d").alias(out_name))
+    return deltas
+
+
 def _snapshot_plain(
     spark: SparkSession,
     gb: GroupBy,
@@ -130,10 +172,16 @@ def _snapshot_plain(
 ) -> DataFrame:
     keys = list(gb.key_columns)
     ev = _with_day_idx(events)
+    uniq_parts = [p for p in parts if p.operation in _DELTA_UNIQUE_OPS]
+    spec_parts = [p for p in parts if p.operation not in _DELTA_UNIQUE_OPS]
 
     # ---- stage 1: per-(keys, day) partial IRs (map-side combine is free:
     # Catalyst HashAggregate partial/final — SURVEY §4)
-    ir_exprs = [spec_for(p.operation).ir(p.input_column, p).alias(_ir_col(p)) for p in parts]
+    ir_exprs = [
+        spec_for(p.operation).ir(p.input_column, p).alias(_ir_col(p)) for p in spec_parts
+    ]
+    if not ir_exprs:
+        ir_exprs = [F.count("*").alias("__rows")]
     daily = ev.groupBy(*keys, DAY_IDX).agg(*ir_exprs)
 
     # ---- stage 2: output-day spine = days each daily row influences
@@ -142,29 +190,45 @@ def _snapshot_plain(
     end_idx = F.expr(f"datediff(to_date('{end_ds}'), {EPOCH})")
     max_w = gb.max_window_millis if not any(p.window is None for p in parts) else None
     if max_w is None:
-        span_end = end_idx
+        # any unbounded window ⇒ output days are dense from each key's first
+        # event day; build keys × sequence directly (the per-daily-row
+        # explode would emit O(days²) pre-distinct rows per key)
+        spine = (
+            daily.groupBy(*keys)
+            .agg(F.greatest(F.min(DAY_IDX), start_idx).alias("__d0"))
+            .filter(F.col("__d0") <= end_idx)
+            .withColumn(DAY_IDX, F.explode(F.sequence(F.col("__d0"), end_idx)))
+            .select(*keys, DAY_IDX)
+            .withColumn("__is_out", F.lit(True))
+        )
     else:
         max_days = max(p.window.days_ceil for p in parts if p.window is not None)
         span_end = F.least(end_idx, F.col(DAY_IDX) + F.lit(max_days - 1))
-    spine = (
-        daily.select(*keys, DAY_IDX)
-        .withColumn(
-            "__out_day",
-            F.explode(F.sequence(F.greatest(F.col(DAY_IDX), start_idx), span_end)),
+        spine = (
+            daily.select(*keys, DAY_IDX)
+            .withColumn(
+                "__out_day",
+                F.explode(F.sequence(F.greatest(F.col(DAY_IDX), start_idx), span_end)),
+            )
+            .filter(F.col("__out_day") >= start_idx)
+            .select(*keys, F.col("__out_day").alias(DAY_IDX))
+            .distinct()
+            .withColumn("__is_out", F.lit(True))
         )
-        .filter(F.col("__out_day") >= start_idx)
-        .select(*keys, F.col("__out_day").alias(DAY_IDX))
-        .distinct()
-        .withColumn("__is_out", F.lit(True))
-    )
 
     # full outer: lookback daily rows (days before start_ds) must be present
     # in the frame for the window merge even though they are not output days
     merged = daily.join(spine, keys + [DAY_IDX], "full_outer")
 
+    # sliding-distinct difference rows join the same frame; their running
+    # sum is the exact windowed distinct count at every output day
+    for p in uniq_parts:
+        dcol = f"__d_{p.output_column}"
+        merged = merged.join(_unique_deltas(ev, keys, p, dcol), keys + [DAY_IDX], "full_outer")
+
     # ---- stage 3: window merges + finalize
     feature_cols = []
-    for p in parts:
+    for p in spec_parts:
         irc = _ir_col(p)
         if p.window is None:
             w = (
@@ -180,10 +244,25 @@ def _snapshot_plain(
             )
         spec = spec_for(p.operation)
         merged = merged.withColumn(f"__m_{p.output_column}", spec.merge(irc, p).over(w))
-    for p in parts:
+    run_w = (
+        Window.partitionBy(*keys).orderBy(F.col(DAY_IDX)).rangeBetween(Window.unboundedPreceding, 0)
+    )
+    for p in uniq_parts:
+        merged = merged.withColumn(
+            f"__m_{p.output_column}", F.sum(f"__d_{p.output_column}").over(run_w)
+        )
+    for p in spec_parts:
         feature_cols.append(
             spec_for(p.operation).finalize(f"__m_{p.output_column}", p).alias(p.output_column)
         )
+    for p in uniq_parts:
+        m = f"__m_{p.output_column}"
+        if p.operation is Operation.BOUNDED_UNIQUE_COUNT:
+            k = int(p.arg_map.get("k", 1))
+            expr = f"CASE WHEN {m} > 0 THEN least({m}, {k}) END"
+        else:
+            expr = f"CASE WHEN {m} > 0 THEN {m} END"
+        feature_cols.append(F.expr(expr).alias(p.output_column))
 
     return merged.filter(F.col("__is_out")).select(
         *keys, _ds_from_idx().alias("ds"), *feature_cols

@@ -318,7 +318,9 @@ def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.Dat
         mask = np.array([v is None for v in out_vals], dtype=bool)
         vals = np.array([0.0 if m else float(v) for v, m in zip(out_vals, mask)], dtype=np.float64)
         return pd.arrays.FloatingArray(vals, mask)
-    if isinstance(plain, T.ArrayType) and isinstance(plain.elementType, T.LongType):
+    if isinstance(plain, T.ArrayType) and isinstance(
+        plain.elementType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
         return np.array(
             [[int(x) for x in v] if v is not None else None for v in out_vals], dtype=object
         )

@@ -17,8 +17,14 @@ headStart = floor(qt / 5min)·5min. Hot keys thus cost O(tiles) ≈
 
 Supported ops: the algebraic family (COUNT/SUM/AVERAGE/MIN/MAX/
 VARIANCE/SKEW/KURTOSIS/FIRST/LAST) whose IRs merge losslessly across
-tiles. temporal_events(mode="auto") picks this path when every part
-qualifies, else the exact raw kernel.
+tiles, plus the non-algebraic family via mergeable collection IRs —
+value→count maps (UNIQUE_COUNT/BOUNDED/APPROX/HISTOGRAM, evaluated by a
+sliding counter over sorted queries so every tile entry is added and
+removed at most once), per-tile k-heaps (FIRST_K/LAST_K/TOP_K/BOTTOM_K;
+the window's k-selection is contained in the union of per-tile
+k-selections + head), and per-tile sorted value arrays
+(APPROX_PERCENTILE — exact). temporal_events(mode="auto") picks this
+path when every part qualifies, else the exact raw kernel.
 """
 
 from __future__ import annotations
@@ -45,10 +51,41 @@ NUMERIC_TILEABLE = {
     Operation.KURTOSIS,
 }
 ANYTYPE_TILEABLE = {Operation.COUNT, Operation.FIRST, Operation.LAST}
-TILEABLE = NUMERIC_TILEABLE | ANYTYPE_TILEABLE
+
+# non-algebraic ops with MERGEABLE tile IRs (HopsAggregator.scala:92-156
+# carries sets/heaps/maps in hop IRs so EVERY op rides hops):
+#   value→count maps  → UNIQUE/BOUNDED_UNIQUE/APPROX_UNIQUE/HISTOGRAM
+#                       (evaluated by a sliding counter over sorted queries
+#                       — each tile's entries are added and removed at most
+#                       once, the two-stack shape)
+#   per-tile k-heaps  → FIRST_K/LAST_K/TOP_K/BOTTOM_K (window top-k ⊆
+#                       union of per-tile top-ks, so tiles cap at k)
+#   per-tile sorted value arrays → APPROX_PERCENTILE (exact; IR size is
+#                       O(values) — cap via argMap accuracy when approx ok)
+COLLECTION_TILEABLE = {
+    Operation.UNIQUE_COUNT,
+    Operation.APPROX_UNIQUE_COUNT,
+    Operation.BOUNDED_UNIQUE_COUNT,
+    Operation.HISTOGRAM,
+    Operation.FIRST_K,
+    Operation.LAST_K,
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+    Operation.APPROX_PERCENTILE,
+}
+TILEABLE = NUMERIC_TILEABLE | ANYTYPE_TILEABLE | COLLECTION_TILEABLE
 
 
 BUCKETED_TILEABLE = {Operation.COUNT, Operation.SUM, Operation.AVERAGE}
+
+_PERCENTILE_LIKE = {Operation.APPROX_PERCENTILE}
+_KLIST_OPS = {Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K}
+_COUNTER_OPS = {
+    Operation.UNIQUE_COUNT,
+    Operation.APPROX_UNIQUE_COUNT,
+    Operation.BOUNDED_UNIQUE_COUNT,
+    Operation.HISTOGRAM,
+}
 
 
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
@@ -61,7 +98,13 @@ def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
         if ev_schema is None:
             return True
         return isinstance(ev_schema[part.input_column].dataType, (T.NumericType, T.BooleanType))
-    if part.operation in ANYTYPE_TILEABLE:
+    if part.operation in (ANYTYPE_TILEABLE | COLLECTION_TILEABLE):
+        if part.operation in _PERCENTILE_LIKE:
+            if ev_schema is None:
+                return True
+            return isinstance(
+                ev_schema[part.input_column].dataType, (T.NumericType, T.BooleanType)
+            )
         return True
     if part.operation not in NUMERIC_TILEABLE:
         return False
@@ -145,6 +188,58 @@ _STAT_EXPR = {
     "fst": lambda c: f"min(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', {c}) END)",
     "lst": lambda c: f"max(CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', {c}) END)",
 }
+
+
+def _needed_coll(gb: GroupBy) -> dict[str, dict[str, int | None]]:
+    """Collection-tile stats per input column: kind → max k needed.
+
+    kinds: "cnt" (value→count map; counter ops), "fstk"/"lstk" (per-tile
+    first/last-k TimeTuples), "topk"/"botk" (per-tile value k-heaps),
+    "vals" (per-tile sorted value array for percentiles)."""
+    need: dict[str, dict[str, int | None]] = {}
+    for p in gb.unpacked():
+        if p.bucket is not None:
+            continue
+        op = p.operation
+        d = need.setdefault(p.input_column, {})
+
+        def bump(kind: str, k: int | None):
+            if k is None:
+                d[kind] = None
+            else:
+                d[kind] = max(d.get(kind) or 0, k)
+
+        if op in _COUNTER_OPS:
+            bump("cnt", None)
+        elif op is Operation.FIRST_K:
+            bump("fstk", int(p.arg_map.get("k", 1)))
+        elif op is Operation.LAST_K:
+            bump("lstk", int(p.arg_map.get("k", 1)))
+        elif op is Operation.TOP_K:
+            bump("topk", int(p.arg_map.get("k", 1)))
+        elif op is Operation.BOTTOM_K:
+            bump("botk", int(p.arg_map.get("k", 1)))
+        elif op in _PERCENTILE_LIKE:
+            bump("vals", None)
+    return {c: d for c, d in need.items() if d}
+
+
+def _coll_expr(c: str, kind: str, k: int | None) -> str:
+    tt = f"CASE WHEN {c} IS NOT NULL THEN named_struct('t', ts, 'v', {c}) END"
+    if kind == "fstk":
+        return f"slice(array_sort(collect_list({tt})), 1, {k})"
+    if kind == "lstk":
+        # last k kept in ASCENDING order so concatenated tile slices stay
+        # globally time-ordered (the kernel reverses at finalize)
+        arr = f"array_sort(collect_list({tt}))"
+        return f"CASE WHEN size({arr}) > {k} THEN slice({arr}, -{k}, {k}) ELSE {arr} END"
+    if kind == "topk":
+        return f"slice(reverse(array_sort(collect_list({c}))), 1, {k})"
+    if kind == "botk":
+        return f"slice(array_sort(collect_list({c})), 1, {k})"
+    if kind == "vals":
+        return f"array_sort(collect_list(CAST({c} AS DOUBLE)))"
+    raise ValueError(kind)
 
 
 def _stat_expr(c: str, s: str, integral: bool) -> str:
@@ -285,17 +380,286 @@ class _BucketPrefix:
             self.per_bucket[b] = (pc_t, ps_t, pc_h, ps_h)
 
 
+def _slide_counter(tmaps, hvals, hmask, t_lo, t_hi, hl, h_hi, order):
+    """Sliding multiset over sorted queries: per-tile value→count maps and
+    raw head values enter/leave the window at most once each (two-stack
+    amortization). Yields (query_index, live_counter, n_distinct)."""
+    cnt: dict = {}
+    nz = 0
+
+    def add(v, c=1):
+        nonlocal nz
+        old = cnt.get(v, 0)
+        new = old + c
+        if old <= 0 < new:
+            nz += 1
+        elif new <= 0 < old:
+            nz -= 1
+        if new == 0:
+            cnt.pop(v, None)
+        else:
+            cnt[v] = new
+
+    ta = tr = ha = hr = 0
+    for i in order:
+        while ta < t_hi[i]:
+            m = tmaps[ta]
+            if m:
+                for v, c in m.items():
+                    add(v, int(c))
+            ta += 1
+        while tr < t_lo[i]:
+            m = tmaps[tr]
+            if m:
+                for v, c in m.items():
+                    add(v, -int(c))
+            tr += 1
+        while ha < h_hi[i]:
+            if hmask[ha]:
+                add(hvals[ha])
+            ha += 1
+        while hr < hl[i]:
+            if hmask[hr]:
+                add(hvals[hr], -1)
+            hr += 1
+        yield i, cnt, nz
+
+
+class _Pack:
+    """Contiguous packing of per-tile object/float arrays: one big array +
+    offsets, so a tile-index range maps to a zero-copy value slice."""
+
+    def __init__(self, arrs: np.ndarray, numeric: bool = False, struct_v: bool = False):
+        dtype = np.float64 if numeric else object
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        self.off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        pieces = []
+        for a in arrs:
+            if a is None or len(a) == 0:
+                continue
+            if struct_v:
+                pieces.append(np.asarray([st["v"] for st in a], dtype=dtype))
+            else:
+                pieces.append(np.asarray(a, dtype=dtype))
+        self.big = np.concatenate(pieces) if pieces else np.empty(0, dtype=dtype)
+
+    def slice(self, tlo: int, thi: int) -> np.ndarray:
+        return self.big[self.off[tlo] : self.off[thi]]
+
+
+MS_1H = 3_600_000
+MS_1D = 86_400_000
+_NEG_INF = -(1 << 62)
+
+
+def _gather_bounds(qt, hs, part):
+    """Multi-resolution cover of [tail, headStart): returns boundary arrays
+    (e0..e5) where [e0,e1)=5m, [e1,e2)=1h, [e2,e3)=1d, [e3,e4)=1h,
+    [e4,e5)=5m — the reference's hop pyramid (Resolution.scala:37-47,
+    HopsAggregator.scala:99-143), so a 30d window stitches ~30 day tiles +
+    ~36 finer tiles instead of ~8640 five-minute tiles."""
+    f1h = (hs // MS_1H) * MS_1H
+    f1d = (hs // MS_1D) * MS_1D
+    if part.window is None:
+        e0 = e1 = e2 = np.full(len(hs), _NEG_INF, dtype=np.int64)
+    else:
+        w, hop = part.window.millis, part.hop_millis
+        tail = ((qt - w) // hop) * hop
+        e0 = tail
+        c1h = ((tail + MS_1H - 1) // MS_1H) * MS_1H
+        c1d = ((tail + MS_1D - 1) // MS_1D) * MS_1D
+        e1 = np.clip(c1h, e0, hs)
+        e2 = np.maximum(e1, np.minimum(c1d, f1h))
+    e3 = np.maximum(e2, f1d)
+    e4 = np.maximum(e3, f1h)
+    e5 = hs
+    return e0, e1, e2, e3, e4, e5
+
+
+def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cast_fn):
+    """Evaluate one collection part over tile IRs + raw head events."""
+    op = p.operation
+    col = p.input_column
+    hvals, hmask = ctx.craw[col]
+    k = int(p.arg_map.get("k", 1))
+    res = np.empty(nq, dtype=object)
+    res[:] = None
+
+    if op in _COUNTER_OPS:
+        tmaps = ctx.ctile[(col, "cnt")]
+        kk = p.arg_map.get("k")
+        for i, cnt, nz in _slide_counter(tmaps, hvals, hmask, t_lo, t_hi, hl, h_hi, q_order):
+            if nz == 0:
+                continue
+            if op is Operation.HISTOGRAM:
+                d = {str(v): int(c) for v, c in cnt.items() if c > 0}
+                if kk:
+                    d = dict(sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)])
+                res[i] = d
+            elif op is Operation.BOUNDED_UNIQUE_COUNT:
+                res[i] = min(nz, k)
+            else:  # UNIQUE_COUNT / APPROX_UNIQUE_COUNT (exact stand-in)
+                res[i] = int(nz)
+        if op is Operation.HISTOGRAM:
+            return res
+        return cast_fn(res, p, input_types[col])
+
+    h_nn = ctx.h_nn(col)
+    hs = ctx.head_start
+    qt = ctx.qt
+
+    if op in (Operation.FIRST_K, Operation.LAST_K):
+        # single-level contiguous pack: tiles ascend in time, arrays ascend
+        # within tile, so first/last-k of the window = head/tail-k of the
+        # concatenated slice (+ raw head events after all tiles)
+        kind = "fstk" if op is Operation.FIRST_K else "lstk"
+        pack = ctx.pack(col, kind, "5m", struct_v=True)
+        for i in range(nq):
+            lo_c = np.searchsorted(h_nn, hl[i], side="left")
+            hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
+            if op is Operation.FIRST_K:
+                tile_part = pack.slice(t_lo[i], t_hi[i])[:k]
+                acc = list(tile_part)
+                if len(acc) < k:
+                    for idx in h_nn[lo_c:hi_c]:
+                        acc.append(hvals[idx])
+                        if len(acc) >= k:
+                            break
+                if acc:
+                    res[i] = acc[:k]
+            else:
+                head_part = [hvals[idx] for idx in h_nn[lo_c:hi_c][::-1][:k]]
+                acc = head_part
+                if len(acc) < k:
+                    tile_part = pack.slice(t_lo[i], t_hi[i])
+                    take = k - len(acc)
+                    acc = acc + list(tile_part[-take:][::-1])
+                if acc:
+                    res[i] = acc[:k]
+        return cast_fn(res, p, input_types[col])
+
+    if op in (Operation.TOP_K, Operation.BOTTOM_K):
+        # three-level gather: 1d tiles for whole days, 1h for partial-day
+        # rims, 5m for partial-hour rims (per-query tile touches drop from
+        # O(window/5min) to ~O(days + 36))
+        kind = "topk" if op is Operation.TOP_K else "botk"
+        # numeric columns pack as float64 so the per-query sort stays
+        # vectorized (object-dtype sort falls back to python compares)
+        numeric = ctx.numeric(col, input_types)
+        p5 = ctx.pack(col, kind, "5m", numeric=numeric)
+        p1h = ctx.pack(col, kind, "1h", numeric=numeric)
+        p1d = ctx.pack(col, kind, "1d", numeric=numeric)
+        e0, e1, e2, e3, e4, e5 = _gather_bounds(qt, hs, p)
+        i5a = np.searchsorted(ctx.t5_ts, e0), np.searchsorted(ctx.t5_ts, e1)
+        i1a = np.searchsorted(ctx.t1h_ts, e1), np.searchsorted(ctx.t1h_ts, e2)
+        i1d = np.searchsorted(ctx.t1d_ts, e2), np.searchsorted(ctx.t1d_ts, e3)
+        i1b = np.searchsorted(ctx.t1h_ts, e3), np.searchsorted(ctx.t1h_ts, e4)
+        i5b = np.searchsorted(ctx.t5_ts, e4), np.searchsorted(ctx.t5_ts, e5)
+        for i in range(nq):
+            pieces = [
+                p5.slice(i5a[0][i], i5a[1][i]),
+                p1h.slice(i1a[0][i], i1a[1][i]),
+                p1d.slice(i1d[0][i], i1d[1][i]),
+                p1h.slice(i1b[0][i], i1b[1][i]),
+                p5.slice(i5b[0][i], i5b[1][i]),
+            ]
+            lo_c = np.searchsorted(h_nn, hl[i], side="left")
+            hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
+            if hi_c > lo_c:
+                hsrc = ctx.head_numeric(col) if numeric else hvals
+                pieces.append(hsrc[h_nn[lo_c:hi_c]])
+            pieces = [x for x in pieces if len(x)]
+            if not pieces:
+                continue
+            allv = np.sort(np.concatenate(pieces))
+            res[i] = list(allv[::-1][:k]) if op is Operation.TOP_K else list(allv[:k])
+        return cast_fn(res, p, input_types[col])
+
+    if op in _PERCENTILE_LIKE:
+        pack = ctx.pack(col, "vals", "5m", numeric=True)
+        qs = p.arg_map.get("percentiles", [0.5])
+        hnum = ctx.head_numeric(col)
+        for i in range(nq):
+            tile_part = pack.slice(t_lo[i], t_hi[i])
+            lo_c = np.searchsorted(h_nn, hl[i], side="left")
+            hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
+            if hi_c > lo_c:
+                allv = np.concatenate([tile_part, hnum[h_nn[lo_c:hi_c]]])
+            elif len(tile_part):
+                allv = tile_part
+            else:
+                continue
+            res[i] = [float(np.percentile(allv, q * 100)) for q in qs]
+        return res
+
+    raise ValueError(f"op {op} not collection-tileable")  # pragma: no cover
+
+
+class _CollCtx:
+    """Shared collection-evaluation state for one cogroup key: level tile
+    frames, lazily-built contiguous packs, raw head values."""
+
+    def __init__(self, tdf, t1h, t1d, hdf, coll_by_col, qt, head_start):
+        self.tdf, self.t1h, self.t1d, self.hdf = tdf, t1h, t1d, hdf
+        self.qt, self.head_start = qt, head_start
+        self.t5_ts = tdf[TS_COL].to_numpy(np.int64)
+        self.t1h_ts = t1h[TS_COL].to_numpy(np.int64)
+        self.t1d_ts = t1d[TS_COL].to_numpy(np.int64)
+        self.ctile = {}
+        for c, kinds in coll_by_col.items():
+            if "cnt" in kinds:
+                self.ctile[(c, "cnt")] = tdf[_stat_col(c, "cnt")].to_numpy(object)
+        self.craw = {}
+        for c in coll_by_col:
+            raw = hdf[c].to_numpy(object)
+            cmask = np.array([v is not None and v == v for v in raw], dtype=bool)
+            self.craw[c] = (raw, cmask)
+        self._packs = {}
+        self._hnn = {}
+        self._hnum = {}
+
+    def pack(self, col, kind, level, numeric=False, struct_v=False) -> _Pack:
+        key = (col, kind, level)
+        if key not in self._packs:
+            frame = {"5m": self.tdf, "1h": self.t1h, "1d": self.t1d}[level]
+            arrs = frame[_stat_col(col, kind)].to_numpy(object)
+            self._packs[key] = _Pack(arrs, numeric=numeric, struct_v=struct_v)
+        return self._packs[key]
+
+    def numeric(self, col, input_types) -> bool:
+        dt = input_types[col]
+        return isinstance(dt, (T.NumericType, T.BooleanType))
+
+    def h_nn(self, col) -> np.ndarray:
+        if col not in self._hnn:
+            self._hnn[col] = np.flatnonzero(self.craw[col][1])
+        return self._hnn[col]
+
+    def head_numeric(self, col) -> np.ndarray:
+        if col not in self._hnum:
+            raw, cmask = self.craw[col]
+            vals = np.zeros(len(raw), dtype=np.float64)
+            for j in np.flatnonzero(cmask):
+                vals[j] = float(raw[j])
+            self._hnum[col] = vals
+        return self._hnum[col]
+
+
 def make_tiled_kernel(
     gb: GroupBy,
     slim_cols: list[str],
     stats_by_col: dict[str, set[str]],
     numeric_by_col: dict[str, bool],
     input_types: dict[str, T.DataType],
+    coll_by_col: dict[str, dict[str, int | None]] | None = None,
 ):
     from chronon_spark.operators.temporal import _INTEGRAL, _cast_feature
 
     parts = gb.unpacked()
     bucket_pairs = _needed_bucket_pairs(gb)
+    coll_by_col = coll_by_col or {}
     integral_by_col = {
         c: isinstance(input_types[c], _INTEGRAL) for c in input_types
     }
@@ -309,6 +673,8 @@ def make_tiled_kernel(
             return out
         tdf = cdf[cdf["__kind"] == 0].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
         hdf = cdf[cdf["__kind"] == 1].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        t1h = cdf[cdf["__kind"] == 2].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        t1d = cdf[cdf["__kind"] == 3].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
         tile_ts = tdf[TS_COL].to_numpy(np.int64)
         head_ts = hdf[TS_COL].to_numpy(np.int64)
         qt = qdf[TS_COL].to_numpy(np.int64)
@@ -325,6 +691,16 @@ def make_tiled_kernel(
         }
         hcols = {c: _HeadCol(hdf, c, numeric_by_col[c]) for c in stats_by_col}
         bcols = {(c, b): _BucketPrefix(tdf, hdf, c, b) for c, b in bucket_pairs}
+
+        # collection structures: lazily-packed tile arrays + raw head
+        # values (raw objects, not float-cast — tile map keys/list elements
+        # arrive as native python values and must compare equal to heads)
+        cctx = (
+            _CollCtx(tdf, t1h, t1d, hdf, coll_by_col, qt, head_start)
+            if coll_by_col
+            else None
+        )
+        q_order = np.argsort(qt, kind="stable") if coll_by_col else None
 
         for p in parts:
             if p.bucket is not None:
@@ -353,6 +729,19 @@ def make_tiled_kernel(
                             else:
                                 maps[i][b] = float(s1[i] / n[i])
                 out[p.output_column] = [m if m else None for m in maps]
+                continue
+            if p.operation in COLLECTION_TILEABLE:
+                if p.window is None:
+                    t_lo = np.zeros(nq, dtype=np.int64)
+                    hl = h_lo
+                else:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                    t_lo = np.searchsorted(tile_ts, tail, side="left")
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                out[p.output_column] = _eval_collection(
+                    p, cctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, _cast_feature
+                )
                 continue
             tc, hc = tcols[p.input_column], hcols[p.input_column]
             if p.window is None:
@@ -530,6 +919,14 @@ def temporal_events_tiled(
         integral = isinstance(events.schema[c].dataType, _INTEGRAL)
         for s in sorted(stats):
             aggs.append(F.expr(_stat_expr(c, s, integral)).alias(_stat_col(c, s)))
+    # collection tile IRs (k-heaps / sorted arrays) ride the same groupBy;
+    # value->count maps need their own two-stage rollup (joined below)
+    coll_by_col = _needed_coll(gb)
+    for c, kinds in coll_by_col.items():
+        for kind, k in sorted(kinds.items()):
+            if kind == "cnt":
+                continue
+            aggs.append(F.expr(_coll_expr(c, kind, k)).alias(_stat_col(c, kind)))
     if not aggs:
         # all parts bucketed: still need tile spine rows (counts only)
         aggs = [F.expr("count(*)").alias("__t_rows")]
@@ -564,6 +961,54 @@ def temporal_events_tiled(
             .withColumnRenamed("__tile", TS_COL)
         )
         tiles = tiles.join(bt, keys + [TS_COL], "left")
+
+    # counter-op tile IRs: value -> count maps per (key, tile)
+    for col, kinds in coll_by_col.items():
+        if "cnt" not in kinds:
+            continue
+        cm = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(col).isNotNull())
+            .groupBy(*keys, "__tile", col)
+            .agg(F.count("*").alias("__n"))
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {col}, 'value', __n)))"
+                ).alias(_stat_col(col, "cnt"))
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(cm, keys + [TS_COL], "left")
+
+    # 1h/1d rollup levels for full-range gather ops (TOP_K/BOTTOM_K): the
+    # hop pyramid (Resolution.scala:37-47) — per-level top-k is the top-k
+    # of the union of child-tile top-ks, so rollups stay capped at k
+    level_frames = []
+    gather_cols = [
+        (c, kind, k2)
+        for c, kinds in coll_by_col.items()
+        for kind, k2 in kinds.items()
+        if kind in ("topk", "botk")
+    ]
+    if gather_cols:
+        slim5 = tiles.select(*keys, TS_COL, *[_stat_col(c, kind) for c, kind, _ in gather_cols])
+        for lvl_ms, tag in ((3_600_000, 2), (86_400_000, 3)):
+            aggs2 = []
+            for c, kind, k2 in gather_cols:
+                sc = _stat_col(c, kind)
+                flat = f"array_sort(flatten(collect_list({sc})))"
+                if kind == "topk":
+                    aggs2.append(F.expr(f"slice(reverse({flat}), 1, {k2})").alias(sc))
+                else:
+                    aggs2.append(F.expr(f"slice({flat}, 1, {k2})").alias(sc))
+            level_frames.append(
+                slim5.withColumn("__t2", (F.col(TS_COL) / lvl_ms).cast("long") * lvl_ms)
+                .groupBy(*keys, "__t2")
+                .agg(*aggs2)
+                .withColumnRenamed("__t2", TS_COL)
+                .withColumn("__kind", F.lit(tag))
+            )
     tiles = tiles.withColumn("__kind", F.lit(0))
 
     # ---- head events: raw rows only inside tiles that contain a query
@@ -576,11 +1021,16 @@ def temporal_events_tiled(
     )
 
     head_cols = sorted(
-        set(stats_by_col) | {c for c, _ in bucket_pairs} | {b for _, b in bucket_pairs}
+        set(stats_by_col)
+        | set(coll_by_col)
+        | {c for c, _ in bucket_pairs}
+        | {b for _, b in bucket_pairs}
     )
     combined = tiles.unionByName(head_events.select(
         *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols]
     ), allowMissingColumns=True)
+    for lf in level_frames:
+        combined = combined.unionByName(lf, allowMissingColumns=True)
 
     slim_cols = qlite.columns if passthrough else keys + [TS_COL]
     ev_schema = events.schema
@@ -598,7 +1048,9 @@ def temporal_events_tiled(
         for c in stats_by_col
     }
     input_types = {c: ev_schema[c].dataType for c in stats_by_col}
-    kernel = make_tiled_kernel(gb, slim_cols, stats_by_col, numeric_by_col, input_types)
+    kernel = make_tiled_kernel(
+        gb, slim_cols, stats_by_col, numeric_by_col, input_types, coll_by_col
+    )
     from chronon_spark.operators.temporal import kernel_partitions
 
     p_n = kernel_partitions(spark)

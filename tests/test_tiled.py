@@ -34,6 +34,22 @@ AGGS = (
     Aggregation("price", Operation.COUNT, windows=(Window(7),), buckets=("cat",)),
     Aggregation("price", Operation.SUM, windows=(None,), buckets=("cat",)),
     Aggregation("price", Operation.AVERAGE, windows=(Window(3),), buckets=("cat",)),
+    # non-algebraic family: mergeable collection tile IRs
+    Aggregation("cat", Operation.UNIQUE_COUNT, windows=(Window(7), None)),
+    Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(14),)),
+    Aggregation("price", Operation.BOUNDED_UNIQUE_COUNT, windows=(Window(7),), arg_map={"k": 5}),
+    Aggregation("cat", Operation.HISTOGRAM, windows=(Window(7), None)),
+    Aggregation("cat", Operation.HISTOGRAM, windows=(Window(14),), arg_map={"k": 2}),
+    Aggregation("price", Operation.LAST_K, windows=(Window(7), None), arg_map={"k": 3}),
+    Aggregation("price", Operation.FIRST_K, windows=(Window(7),), arg_map={"k": 3}),
+    Aggregation("price", Operation.TOP_K, windows=(Window(14),), arg_map={"k": 4}),
+    Aggregation("price", Operation.BOTTOM_K, windows=(Window(7),), arg_map={"k": 4}),
+    Aggregation(
+        "price",
+        Operation.APPROX_PERCENTILE,
+        windows=(Window(7), None),
+        arg_map={"percentiles": [0.25, 0.5, 0.95]},
+    ),
 )
 
 GB = GroupBy(name="t", sources=(EventSource(table="ev"),), key_columns=("user",),
@@ -65,9 +81,11 @@ def _gen(seed=17, n_events=900, n_queries=300, n_keys=5):
 
 
 def test_is_tileable():
-    assert is_tileable(GB)
+    assert is_tileable(GB)  # includes the non-algebraic collection family
+    # bucketed non-additive ops stay on the raw kernel
     gb2 = GroupBy(name="x", sources=GB.sources, key_columns=("user",),
-                  aggregations=(Aggregation("price", Operation.LAST_K, arg_map={"k": 2}),))
+                  aggregations=(Aggregation("price", Operation.LAST_K,
+                                            arg_map={"k": 2}, buckets=("cat",)),))
     assert not is_tileable(gb2)
 
 
@@ -89,7 +107,7 @@ def test_tiled_vs_naive(spark):
                 else naive_feature(
                     p,
                     g["ts"].to_numpy(np.int64),
-                    g["price"].to_numpy(object),
+                    g[p.input_column].to_numpy(object),
                     int(row["ts"]),
                     buckets=g["cat"].to_numpy(object) if p.bucket else None,
                 )
