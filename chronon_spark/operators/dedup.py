@@ -209,37 +209,41 @@ def ngram_jaccard_pairs(
     return out.drop("__sa", "__sb")
 
 
-def _fnv1a64(tokens: list[str]) -> np.ndarray:
-    """Deterministic FNV-1a 64-bit token hashes (python hash() is
-    process-seeded and therefore unusable across executors)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, tok in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def simhash_token_hashes(text_col: str):
+    """Full-width 64-bit token hashes computed JVM-side (xxhash64 inside
+    whole-stage codegen) — the Python side only does the numpy bit-vote.
+    Same fix the minhash path uses (token_hashes); replaces the old
+    per-token per-byte Python FNV-1a loop."""
+    toks = f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    return F.expr(f"transform(filter({toks}, t -> t != ''), t -> xxhash64(t))")
 
 
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash over whitespace tokens — vectorized numpy inside an
-    Arrow batch (no per-row Python at the Spark level)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            continue
-        hs = _fnv1a64(toks)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+def _simhash64(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit simhash bit-vote over precomputed token hashes: one flat
+    (tokens × 64) numpy reduction per Arrow batch via segment sums —
+    no per-row Python loops, no Python hashing."""
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays), dtype=np.int64, count=n
+    )
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
+    ).view(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    # (total_tokens, 64) bit matrix via unpackbits on the raw little-endian
+    # bytes: one uint8 allocation, no (tokens × 64) uint64 broadcast
+    # intermediates (those cost ~800MB/worker of first-touch page faults)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
+    ones = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
+    sig_bits = (2 * ones > lens[nz][:, None]).astype(np.uint64)
+    sigs = np.bitwise_or.reduce(sig_bits << shifts[None, :], axis=1)
+    out[nz] = sigs.view(np.int64)
     return pd.Series(out)
 
 
@@ -255,7 +259,10 @@ def simhash_near_dups(
     Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
     pair within distance < chunks must share a chunk → bucket join on
     (chunk_idx, chunk_value), verify with bit_count(xor)."""
-    sig = df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sig"))
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _simhash64(simhash_token_hashes(text_col)).alias("sig"),
+    )
     width = 64 // chunks
     chunked = sig.select(
         "id",
