@@ -105,6 +105,89 @@ def test_histogram_honors_deletes(spark, frames):
     assert dict(rows[(1, t3 + 1)]["rating_histogram"]) == {"2.0": 1}
 
 
+def test_windowed_mutations_vs_naive(spark):
+    """Windowed entity aggregates: window predicate on ROW ts (sawtooth
+    round(qt−w, hop) ≤ ts < qt), mutation cutoff on mutation_ts < qt —
+    SawtoothMutationAggregator.scala:112-127 + :204. Random scenario vs a
+    direct python oracle."""
+    import numpy as np
+
+    from chronon_spark.api.types import Window as W
+
+    rng = np.random.default_rng(5)
+    MS_DAY = 86_400_000
+    rows = []
+    # rows carry their own event ts spread over the last 10 days
+    for i in range(120):
+        lid = int(rng.integers(1, 4))
+        mts = MID + int(rng.integers(0, MS_DAY))
+        rts = MID - int(rng.integers(0, 10 * MS_DAY))
+        val = float(rng.integers(1, 50))
+        is_before = bool(rng.random() < 0.3)
+        rows.append((lid, val, mts, rts, is_before, D))
+    mutations = spark.createDataFrame(
+        rows, "listing_id int, rating double, mutation_ts long, ts long, is_before boolean, ds string"
+    )
+    snapshots = spark.createDataFrame([], "listing_id int, rating double, ds string")
+    queries = spark.createDataFrame(
+        [(int(rng.integers(1, 4)), MID + int(rng.integers(0, MS_DAY)), D) for _ in range(60)],
+        "listing_id int, ts long, ds string",
+    ).distinct()
+    gb = _gb(
+        Aggregation("rating", Operation.SUM, windows=(W(7),)),
+        Aggregation("rating", Operation.COUNT, windows=(W(7),)),
+        Aggregation("rating", Operation.MAX, windows=(W(3),)),
+    )
+    out = {(r["listing_id"], r["ts"]): r for r in
+           temporal_entities(spark, gb, queries, snapshots, mutations).collect()}
+    parts = gb.unpacked()
+    for (lid, qt, _) in queries.collect():
+        r = out[(lid, qt)]
+        for p in parts:
+            w, hop = p.window.millis, p.hop_millis
+            tail = ((qt - w) // hop) * hop
+            sel = [
+                (v, -1.0 if b else 1.0)
+                for (l2, v, mts, rts, b, _) in rows
+                if l2 == lid and mts < qt and tail <= rts < qt
+            ]
+            if p.operation is Operation.MAX:
+                ins = [v for v, wgt in sel if wgt > 0]
+                exp = max(ins) if ins else None
+            else:
+                n = sum(wgt for _, wgt in sel)
+                if n <= 0:
+                    exp = None
+                elif p.operation is Operation.COUNT:
+                    exp = int(n)
+                else:
+                    exp = sum(v * wgt for v, wgt in sel)
+            got = r[p.output_column]
+            if exp is None:
+                assert got is None, (p.output_column, got, exp)
+            else:
+                assert got == pytest.approx(exp), (p.output_column, got, exp)
+
+
+def test_bucketed_mutations(spark, frames):
+    """Bucketed entity aggregates → Map[bucket → value] with deletes."""
+    snapshots, mutations, queries = frames
+    snapshots = snapshots.withColumn("cat", F.expr("CASE WHEN rating >= 4.5 THEN 'hi' ELSE 'lo' END"))
+    mutations = mutations.withColumn("cat", F.expr("CASE WHEN rating >= 4.5 THEN 'hi' ELSE 'lo' END"))
+    gb = _gb(Aggregation("rating", Operation.SUM, buckets=("cat",)))
+    out = temporal_entities(spark, gb, queries, snapshots, mutations)
+    rows = {(r["listing_id"], r["ts"]): r for r in out.collect()}
+    t1, t3 = MID + 1_000_000, MID + 3_000_000
+    col = "rating_sum_by_cat"
+    # snapshot [4 lo, 5 hi]
+    assert dict(rows[(1, MID + 500_000)][col]) == {"lo": 4.0, "hi": 5.0}
+    # after t1 (4→2 update): lo bucket = 4 - 4 + 2 = 2, hi = 5
+    assert dict(rows[(1, t1 + 1)][col]) == {"lo": 2.0, "hi": 5.0}
+    # after t3 delete of 5: hi bucket sums to 0 → entry stays (sum 0.0)
+    got = dict(rows[(1, t3 + 1)][col])
+    assert got["lo"] == 2.0 and got.get("hi", 0.0) == pytest.approx(0.0)
+
+
 def test_monoid_ops_ignore_deletes(spark, frames):
     snapshots, mutations, queries = frames
     gb = _gb(
