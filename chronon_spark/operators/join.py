@@ -52,6 +52,47 @@ from chronon_spark.sources.scan import (
 )
 
 ROW_UID = "__row_uid"
+BS_HIT = "__bs_hit_"
+
+
+def bootstrap_fold(left: DataFrame, join: Join, spark: SparkSession) -> tuple[DataFrame, list[set]]:
+    """Fold bootstrap tables onto the left with per-row match markers.
+
+    Returns (left_with_bootstrap, per-bootstrap-part covered column sets).
+    The markers are the analogue of the reference's matched_hashes
+    bookkeeping (spark/Join.scala:464-558): a row is COVERED for a join
+    part when every one of the part's output columns was provided by a
+    bootstrap table that matched the row — those rows are skipped when
+    computing the part (findUnfilledRecords, spark/Join.scala:566-584)."""
+    covered_sets: list[set] = []
+    for i, bp in enumerate(join.bootstrap_parts):
+        bdf = scan_table(spark, bp.table)
+        val_cols = {c for c in bdf.columns if c not in set(bp.key_columns)}
+        bdf = bdf.withColumn(f"{BS_HIT}{i}", F.lit(True))
+        left = coalesced_join(left, bdf, list(bp.key_columns), "left")
+        covered_sets.append(val_cols)
+    return left, covered_sets
+
+
+def part_covered_expr(part: JoinPart, covered_sets: list[set]):
+    """Boolean column: TRUE when every output column of ``part`` is covered
+    by some matched bootstrap part for this row; None when the part has
+    columns no bootstrap table ever provides (never skippable)."""
+    out_cols = [f"{part.full_prefix}_{p.output_column}" for p in part.group_by.unpacked()]
+    conds = []
+    for c in out_cols:
+        providers = [i for i, cols in enumerate(covered_sets) if c in cols]
+        if not providers:
+            return None
+        cond = None
+        for i in providers:
+            m = F.col(f"{BS_HIT}{i}").isNotNull() & F.col(f"{BS_HIT}{i}")
+            cond = m if cond is None else (cond | m)
+        conds.append(cond)
+    expr = conds[0]
+    for c in conds[1:]:
+        expr = expr & c
+    return expr
 
 
 def coalesced_join(left: DataFrame, right: DataFrame, keys: list[str], how="left") -> DataFrame:
@@ -205,12 +246,19 @@ def join_backfill(
     left = left.withColumn(ROW_UID, F.monotonically_increasing_id())
 
     # bootstrap fold BEFORE parts: precomputed values land on the left and
-    # win the later coalesce against computed part columns
-    # (spark/Join.scala:464-558; covering-set skip-recompute is a planned
-    # optimization — semantics are identical, work is not skipped yet)
-    for bp in join.bootstrap_parts:
-        bdf = scan_table(spark, bp.table)
-        left = coalesced_join(left, bdf, list(bp.key_columns), "left")
+    # win the later coalesce against computed part columns; per-row match
+    # markers enable covering-set skip-recompute below
+    # (spark/Join.scala:464-558)
+    left, covered_sets = bootstrap_fold(left, join, spark)
+
+    def part_input(part: JoinPart) -> DataFrame:
+        """Rows the part must actually compute: bootstrap-covered rows are
+        skipped (findUnfilledRecords, spark/Join.scala:566-584); the fold's
+        coalesce keeps their bootstrap values."""
+        cov = part_covered_expr(part, covered_sets)
+        if cov is None:
+            return left
+        return left.filter(~F.coalesce(cov, F.lit(False)))
 
     out = left
     if part_warehouse is not None:
@@ -232,7 +280,7 @@ def join_backfill(
         def materialize(part: JoinPart):
             table = f"{join.name}__{part.full_prefix}"
             feats, join_cols = compute_join_part(
-                spark, left, part, start_ds, end_ds, join.skew_keys
+                spark, part_input(part), part, start_ds, end_ds, join.skew_keys
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -250,7 +298,9 @@ def join_backfill(
             out = coalesced_join(out, part_warehouse.read(table), join_cols, "left")
     else:
         for part in join.right_parts:
-            feats, join_cols = compute_join_part(spark, left, part, start_ds, end_ds, join.skew_keys)
+            feats, join_cols = compute_join_part(
+                spark, part_input(part), part, start_ds, end_ds, join.skew_keys
+            )
             out = coalesced_join(out, feats, join_cols, "left")
 
     if join.label_part is not None:
@@ -258,6 +308,8 @@ def join_backfill(
 
         out = attach_labels(spark, out, join.label_part, start_ds, end_ds)
 
+    markers = [c for c in out.columns if c.startswith(BS_HIT)]
+    out = out.drop(*markers)
     if join.derivations:
         exprs = ["*"] if "*" in join.derivations else [c for c in out.columns if c != ROW_UID]
         exprs += [f"{e} AS {a}" for a, e in join.derivations.items() if a != "*"]

@@ -413,6 +413,31 @@ def temporal_events(
     mode: str = "auto",
     passthrough: bool = False,
 ) -> DataFrame:
+    """Point-in-time aggregates of ``events`` at each query row's ``ts``,
+    with GroupBy ``derivations`` applied to the output (selectExpr over
+    feature columns — spark/GroupBy.scala:763-774 applies them to ALL
+    GroupBy output regardless of accuracy)."""
+    out = _temporal_events_impl(spark, gb, queries, events, mode=mode, passthrough=passthrough)
+    if gb.derivations:
+        feature_names = {p.output_column for p in gb.unpacked()}
+        base = (
+            ["*"]
+            if "*" in gb.derivations
+            else [c for c in out.columns if c not in feature_names]
+        )
+        exprs = base + [f"{e} AS {a}" for a, e in gb.derivations.items() if a != "*"]
+        out = out.selectExpr(*exprs)
+    return out
+
+
+def _temporal_events_impl(
+    spark: SparkSession,
+    gb: GroupBy,
+    queries: DataFrame,
+    events: DataFrame,
+    mode: str = "auto",
+    passthrough: bool = False,
+) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
     ``queries`` must carry the GroupBy's key columns and ``ts`` (epoch ms);

@@ -101,3 +101,47 @@ def test_label_join_forward_looking(spark, env):
         exp = ev.filter((F.col("user") == r["user"]) & F.col("ds").between(lo, hi)).count()
         got = r["label_amount_count_3d_3d"] or 0
         assert got == exp, (r, exp)
+
+
+def test_bootstrap_covering_set_skips_rows(spark, env):
+    """Covering-set skip-recompute (spark/Join.scala:464-584): rows whose
+    part output columns are fully bootstrap-provided are excluded from the
+    part's input; output values are unchanged."""
+    from chronon_spark.operators.join import ROW_UID, bootstrap_fold, part_covered_expr
+
+    boot = spark.createDataFrame(
+        [("u0", ds, 12345.0) for ds in
+         ["2023-11-25", "2023-11-26", "2023-11-27", "2023-11-28", "2023-11-29", "2023-11-30"]],
+        "user string, ds string, amt_amount_sum_7d double",
+    )
+    boot.createOrReplaceTempView("bl_boot_cs")
+    join = Join(
+        name="blj3",
+        left=EventSource(table="bl_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(GB),),
+        bootstrap_parts=(BootstrapPart(table="bl_boot_cs", key_columns=("user", "ds")),),
+    )
+    left = (
+        spark.table("bl_events")
+        .selectExpr("user", "ts", "ds")
+        .filter(F.col("ds").between(START, END))
+        .withColumn(ROW_UID, F.monotonically_increasing_id())
+    )
+    folded, covered_sets = bootstrap_fold(left, join, spark)
+    cov = part_covered_expr(join.right_parts[0], covered_sets)
+    assert cov is not None
+    total = folded.count()
+    n_cov = folded.filter(F.coalesce(cov, F.lit(False))).count()
+    n_unc = folded.filter(~F.coalesce(cov, F.lit(False))).count()
+    assert n_cov > 0, "bootstrap must cover some rows"
+    assert n_unc < total, "part input must shrink"
+    assert n_cov + n_unc == total
+    # only u0 rows are covered
+    assert folded.filter(F.coalesce(cov, F.lit(False)) & (F.col("user") != "u0")).count() == 0
+    # end-to-end output unchanged
+    out = join_backfill(spark, join, START, END)
+    for r in out.collect():
+        if r["user"] == "u0":
+            assert r["amt_amount_sum_7d"] == 12345.0
+        else:
+            assert r["amt_amount_sum_7d"] != 12345.0

@@ -160,3 +160,34 @@ def test_null_key_rows_get_null_features(spark):
     out = {r["user"]: r["price_count"] for r in temporal_events(spark, gb, q, ev).collect()}
     assert out[None] is None
     assert out["u1"] == 1
+
+
+def test_temporal_derivations(spark):
+    """GroupBy derivations apply on the temporal path too
+    (spark/GroupBy.scala:763-774 — all GroupBy output, any accuracy)."""
+    import pandas as pd
+
+    from chronon_spark.api.types import Accuracy, Aggregation, EventSource, GroupBy, Operation, Window
+
+    ev = spark.createDataFrame(pd.DataFrame({
+        "user": ["a"] * 6,
+        "ts": [1_700_000_000_000 + i * 1000 for i in range(6)],
+        "price": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    }))
+    gb = GroupBy(
+        name="d", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("price", Operation.SUM, windows=(Window(7),)),
+            Aggregation("price", Operation.COUNT, windows=(Window(7),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+        derivations={"*": "*", "price_mean_7d": "price_sum_7d / price_count_7d"},
+    )
+    q = ev.select("user", "ts")
+    for mode in ("raw", "tiled"):
+        out = temporal_events(spark, gb, q, ev, mode=mode)
+        assert "price_mean_7d" in out.columns
+        r = {row["ts"]: row for row in out.collect()}
+        last = r[1_700_000_000_000 + 5000]
+        assert last["price_sum_7d"] == 15.0 and last["price_count_7d"] == 5
+        assert last["price_mean_7d"] == 3.0
