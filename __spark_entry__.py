@@ -310,6 +310,26 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_HISTOGRAM_K: frequent-items map truncated to top-k by
+    (count desc, key asc), rendered as a sorted string."""
+    from chronon_spark.api.types import AggregationPart, Operation
+    from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, OP_SPECS
+
+    ev = _events(spark, sf_dir)
+    part = AggregationPart("event_type", Operation.APPROX_HISTOGRAM_K, {"k": 2}, None, None)
+    spec = OP_SPECS[Operation.APPROX_HISTOGRAM_K]
+    agg = ev.groupBy("user_id").agg(spec.direct("event_type", part).alias("__h"))
+    agg = agg.withColumn("__m", DIRECT_NEEDS_FINALIZE[Operation.APPROX_HISTOGRAM_K]("__h", part))
+    return agg.select(
+        "user_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_keys(__m)), "
+            "k -> concat(k, ':', cast(element_at(__m, k) AS string))))"
+        ).alias("hist_k"),
+    )
+
+
 def q_topk_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
@@ -658,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_bruteforce": q_similarity_bruteforce,
         "histogram": q_histogram,
+        "approx_histogram": q_approx_histogram,
         "topk_percentiles": q_topk_percentiles,
         "unique_counts": q_unique_counts,
         "moments": q_moments,
@@ -840,6 +861,15 @@ WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_i
 SELECT user_id,
        string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_hist
 FROM c GROUP BY user_id
+""",
+        "approx_histogram": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS hist_k
+FROM r WHERE rk <= 2 GROUP BY user_id
 """,
         "topk_percentiles": """
 WITH l AS (SELECT user_id, list(value ORDER BY value DESC) AS vs,

@@ -85,6 +85,11 @@ class Operation(enum.Enum):
     APPROX_UNIQUE_COUNT = "approx_unique_count"
     BOUNDED_UNIQUE_COUNT = "bounded_unique_count"
     APPROX_PERCENTILE = "approx_percentile"
+    # exact map until k distinct values, then frequent-items truncation
+    # (reference uses Yahoo ItemsSketch, SimpleAggregators.scala:459-601;
+    # we use a deterministic space-saving cap: day IRs keep the top 8k
+    # entries by count, finalize keeps top k)
+    APPROX_HISTOGRAM_K = "approx_histogram_k"
 
     @property
     def is_time_ordered(self) -> bool:

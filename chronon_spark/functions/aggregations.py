@@ -466,6 +466,35 @@ _register(
     finalize=lambda ir, p: _hist_map_finalize(ir, p),
 )
 
+
+def _hist_ir_capped(inp: str, part: AggregationPart) -> Column:
+    """Space-saving day IR for APPROX_HISTOGRAM_K: keep only the top 8k
+    entries by (count desc, key asc) per day — a deterministic stand-in for
+    the reference's ItemsSketch frequent-items IR
+    (SimpleAggregators.scala:459-601); exact whenever a day holds ≤ 8k
+    distinct values."""
+    cap = 8 * int(part.arg_map.get("k", 8))
+    lst = f"collect_list({inp})"
+    ks = f"array_distinct({lst})"
+    entries = (
+        f"transform({ks}, kk -> named_struct("
+        f"'key', kk, 'value', CAST(size(filter({lst}, x -> x = kk)) AS BIGINT)))"
+    )
+    entries = (
+        f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
+        f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {cap})"
+    )
+    return F.expr(f"CASE WHEN size({lst}) > 0 THEN map_from_entries({entries}) END")
+
+
+_register(
+    Operation.APPROX_HISTOGRAM_K,
+    direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized via direct_finalize
+    ir=_hist_ir_capped,
+    merge=lambda ir, p: _hist_map_merge(ir),
+    finalize=lambda ir, p: _hist_map_finalize(ir, p),
+)
+
 _register(
     Operation.FIRST,
     direct=lambda inp, p: F.expr(f"min({_nn(inp, _ts_struct(inp))})"),
@@ -530,6 +559,7 @@ _register(
 # Direct-path ops whose group-aggregate result still needs a finalize step
 DIRECT_NEEDS_FINALIZE = {
     Operation.HISTOGRAM: lambda col, p: _hist_finalize(col, p),
+    Operation.APPROX_HISTOGRAM_K: lambda col, p: _hist_finalize(col, p),
     Operation.FIRST: lambda col, p: F.expr(f"{col}.v"),
     Operation.LAST: lambda col, p: F.expr(f"{col}.v"),
     Operation.FIRST_K: lambda col, p: F.expr(f"CASE WHEN size({col}) > 0 THEN transform({col}, x -> x.v) END"),

@@ -123,12 +123,59 @@ def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str
     return events.join(distinct_keys, right_keys, "left_semi")
 
 
+SMALL_MODE_CUTOFF = 5000  # spark.chronon.join.small_mode_cutoff (TableUtils.scala:348-351)
+
+
+def small_mode_key_values(
+    left: DataFrame, left_keys: list[str], right_keys: list[str]
+) -> dict[str, list[str]] | None:
+    """"Small mode" key collection (spark/JoinUtils.scala:296-351
+    injectKeyFilter): when the left's distinct key set is under the cutoff,
+    collect it to the driver as SQL literals per right key. Returns None
+    above the cutoff (broadcast-semi pruning applies instead)."""
+    dk = left.select(*left_keys).dropna().distinct()
+    rows = dk.limit(SMALL_MODE_CUTOFF + 1).collect()
+    if len(rows) > SMALL_MODE_CUTOFF:
+        return None
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return str(v)
+
+    out = {}
+    for lk, rk in zip(left_keys, right_keys):
+        vals = sorted({lit(r[lk]) for r in rows})
+        if not vals:
+            return None
+        out[rk] = vals
+    return out
+
+
+def _in_filters_for_source(source, key_values: dict[str, list[str]]) -> tuple[str, ...]:
+    """Render ``<key-select-expr> IN (...)`` wheres for one source: keys
+    mapped through the source's selects (the key may be a DERIVED column),
+    matching the reference's expression-level injection
+    (spark/JoinUtils.scala:323-344). Catalyst pushes the IN into the scan
+    (PushedFilters: In) when the select is a plain column."""
+    query = getattr(source, "query", None)
+    selects = dict(query.selects or {}) if query is not None and query.selects else {}
+    wheres = []
+    for rk, vals in key_values.items():
+        expr = selects.get(rk) or rk
+        wheres.append(f"({expr}) IN ({', '.join(vals)})")
+    return tuple(wheres)
+
+
 def render_any_source(
     spark: SparkSession,
     source,
     gb: GroupBy | None,
     query_start: str | None,
     query_end: str | None,
+    extra_wheres: tuple[str, ...] = (),
 ) -> DataFrame:
     """render_source extended with JoinSource chaining: the upstream Join
     is materialized over the window-extended range, then the embedded
@@ -148,8 +195,11 @@ def render_any_source(
         upstream = join_backfill(
             spark, source.join, start or "1970-01-01", query_end or "9999-12-31"
         )
-        return render_query(upstream, source.query, needs_time=False)
-    return render_source(spark, source, gb, query_start=query_start, query_end=query_end)
+        return render_query(upstream, source.query, needs_time=False, extra_wheres=extra_wheres)
+    return render_source(
+        spark, source, gb, query_start=query_start, query_end=query_end,
+        extra_wheres=extra_wheres,
+    )
 
 
 def compute_join_part(
@@ -159,6 +209,7 @@ def compute_join_part(
     left_start: str,
     left_end: str,
     skew_keys=None,
+    small_mode: bool = True,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix."""
@@ -167,10 +218,17 @@ def compute_join_part(
     right_keys = list(gb.key_columns)
     left_keys = [r2l[k] for k in right_keys]
 
+    key_values = (
+        small_mode_key_values(left, left_keys, right_keys) if small_mode else None
+    )
     rights = [
-        render_any_source(spark, s, gb, query_start=left_start, query_end=left_end)
+        render_any_source(
+            spark, s, gb, query_start=left_start, query_end=left_end,
+            extra_wheres=_in_filters_for_source(s, key_values) if key_values else (),
+        )
         for s in gb.sources
     ]
+    in_filters = key_values
     right_df = skew_filter(union_sources(rights), skew_keys)
 
     accuracy = gb.inferred_accuracy
@@ -191,7 +249,8 @@ def compute_join_part(
             F.col("ds"),
             F.col(ROW_UID),
         )
-        right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
+        if in_filters is None:
+            right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
         feats = temporal_events(spark, gb, queries, right_df)
         out_keyed = _rename_keys(feats, right_keys, left_keys)
         join_cols = [ROW_UID]
@@ -201,7 +260,8 @@ def compute_join_part(
         # Right computed per ds over [left_start-1, left_end-1], then shifted
         # +1 day so today's left rows see yesterday's aggregate
         # (JoinBase.scala:86-119, 148-165).
-        right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
+        if in_filters is None:
+            right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
         feats = snapshot_events(
             spark, gb, right_df, shift_ds(left_start, -1), shift_ds(left_end, -1)
         )

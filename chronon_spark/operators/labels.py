@@ -24,7 +24,15 @@ def attach_labels(
     label_part: LabelPart,
     start_ds: str,
     end_ds: str,
+    available_until: str | None = None,
 ) -> DataFrame:
+    """Attach per-offset label columns; when ``available_until`` is set,
+    also add ``{prefix}_{col}_latest`` columns — the LATEST matured label
+    version per row (the reference's latest-label view,
+    spark/JoinUtils.scala:218-294 createLatestLabelView: for each feature
+    ds, pick the largest label_ds that is already available). With
+    ``available_until=None`` every offset is considered matured (pure
+    backfill), so latest == the largest configured offset."""
     gb = label_part.group_by
     keys = list(gb.key_columns)
     max_off = max(label_part.label_offsets)
@@ -43,4 +51,20 @@ def attach_labels(
             ],
         )
         out = out.join(shifted, keys + ["ds"], "left")
+
+    offsets_desc = sorted(label_part.label_offsets, reverse=True)
+    for c in feature_cols:
+        branches = []
+        for off in offsets_desc:
+            col = f"{label_part.prefix}_{c}_{off}d"
+            if available_until is None:
+                branches.append(f"WHEN TRUE THEN {col}")
+                break
+            branches.append(
+                f"WHEN date_add(to_date(ds), {off}) <= to_date('{available_until}') THEN {col}"
+            )
+        out = out.withColumn(
+            f"{label_part.prefix}_{c}_latest",
+            F.expr("CASE " + " ".join(branches) + " END"),
+        )
     return out

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-The decode step is STUBBED (this container has no image/audio codecs):
-``decode=...`` selects either a clearly-marked NotImplementedError or the
-deterministic fake decoder, while the Spark-side contract — schema,
-batching, partition sizing, UDF signatures — is real and tested. Swapping
-in PIL/ffmpeg later changes only ``_decode_image_bytes``.
+Decode support is tiered: ``fake=False`` REALLY decodes the codec-free
+formats — uncompressed BMP (BITMAPINFOHEADER) and binary PPM/PGM — with
+pure byte parsing (header metadata + raw pixel rasters, row padding
+stripped); JPEG/PNG raise a clearly-marked NotImplementedError because
+this container has no image codecs (swap in PIL later by extending
+``_decode_image_bytes``/``_decode_pixels`` only). ``fake=True`` keeps the
+deterministic byte-derived pseudo-decoder whose outputs a SQL oracle can
+reproduce, used by the correctness gate.
 
 Scale notes: binary payloads dominate I/O, so stages (a) select only the
 columns they touch (column pruning works on parquet/Iceberg binary
@@ -34,20 +37,82 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def _parse_ppm_header(data: bytes):
+    """P6/P5 (binary PPM/PGM) header: magic, whitespace/comment-separated
+    width height maxval, then raster. Pure byte parsing, no codec."""
+    pos = 2
+    fields = []
+    while len(fields) < 3 and pos < len(data):
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace before raster
+    return fields[0], fields[1], pos
+
+
 def _decode_image_bytes(data: bytes, fake: bool):
-    """Stub decode. fake=True → deterministic pseudo-image derived from the
-    byte content; fake=False → explicit NotImplementedError."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "use fake=True or install PIL and replace _decode_image_bytes"
-        )
+    """Decode image metadata. fake=True → deterministic pseudo-image derived
+    from the byte content (for oracle-checkable plumbing tests).
+    fake=False → REAL header parsing for codec-free formats: BMP
+    (BITMAPINFOHEADER) and binary PPM/PGM (P6/P5); other formats raise
+    NotImplementedError (JPEG/PNG need codecs absent in this container)."""
     if data is None:
         return None
-    h = int(np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0])
-    w = int(16 + h % 48)
-    ht = int(16 + (h >> 8) % 48)
-    return {"width": w, "height": ht, "channels": 3, "format": "fake"}
+    if fake:
+        h = int(np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0])
+        w = int(16 + h % 48)
+        ht = int(16 + (h >> 8) % 48)
+        return {"width": w, "height": ht, "channels": 3, "format": "fake"}
+    import struct
+
+    if data[:2] == b"BM" and len(data) >= 30:
+        w, ht = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        return {"width": int(w), "height": abs(int(ht)), "channels": max(1, bpp // 8), "format": "bmp"}
+    if data[:2] in (b"P6", b"P5"):
+        w, ht, _ = _parse_ppm_header(data)
+        return {
+            "width": int(w),
+            "height": int(ht),
+            "channels": 3 if data[:2] == b"P6" else 1,
+            "format": "ppm" if data[:2] == b"P6" else "pgm",
+        }
+    raise NotImplementedError(
+        "only BMP/PPM/PGM decode without codecs in this environment; "
+        "install PIL and extend _decode_image_bytes for JPEG/PNG"
+    )
+
+
+def _decode_pixels(data: bytes) -> np.ndarray | None:
+    """Raw pixel bytes for the supported codec-free formats: 24-bit
+    uncompressed BMP (row padding stripped) or P6/P5 raster."""
+    if data is None:
+        return None
+    import struct
+
+    if data[:2] == b"BM":
+        off = struct.unpack_from("<I", data, 10)[0]
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+        if comp != 0:
+            raise NotImplementedError("compressed BMP not supported")
+        row_bytes = (w * (bpp // 8) + 3) // 4 * 4
+        raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * abs(h), offset=off)
+        rows = raster.reshape(abs(h), row_bytes)[:, : w * (bpp // 8)]
+        return rows.reshape(-1)
+    if data[:2] in (b"P6", b"P5"):
+        w, h, pos = _parse_ppm_header(data)
+        n = w * h * (3 if data[:2] == b"P6" else 1)
+        return np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    raise NotImplementedError("only BMP/PPM/PGM pixel decode supported")
 
 
 def image_metadata(df: DataFrame, binary_col: str = "html", fake: bool = True) -> DataFrame:
@@ -85,14 +150,18 @@ def image_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real image featurizer not available here")
             vecs = []
             for b in pdf[binary_col]:
                 if b is None:
                     vecs.append(None)
                     continue
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                # fake: histogram over the raw bytes; real: over the DECODED
+                # pixel bytes (BMP/PPM/PGM — codec-free formats)
+                arr = (
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    if fake
+                    else _decode_pixels(bytes(b))
+                )
                 hist = np.bincount(arr % n_features, minlength=n_features)
                 if normalize:
                     hist = hist.astype(np.float32)

@@ -60,7 +60,7 @@ def _plain_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataT
         return T.DoubleType()
     if op is Operation.APPROX_PERCENTILE:
         return T.ArrayType(T.DoubleType())
-    if op is Operation.HISTOGRAM:
+    if op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
         return T.MapType(T.StringType(), T.LongType())
     if op in (Operation.MIN, Operation.MAX, Operation.FIRST, Operation.LAST):
         return input_type
@@ -278,7 +278,7 @@ def _compute_part(
         elif op is Operation.APPROX_PERCENTILE:
             qs = part.arg_map.get("percentiles", [0.5])
             out[i] = [float(np.percentile(sl.astype(np.float64), q * 100)) for q in qs]
-        elif op is Operation.HISTOGRAM:
+        elif op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
             uniq, counts = np.unique(sl.astype(str), return_counts=True)
             d = {str(u): int(c) for u, c in zip(uniq, counts)}
             kk = part.arg_map.get("k")

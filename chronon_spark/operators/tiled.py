@@ -64,6 +64,7 @@ ANYTYPE_TILEABLE = {Operation.COUNT, Operation.FIRST, Operation.LAST}
 #                       O(values) — cap via argMap accuracy when approx ok)
 COLLECTION_TILEABLE = {
     Operation.UNIQUE_COUNT,
+    Operation.APPROX_HISTOGRAM_K,
     Operation.APPROX_UNIQUE_COUNT,
     Operation.BOUNDED_UNIQUE_COUNT,
     Operation.HISTOGRAM,
@@ -85,6 +86,7 @@ _COUNTER_OPS = {
     Operation.APPROX_UNIQUE_COUNT,
     Operation.BOUNDED_UNIQUE_COUNT,
     Operation.HISTOGRAM,
+    Operation.APPROX_HISTOGRAM_K,
 }
 
 
@@ -493,7 +495,7 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
         for i, cnt, nz in _slide_counter(tmaps, hvals, hmask, t_lo, t_hi, hl, h_hi, q_order):
             if nz == 0:
                 continue
-            if op is Operation.HISTOGRAM:
+            if op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
                 d = {str(v): int(c) for v, c in cnt.items() if c > 0}
                 if kk:
                     d = dict(sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)])
@@ -502,7 +504,7 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
                 res[i] = min(nz, k)
             else:  # UNIQUE_COUNT / APPROX_UNIQUE_COUNT (exact stand-in)
                 res[i] = int(nz)
-        if op is Operation.HISTOGRAM:
+        if op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
             return res
         return cast_fn(res, p, input_types[col])
 

@@ -100,7 +100,7 @@ def _agg(part: AggregationPart, vals: np.ndarray):
     if op is Operation.APPROX_PERCENTILE:
         qs = part.arg_map.get("percentiles", [0.5])
         return [float(np.percentile(vals.astype(np.float64), q * 100)) for q in qs]
-    if op is Operation.HISTOGRAM:
+    if op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
         uniq, counts = np.unique(vals.astype(str), return_counts=True)
         d = {str(u): int(c) for u, c in zip(uniq, counts)}
         kk = part.arg_map.get("k")

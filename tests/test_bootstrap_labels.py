@@ -145,3 +145,36 @@ def test_bootstrap_covering_set_skips_rows(spark, env):
             assert r["amt_amount_sum_7d"] == 12345.0
         else:
             assert r["amt_amount_sum_7d"] != 12345.0
+
+
+def test_latest_label_view(spark, env):
+    """Latest-label view (spark/JoinUtils.scala:218-294): per feature ds,
+    the label from the LARGEST offset whose label day has matured; younger
+    rows fall back to smaller offsets, immature rows get NULL."""
+    from chronon_spark.operators.labels import attach_labels
+
+    label_gb = GroupBy(
+        name="lbl",
+        sources=(EventSource(table="bl_events", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(Aggregation("amount", Operation.COUNT, windows=(Window(1),)),),
+    )
+    lp = LabelPart(group_by=label_gb, label_offsets=(1, 3))
+    feats = (
+        spark.table("bl_events")
+        .select("user", "ds")
+        .distinct()
+        .filter(F.col("ds").between(START, END))
+    )
+    # labels matured only through Nov 28: ds=25 gets the 3d version,
+    # ds=27 only the 1d version, ds=28+ nothing
+    out = attach_labels(spark, feats, lp, START, END, available_until="2023-11-28")
+    rows = {(r["user"], r["ds"]): r for r in out.collect()}
+    for (u, ds), r in rows.items():
+        lat, o1, o3 = r["label_amount_count_1d_latest"], r["label_amount_count_1d_1d"], r["label_amount_count_1d_3d"]
+        if ds <= "2023-11-25":
+            assert lat == o3, (u, ds, lat, o3)
+        elif ds <= "2023-11-27":
+            assert lat == o1, (u, ds, lat, o1)
+        else:
+            assert lat is None, (u, ds, lat)

@@ -181,3 +181,36 @@ def test_entity_part_values(joined):
             assert got is None  # unseen in dim
         else:
             assert got == ("pro" if int(u[1]) % 2 else "free"), row
+
+
+def test_small_mode_in_pushdown(spark):
+    """Small-mode IN-list injection (spark/JoinUtils.scala:296-351): with a
+    small left key set, the right scan carries a pushed In() filter and
+    results match the semi-join path exactly."""
+    from chronon_spark.api.types import Accuracy, EventSource, GroupBy, Join, JoinPart, Query
+    from chronon_spark.operators.join import ROW_UID, compute_join_part, join_backfill
+    from chronon_spark.sources.scan import render_source
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    tcol = "unix_millis(cast(ts as timestamp))"
+    gb = GroupBy(
+        name="sm",
+        sources=(EventSource(table=path, query=Query(selects={"user_id": None, "value": None}, time_column=tcol)),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window(7),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    left_src = EventSource(
+        table=path,
+        query=Query(selects={"event_id": None, "user_id": None}, wheres=("user_id < 3",), time_column=tcol),
+    )
+    left = render_source(spark, left_src, None, query_start=None, query_end=None)
+    left = left.withColumn(ROW_UID, F.monotonically_increasing_id())
+    part = JoinPart(gb)
+    feats_small, _ = compute_join_part(spark, left, part, "2024-01-01", "2024-12-31")
+    plan = feats_small._jdf.queryExecution().executedPlan().toString()
+    assert "In(user_id" in plan or "user_id IN" in plan, "IN predicate must reach the scan"
+    feats_semi, _ = compute_join_part(spark, left, part, "2024-01-01", "2024-12-31", small_mode=False)
+    a = sorted([tuple(r) for r in feats_small.collect()], key=repr)
+    b = sorted([tuple(r) for r in feats_semi.collect()], key=repr)
+    assert a == b

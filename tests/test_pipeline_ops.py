@@ -130,3 +130,43 @@ def test_multimodal_stubs(spark, docs):
     assert 1 <= per <= 4
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         image_metadata(bin_df.limit(1), "blob", fake=False).collect()
+
+
+def test_multimodal_real_bmp_ppm_decode(spark):
+    """fake=False REALLY decodes codec-free formats: 24-bit uncompressed
+    BMP (header + padded rows) and binary PPM (P6)."""
+    import struct
+
+    import numpy as np
+
+    def make_bmp(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        row_bytes = (w * 3 + 3) // 4 * 4
+        raster = np.zeros((h, row_bytes), dtype=np.uint8)
+        raster[:, : w * 3] = px.reshape(h, w * 3)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 14 + 40 + raster.size, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, raster.size, 2835, 2835, 0, 0)
+        )
+        return header + raster.tobytes(), px
+
+    def make_ppm(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, h * w * 3, dtype=np.uint8)
+        return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes(), px
+
+    bmp, bpx = make_bmp(7, 5, 3)  # w=7 exercises row padding
+    ppm, ppx = make_ppm(4, 6, 4)
+    df = spark.createDataFrame([(1, bytearray(bmp)), (2, bytearray(ppm))], "id int, blob binary")
+    meta = {r["id"]: r["image_meta"] for r in image_metadata(df, "blob", fake=False).collect()}
+    assert meta[1]["width"] == 7 and meta[1]["height"] == 5
+    assert meta[1]["channels"] == 3 and meta[1]["format"] == "bmp"
+    assert meta[2]["width"] == 4 and meta[2]["height"] == 6 and meta[2]["format"] == "ppm"
+    feats = {r["id"]: r["image_vec"] for r in
+             image_features(df, "blob", n_features=8, fake=False, normalize=False).collect()}
+    exp_bmp = np.bincount(bpx.reshape(-1) % 8, minlength=8)
+    exp_ppm = np.bincount(ppx % 8, minlength=8)
+    assert list(feats[1]) == [int(x) for x in exp_bmp]
+    assert list(feats[2]) == [int(x) for x in exp_ppm]

@@ -55,6 +55,7 @@ AGGS = (
         windows=(Window(7),),
     ),
     Aggregation("cat", Operation.HISTOGRAM, windows=(Window(7),)),
+    Aggregation("cat", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 2}, windows=(Window(7),)),
     Aggregation("price", Operation.SUM, windows=(Window(7),), buckets=("cat",)),
 )
 
