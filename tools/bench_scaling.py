@@ -33,13 +33,78 @@ def materialize(n_rows: int) -> int:
     return n
 
 
+def stage_metrics(spark, since_epoch_ms: float) -> dict:
+    """Per-stage attribution via the UI REST API: total shuffle bytes and
+    task-time skew for the run's heaviest stages — makes the scaling
+    number attributable (where parallelism is lost) instead of a single
+    wall-clock ratio."""
+    import datetime as dt
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+    except Exception as e:  # UI off / endpoint moved — metrics are best-effort
+        return {"error": str(e)[:200]}
+
+    def ts(s):
+        v = s.get("submissionTime")
+        if not v:
+            return 0
+        return dt.datetime.strptime(v[:23], "%Y-%m-%dT%H:%M:%S.%f").timestamp() * 1000
+
+    mine = [s for s in stages if ts(s) >= since_epoch_ms]
+    out = {
+        "stages": len(mine),
+        "shuffle_read_mb": round(sum(s.get("shuffleReadBytes", 0) for s in mine) / 1e6, 1),
+        "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0) for s in mine) / 1e6, 1),
+        "executor_run_time_s": round(sum(s.get("executorRunTime", 0) for s in mine) / 1e3, 1),
+        "input_mb": round(sum(s.get("inputBytes", 0) for s in mine) / 1e6, 1),
+    }
+    top = sorted(mine, key=lambda s: -s.get("executorRunTime", 0))[:4]
+    tops = []
+    for st in top:
+        row = {
+            "stage": st["stageId"],
+            "tasks": st.get("numCompleteTasks"),
+            "run_s": round(st.get("executorRunTime", 0) / 1e3, 1),
+            "shuf_w_mb": round(st.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "name": (st.get("name") or "")[:60],
+        }
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages/{st['stageId']}/"
+                f"{st.get('attemptId', 0)}/taskSummary?quantiles=0.5,0.95,1.0",
+                timeout=10,
+            ) as r:
+                q = json.load(r)
+            rt = q.get("executorRunTime", [0, 0, 0])
+            row["task_ms_p50"] = round(rt[0])
+            row["task_ms_max"] = round(rt[-1])
+            row["skew_max_over_p50"] = round(rt[-1] / rt[0], 2) if rt[0] else None
+        except Exception:
+            pass
+        tops.append(row)
+    out["top_stages"] = tops
+    return out
+
+
 def run(cores: int, repeats: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from chronon_spark.pipelines.webtext import backfill_features
     from chronon_spark.session import build_session
 
-    spark = build_session(app_name=f"scale{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    spark = build_session(
+        app_name=f"scale{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM codegen + python workers + input page cache (equal-warm
     # IO for both parallelism levels)
@@ -49,14 +114,22 @@ def run(cores: int, repeats: int = 2) -> dict:
     ).count()
     pages = spark.read.parquet(PAGES_PATH)
     pages.count()
-    best, n = None, 0
+    best, n, metrics = None, 0, None
     for _ in range(repeats):
         t0 = time.time()
         n = backfill_features(spark, pages).count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        dt_ = time.time() - t0
+        if best is None or dt_ < best:
+            best = dt_
+            metrics = stage_metrics(spark, t0 * 1000)
     spark.stop()
-    return {"cores": cores, "rows": n, "sec": round(best, 2), "rows_per_sec": round(n / best, 1)}
+    return {
+        "cores": cores,
+        "rows": n,
+        "sec": round(best, 2),
+        "rows_per_sec": round(n / best, 1),
+        "stage_metrics": metrics,
+    }
 
 
 def _hw_control() -> dict:
