@@ -36,6 +36,13 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # all physical I/O goes through the format protocol
+        # (sources/catalog.py — TableUtils.scala:46-83 Format trait); the
+        # sandbox uses the parquet-directory format, a production deploy
+        # swaps in IcebergFormat/DeltaFormat here
+        from chronon_spark.sources.catalog import ParquetDirFormat
+
+        self.fmt = ParquetDirFormat(spark, root)
         os.makedirs(root, exist_ok=True)
 
     # ---------------------------------------------------------------- paths
@@ -52,19 +59,14 @@ class Warehouse:
     def partitions(self, table: str) -> list[str]:
         """List ds= partition values (TableUtils Format.partitions — for
         Iceberg this reads the ``<t>.partitions`` metadata table)."""
-        p = self.path(table)
-        if not os.path.isdir(p):
-            return []
-        return sorted(
-            d.split("=", 1)[1] for d in os.listdir(p) if d.startswith("ds=") and "=" in d
-        )
+        return self.fmt.partitions(table)
 
     def unfilled(self, table: str, requested: PartitionRange) -> list[PartitionRange]:
         return unfilled_ranges(self.partitions(table), requested)
 
     # ----------------------------------------------------------------- read
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.option("basePath", self.path(table)).parquet(self.path(table))
+        return self.fmt.read(table)
 
     # ---------------------------------------------------------------- write
     def insert_partitions(
@@ -79,7 +81,6 @@ class Warehouse:
         """Dynamic partition overwrite by ds + lineage sidecars.
 
         Returns the list of ds values written."""
-        out_path = self.path(table)
         if salt_cols:
             df = (
                 df.withColumn("__salt", F.pmod(F.hash(*salt_cols), F.lit(salt_n)))
@@ -87,13 +88,10 @@ class Warehouse:
                 .sortWithinPartitions("ds", *(sort_cols or salt_cols))
                 .drop("__salt")
             )
-        # dynamic mode on the writer itself: under a session not built by
-        # build_session the default is static overwrite, which would
-        # truncate the whole table and destroy completed partitions that
-        # the unfilled/resume contract depends on.
-        df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
-            "ds"
-        ).parquet(out_path)
+        # the format's writer is dynamic-overwrite by contract: a static
+        # overwrite would truncate the whole table and destroy completed
+        # partitions that the unfilled/resume contract depends on.
+        self.fmt.insert_overwrite(df, table)
 
         written = self.partitions(table)
         ldir = self._lineage_dir(table)
@@ -127,7 +125,6 @@ class Warehouse:
     ) -> None:
         """Overwrite only the named ds partitions (dynamic overwrite
         semantics of TableUtils.insertPartitions on an existing table)."""
-        out_path = self.path(table)
         if salt_cols:
             df = (
                 df.withColumn("__salt", F.pmod(F.hash(*salt_cols), F.lit(salt_n)))
@@ -135,9 +132,8 @@ class Warehouse:
                 .sortWithinPartitions("ds", *(sort_cols or salt_cols))
                 .drop("__salt")
             )
-        # spark.sql.sources.partitionOverwriteMode=dynamic (session default)
-        # replaces only touched ds dirs
-        df.write.mode("overwrite").partitionBy("ds").option("partitionOverwriteMode", "dynamic").parquet(out_path)
+        # dynamic overwrite replaces only the touched ds partitions
+        self.fmt.insert_overwrite(df, table)
         ldir = self._lineage_dir(table)
         os.makedirs(ldir, exist_ok=True)
         sub = self.read(table).filter(F.col("ds").isin(partitions))
