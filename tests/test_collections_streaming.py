@@ -98,7 +98,55 @@ def test_streaming_rejects_nonalgebraic(spark):
         name="bad",
         sources=(EventSource(table="s"),),
         key_columns=("k",),
-        aggregations=(Aggregation("v", Operation.LAST_K, arg_map={"k": 2}),),
+        aggregations=(Aggregation("v", Operation.SUM, buckets=("k",)),),
     )
     with pytest.raises(ValueError, match="not streamable"):
         streaming_tiles(gb, spark.range(1).select(F.lit("a").alias("k"), F.lit(1).alias("ts"), F.lit(1.0).alias("v")))
+
+
+def test_streaming_collection_tiles(spark, tmp_path):
+    """Collection IRs stream in one stateful aggregation; counter lists
+    fold to the batch kernel's value→count maps on read."""
+    import pandas as pd
+
+    from chronon_spark.api.types import Accuracy, Aggregation, EventSource, GroupBy, Operation, Window
+    from chronon_spark.streaming.groupby import fold_counter_tiles
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    ev = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 3,
+        "ts": [1_700_000_000_000 + i * 60_000 for i in range(6)]
+        + [1_700_000_000_000 + i * 60_000 for i in range(3)],
+        "v": [3.0, 1.0, 2.0, 5.0, 4.0, 6.0, 9.0, 7.0, 8.0],
+        "c": ["x", "y", "x", "z", "y", "x", "q", "q", "r"],
+    })
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(src)
+    gb = GroupBy(
+        name="st", sources=(EventSource(table="s"),), key_columns=("k",),
+        aggregations=(
+            Aggregation("v", Operation.TOP_K, arg_map={"k": 2}, windows=(Window(1),)),
+            Aggregation("v", Operation.APPROX_PERCENTILE, arg_map={"percentiles": [0.5]}, windows=(Window(1),)),
+            Aggregation("c", Operation.UNIQUE_COUNT, windows=(Window(1),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    stream = spark.readStream.schema("k string, ts long, v double, c string").parquet(src)
+    tiles = streaming_tiles(gb, stream, hop="1 hour", watermark="0 seconds")
+    # complete mode + memory sink so the final (not-yet-watermarked) window
+    # lands; production appends into a tile store as watermarks advance
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("coll_tiles_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = fold_counter_tiles(spark.table("coll_tiles_out"))
+    rows = {r["k"]: r for r in got.collect()}
+    assert list(rows["a"]["__t_v_topk"]) == [6.0, 5.0]
+    assert list(rows["a"]["__t_v_vals"]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    assert dict(rows["a"]["__t_c_cnt"]) == {"x": 3, "y": 2, "z": 1}
+    assert dict(rows["b"]["__t_c_cnt"]) == {"q": 2, "r": 1}
