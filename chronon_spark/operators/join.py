@@ -132,11 +132,16 @@ def small_mode_key_values(
     """"Small mode" key collection (spark/JoinUtils.scala:296-351
     injectKeyFilter): when the left's distinct key set is under the cutoff,
     collect it to the driver as SQL literals per right key. Returns None
-    above the cutoff (broadcast-semi pruning applies instead)."""
-    dk = left.select(*left_keys).dropna().distinct()
-    rows = dk.limit(SMALL_MODE_CUTOFF + 1).collect()
-    if len(rows) > SMALL_MODE_CUTOFF:
+    above the cutoff (broadcast-semi pruning applies instead).
+
+    The trigger matches the reference: LEFT ROW COUNT under the cutoff
+    (JoinUtils.scala:300 leftRowCount) — a cheap early-stopping
+    limit+count probe — NOT distinct-key cardinality; a large left with
+    few keys is served better by the hash semi join than by a wide InSet
+    evaluated per scanned row (measured 2× slower at sf0.1)."""
+    if left.limit(SMALL_MODE_CUTOFF + 1).count() > SMALL_MODE_CUTOFF:
         return None
+    rows = left.select(*left_keys).dropna().distinct().collect()
 
     def lit(v):
         if isinstance(v, str):
