@@ -83,11 +83,16 @@ _PERCENTILE_LIKE = {Operation.APPROX_PERCENTILE}
 _KLIST_OPS = {Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K}
 _COUNTER_OPS = {
     Operation.UNIQUE_COUNT,
-    Operation.APPROX_UNIQUE_COUNT,
     Operation.BOUNDED_UNIQUE_COUNT,
     Operation.HISTOGRAM,
     Operation.APPROX_HISTOGRAM_K,
 }
+
+# HLL sketch parameters for APPROX_UNIQUE_COUNT tile IRs
+# (reference: CPC lgK=8, SimpleAggregators.scala:716-760; we use classic
+# HLL p=9 → 512 registers, rse ≈ 1.04/√512 ≈ 4.6%)
+HLL_P = 9
+HLL_M = 1 << HLL_P
 
 
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
@@ -213,6 +218,8 @@ def _needed_coll(gb: GroupBy) -> dict[str, dict[str, int | None]]:
 
         if op in _COUNTER_OPS:
             bump("cnt", None)
+        elif op is Operation.APPROX_UNIQUE_COUNT:
+            bump("hll", None)
         elif op is Operation.FIRST_K:
             bump("fstk", int(p.arg_map.get("k", 1)))
         elif op is Operation.LAST_K:
@@ -489,6 +496,46 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
     res = np.empty(nq, dtype=object)
     res[:] = None
 
+    if op is Operation.APPROX_UNIQUE_COUNT:
+        # HLL register stitch over the multi-level cover + head events:
+        # registers merge by max, estimate via the standard HLL formula
+        # with linear-counting small-range correction
+        d5, d1h, d1d = (ctx.hll_dense(col, lvl) for lvl in ("5m", "1h", "1d"))
+        h_idx, h_rho = ctx.hll_head(col)
+        e0, e1, e2, e3, e4, e5 = _gather_bounds(ctx.qt, ctx.head_start, p)
+        segs = [
+            (d5, np.searchsorted(ctx.t5_ts, e0), np.searchsorted(ctx.t5_ts, e1)),
+            (d1h, np.searchsorted(ctx.t1h_ts, e1), np.searchsorted(ctx.t1h_ts, e2)),
+            (d1d, np.searchsorted(ctx.t1d_ts, e2), np.searchsorted(ctx.t1d_ts, e3)),
+            (d1h, np.searchsorted(ctx.t1h_ts, e3), np.searchsorted(ctx.t1h_ts, e4)),
+            (d5, np.searchsorted(ctx.t5_ts, e4), np.searchsorted(ctx.t5_ts, e5)),
+        ]
+        alpha = 0.7213 / (1 + 1.079 / HLL_M)
+        pow2 = np.power(2.0, -np.arange(64, dtype=np.float64))
+        for i in range(nq):
+            regs = np.zeros(HLL_M, dtype=np.int8)
+            any_data = False
+            for dense, lo_a, hi_a in segs:
+                lo_i, hi_i = lo_a[i], hi_a[i]
+                if hi_i > lo_i and dense is not None and len(dense):
+                    np.maximum(regs, dense[lo_i:hi_i].max(axis=0), out=regs)
+                    any_data = True
+            lo_c = np.searchsorted(h_idx[0], hl[i], side="left")
+            hi_c = np.searchsorted(h_idx[0], h_hi[i], side="left")
+            sel = h_idx[0][lo_c:hi_c]
+            if len(sel):
+                np.maximum.at(regs, h_idx[1][sel], h_rho[sel])
+                any_data = True
+            if not any_data or not regs.any():
+                res[i] = None  # no contributing values in the window
+                continue
+            est = alpha * HLL_M * HLL_M / pow2[regs.astype(np.int64)].sum()
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * HLL_M and zeros > 0:
+                est = HLL_M * np.log(HLL_M / zeros)
+            res[i] = int(round(est))
+        return cast_fn(res, p, input_types[col])
+
     if op in _COUNTER_OPS:
         tmaps = ctx.ctile[(col, "cnt")]
         kk = p.arg_map.get("k")
@@ -628,6 +675,51 @@ class _CollCtx:
             frame = {"5m": self.tdf, "1h": self.t1h, "1d": self.t1d}[level]
             arrs = frame[_stat_col(col, kind)].to_numpy(object)
             self._packs[key] = _Pack(arrs, numeric=numeric, struct_v=struct_v)
+        return self._packs[key]
+
+    def hll_dense(self, col, level):
+        """Dense (tiles × HLL_M) uint8 register matrix for one level."""
+        key = ("__hll", col, level)
+        if key not in self._packs:
+            frame = {"5m": self.tdf, "1h": self.t1h, "1d": self.t1d}[level]
+            sc = _stat_col(col, "hll")
+            if sc not in frame.columns or not len(frame):
+                self._packs[key] = np.zeros((len(frame), HLL_M), dtype=np.uint8)
+            else:
+                maps = frame[sc].to_numpy(object)
+                rows, idxs, rhos = [], [], []
+                for r, m in enumerate(maps):
+                    if m:
+                        for k2, v in m.items():
+                            rows.append(r)
+                            idxs.append(k2)
+                            rhos.append(v)
+                dense = np.zeros((len(maps), HLL_M), dtype=np.uint8)
+                if rows:
+                    np.maximum.at(
+                        dense,
+                        (np.asarray(rows), np.asarray(idxs)),
+                        np.asarray(rhos, dtype=np.uint8),
+                    )
+                self._packs[key] = dense
+        return self._packs[key]
+
+    def hll_head(self, col):
+        """(non-null row positions, per-row idx) and per-row rho arrays."""
+        key = ("__hllh", col)
+        if key not in self._packs:
+            ic, rc = f"__hh_{col}_idx", f"__hh_{col}_rho"
+            if ic in self.hdf.columns and len(self.hdf):
+                idx = pd.to_numeric(self.hdf[ic], errors="coerce").to_numpy(np.float64)
+                rho = pd.to_numeric(self.hdf[rc], errors="coerce").to_numpy(np.float64)
+                nn = np.flatnonzero(~np.isnan(idx))
+                idx = np.nan_to_num(idx, nan=0.0).astype(np.int64)
+                rho = np.nan_to_num(rho, nan=0.0).astype(np.uint8)
+            else:
+                nn = np.empty(0, dtype=np.int64)
+                idx = np.empty(0, dtype=np.int64)
+                rho = np.empty(0, dtype=np.uint8)
+            self._packs[key] = ((nn, idx), rho)
         return self._packs[key]
 
     def numeric(self, col, input_types) -> bool:
@@ -926,7 +1018,7 @@ def temporal_events_tiled(
     coll_by_col = _needed_coll(gb)
     for c, kinds in coll_by_col.items():
         for kind, k in sorted(kinds.items()):
-            if kind == "cnt":
+            if kind in ("cnt", "hll"):  # built by their own two-stage rollups
                 continue
             aggs.append(F.expr(_coll_expr(c, kind, k)).alias(_stat_col(c, kind)))
     if not aggs:
@@ -964,6 +1056,36 @@ def temporal_events_tiled(
         )
         tiles = tiles.join(bt, keys + [TS_COL], "left")
 
+    # HLL register tile IRs for APPROX_UNIQUE_COUNT: idx = top-p bits of
+    # xxhash64(value), rho = leading-zero rank of the remaining bits
+    # (exact via length(bin(w)) — no float log); per-(key, tile) map of
+    # idx -> max(rho). Registers merge by MAX, so 1h/1d rollups and the
+    # kernel stitch are pure register maxima — the mergeable sketch IR the
+    # reference carries in its hops.
+    w_bits = 64 - HLL_P
+    for col, kinds in coll_by_col.items():
+        if "hll" not in kinds:
+            continue
+        h = f"xxhash64({col})"
+        idx = f"CAST(shiftrightunsigned({h}, {w_bits}) AS INT)"
+        w = f"({h} & {(1 << w_bits) - 1})"
+        rho = f"CAST(CASE WHEN {w} = 0 THEN {w_bits + 1} ELSE {w_bits + 1} - length(bin({w})) END AS INT)"
+        hm = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(col).isNotNull())
+            .select(*keys, "__tile", F.expr(idx).alias("__hidx"), F.expr(rho).alias("__hrho"))
+            .groupBy(*keys, "__tile", "__hidx")
+            .agg(F.max("__hrho").alias("__hr"))
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    "map_from_entries(collect_list(named_struct('key', __hidx, 'value', __hr)))"
+                ).alias(_stat_col(col, "hll"))
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(hm, keys + [TS_COL], "left")
+
     # counter-op tile IRs: value -> count maps per (key, tile)
     for col, kinds in coll_by_col.items():
         if "cnt" not in kinds:
@@ -987,6 +1109,26 @@ def temporal_events_tiled(
     # hop pyramid (Resolution.scala:37-47) — per-level top-k is the top-k
     # of the union of child-tile top-ks, so rollups stay capped at k
     level_frames = []
+    hll_cols = [c for c, kinds in coll_by_col.items() if "hll" in kinds]
+    for lvl_ms, tag in ((3_600_000, 2), (86_400_000, 3)):
+        for c in hll_cols:
+            sc = _stat_col(c, "hll")
+            lv = (
+                tiles.select(*keys, TS_COL, sc)
+                .withColumn("__t2", (F.col(TS_COL) / lvl_ms).cast("long") * lvl_ms)
+                .select(*keys, "__t2", F.explode(F.map_entries(F.col(sc))).alias("__e"))
+                .groupBy(*keys, "__t2", F.col("__e.key").alias("__hidx"))
+                .agg(F.max("__e.value").alias("__hr"))
+                .groupBy(*keys, "__t2")
+                .agg(
+                    F.expr(
+                        "map_from_entries(collect_list(named_struct('key', __hidx, 'value', __hr)))"
+                    ).alias(sc)
+                )
+                .withColumnRenamed("__t2", TS_COL)
+                .withColumn("__kind", F.lit(tag))
+            )
+            level_frames.append(lv)
     gather_cols = [
         (c, kind, k2)
         for c, kinds in coll_by_col.items()
@@ -1021,6 +1163,21 @@ def temporal_events_tiled(
         .drop("__tile")
         .withColumn("__kind", F.lit(1))
     )
+    hll_head_cols = []
+    for c in [cc for cc, kinds in coll_by_col.items() if "hll" in kinds]:
+        h = f"xxhash64({c})"
+        w = f"({h} & {(1 << (64 - HLL_P)) - 1})"
+        head_events = head_events.withColumn(
+            f"__hh_{c}_idx",
+            F.expr(f"CAST(shiftrightunsigned({h}, {64 - HLL_P}) AS INT)"),
+        ).withColumn(
+            f"__hh_{c}_rho",
+            F.expr(
+                f"CAST(CASE WHEN {w} = 0 THEN {64 - HLL_P + 1} "
+                f"ELSE {64 - HLL_P + 1} - length(bin({w})) END AS INT)"
+            ),
+        )
+        hll_head_cols += [f"__hh_{c}_idx", f"__hh_{c}_rho"]
 
     head_cols = sorted(
         set(stats_by_col)
@@ -1029,7 +1186,7 @@ def temporal_events_tiled(
         | {b for _, b in bucket_pairs}
     )
     combined = tiles.unionByName(head_events.select(
-        *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols]
+        *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols + hll_head_cols]
     ), allowMissingColumns=True)
     for lf in level_frames:
         combined = combined.unionByName(lf, allowMissingColumns=True)

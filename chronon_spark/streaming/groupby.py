@@ -49,7 +49,9 @@ _COLLECTION_STREAMABLE = {
     Operation.APPROX_PERCENTILE,
     Operation.UNIQUE_COUNT,
     Operation.BOUNDED_UNIQUE_COUNT,
-    Operation.APPROX_UNIQUE_COUNT,
+    # APPROX_UNIQUE_COUNT needs the two-stage HLL register rollup —
+    # a second stateful aggregation Structured Streaming forbids; stream
+    # UNIQUE_COUNT value lists instead or fold on the batch side
     Operation.HISTOGRAM,
     Operation.APPROX_HISTOGRAM_K,
 }

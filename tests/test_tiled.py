@@ -129,3 +129,54 @@ def test_tiled_equals_raw(spark):
     assert len(t) == len(r)
     for a, b in zip(t, r):
         assert allclose_feature(list(a), list(b)), (a, b)
+
+
+def test_tiled_hll_approx_unique(spark):
+    """APPROX_UNIQUE_COUNT on the tiled path is a true HLL register sketch
+    (p=9 → rse ≈ 4.6%): estimates within a 15% band of the exact distinct
+    count across windows, deterministic across runs."""
+    rng = np.random.default_rng(31)
+    n = 40_000
+    ev = pd.DataFrame(
+        {
+            "user": ["u0"] * n,
+            "ts": (T0 + rng.integers(0, 32 * MS_DAY, n)).astype(np.int64),
+            "price": rng.integers(1, 5000, n).astype(float),
+            "cat": rng.choice(["a", "b"], n),
+        }
+    )
+    gb = GroupBy(
+        name="h", sources=GB.sources, key_columns=("user",),
+        aggregations=(
+            Aggregation("price", Operation.APPROX_UNIQUE_COUNT, windows=(Window(7), None)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = pd.DataFrame({"user": ["u0"] * 50, "ts": (T0 + rng.integers(MS_DAY, 33 * MS_DAY, 50)).astype(np.int64)})
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(q)
+    out = temporal_events_tiled(spark, gb, q_df, ev_df)
+    rows = {r["ts"]: r for r in out.collect()}
+    ts_arr = ev["ts"].to_numpy()
+    pr = ev["price"].to_numpy()
+    checked = 0
+    for _, qrow in q.iterrows():
+        qt = int(qrow["ts"])
+        r = rows[qt]
+        for col, (lo_f, name) in {
+            "price_approx_unique_count_7d": (lambda t: ((t - 7 * MS_DAY) // 3_600_000) * 3_600_000, "7d"),
+            "price_approx_unique_count": (lambda t: -(1 << 62), "unb"),
+        }.items():
+            lo = lo_f(qt)
+            exact = len(np.unique(pr[(ts_arr >= lo) & (ts_arr < qt)]))
+            got = r[col]
+            if exact == 0:
+                assert got is None
+                continue
+            checked += 1
+            assert abs(got / exact - 1) < 0.15, (col, qt, got, exact)
+    assert checked > 50
+    # determinism
+    out2 = {r["ts"]: r for r in temporal_events_tiled(spark, gb, q_df, ev_df).collect()}
+    for t, r in rows.items():
+        assert out2[t]["price_approx_unique_count_7d"] == r["price_approx_unique_count_7d"]
