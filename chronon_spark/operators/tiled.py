@@ -229,7 +229,7 @@ def _needed_coll(gb: GroupBy) -> dict[str, dict[str, int | None]]:
         elif op is Operation.BOTTOM_K:
             bump("botk", int(p.arg_map.get("k", 1)))
         elif op in _PERCENTILE_LIKE:
-            bump("vals", None)
+            bump("vals", int(p.arg_map.get("accuracy", 128)))
     return {c: d for c, d in need.items() if d}
 
 
@@ -247,7 +247,21 @@ def _coll_expr(c: str, kind: str, k: int | None) -> str:
     if kind == "botk":
         return f"slice(array_sort(collect_list({c})), 1, {k})"
     if kind == "vals":
-        return f"array_sort(collect_list(CAST({c} AS DOUBLE)))"
+        # (count, <=S equi-rank samples): exact when the tile holds <=S
+        # values (5-min tiles almost always do); busier tiles degrade to a
+        # quantile sketch — APPROX_PERCENTILE's contract (reference: KLL
+        # k=128, SimpleAggregators.scala:762-802)
+        S = int(k or 128)
+        lst = f"array_sort(collect_list(CAST({c} AS DOUBLE)))"
+        sampled = (
+            f"CASE WHEN size({lst}) <= {S} THEN {lst} "
+            f"ELSE transform(sequence(0, {S} - 1), "
+            f"i -> element_at({lst}, CAST(floor(i * (size({lst}) - 1) / ({S} - 1)) AS INT) + 1)) END"
+        )
+        return (
+            f"CASE WHEN size({lst}) > 0 THEN "
+            f"named_struct('n', CAST(size({lst}) AS BIGINT), 'q', {sampled}) END"
+        )
     raise ValueError(kind)
 
 
@@ -487,6 +501,33 @@ def _gather_bounds(qt, hs, part):
     return e0, e1, e2, e3, e4, e5
 
 
+def _weighted_percentiles(vs: np.ndarray, ws: np.ndarray, qs) -> list[float]:
+    """Weighted linear-interpolated percentiles: position x = q·(Σw − 1);
+    identical to numpy's interpolation when all weights are 1 (the same
+    contract as the snapshot path's _pct_scan)."""
+    order = np.argsort(vs, kind="stable")
+    v = vs[order]
+    cum = np.cumsum(ws[order])
+    total = cum[-1]
+    pos = cum - 1.0
+    out = []
+    for q in qs:
+        x = q * (total - 1.0)
+        i = int(np.searchsorted(pos, x, side="left"))
+        if i <= 0:
+            out.append(float(v[0]))
+        elif i >= len(v):
+            out.append(float(v[-1]))
+        else:
+            p_prev, p_cur = pos[i - 1], pos[i]
+            if p_cur <= p_prev:
+                out.append(float(v[i]))
+            else:
+                f = (x - p_prev) / (p_cur - p_prev)
+                out.append(float(v[i - 1] + (v[i] - v[i - 1]) * f))
+    return out
+
+
 def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cast_fn):
     """Evaluate one collection part over tile IRs + raw head events."""
     op = p.operation
@@ -500,15 +541,16 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
         # HLL register stitch over the multi-level cover + head events:
         # registers merge by max, estimate via the standard HLL formula
         # with linear-counting small-range correction
-        d5, d1h, d1d = (ctx.hll_dense(col, lvl) for lvl in ("5m", "1h", "1d"))
+        lv = ctx.hll_levels(col)
+        (t5, d5), (t1h, d1h), (t1d, d1d) = lv["5m"], lv["1h"], lv["1d"]
         h_idx, h_rho = ctx.hll_head(col)
         e0, e1, e2, e3, e4, e5 = _gather_bounds(ctx.qt, ctx.head_start, p)
         segs = [
-            (d5, np.searchsorted(ctx.t5_ts, e0), np.searchsorted(ctx.t5_ts, e1)),
-            (d1h, np.searchsorted(ctx.t1h_ts, e1), np.searchsorted(ctx.t1h_ts, e2)),
-            (d1d, np.searchsorted(ctx.t1d_ts, e2), np.searchsorted(ctx.t1d_ts, e3)),
-            (d1h, np.searchsorted(ctx.t1h_ts, e3), np.searchsorted(ctx.t1h_ts, e4)),
-            (d5, np.searchsorted(ctx.t5_ts, e4), np.searchsorted(ctx.t5_ts, e5)),
+            (d5, np.searchsorted(t5, e0), np.searchsorted(t5, e1)),
+            (d1h, np.searchsorted(t1h, e1), np.searchsorted(t1h, e2)),
+            (d1d, np.searchsorted(t1d, e2), np.searchsorted(t1d, e3)),
+            (d1h, np.searchsorted(t1h, e3), np.searchsorted(t1h, e4)),
+            (d5, np.searchsorted(t5, e4), np.searchsorted(t5, e5)),
         ]
         alpha = 0.7213 / (1 + 1.079 / HLL_M)
         pow2 = np.power(2.0, -np.arange(64, dtype=np.float64))
@@ -627,20 +669,40 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
         return cast_fn(res, p, input_types[col])
 
     if op in _PERCENTILE_LIKE:
-        pack = ctx.pack(col, "vals", "5m", numeric=True)
+        # three-level weighted-sample gather: per-query work is
+        # O(day-tiles × S + rims × S), never O(window events) — the same
+        # hop-pyramid compression the other gathers use. Exact (numpy-
+        # identical interpolation) while every covered tile holds ≤S
+        # values, the APPROX contract otherwise.
+        lv = ctx.pct_levels(col)
         qs = p.arg_map.get("percentiles", [0.5])
         hnum = ctx.head_numeric(col)
+        e0, e1, e2, e3, e4, e5 = _gather_bounds(ctx.qt, ctx.head_start, p)
+        segs = [
+            (lv["5m"], np.searchsorted(lv["5m"][0], e0), np.searchsorted(lv["5m"][0], e1)),
+            (lv["1h"], np.searchsorted(lv["1h"][0], e1), np.searchsorted(lv["1h"][0], e2)),
+            (lv["1d"], np.searchsorted(lv["1d"][0], e2), np.searchsorted(lv["1d"][0], e3)),
+            (lv["1h"], np.searchsorted(lv["1h"][0], e3), np.searchsorted(lv["1h"][0], e4)),
+            (lv["5m"], np.searchsorted(lv["5m"][0], e4), np.searchsorted(lv["5m"][0], e5)),
+        ]
         for i in range(nq):
-            tile_part = pack.slice(t_lo[i], t_hi[i])
+            v_parts, w_parts = [], []
+            for (ts_a, off, vs, ws), lo_a, hi_a in segs:
+                a, b = off[lo_a[i]], off[hi_a[i]]
+                if b > a:
+                    v_parts.append(vs[a:b])
+                    w_parts.append(ws[a:b])
             lo_c = np.searchsorted(h_nn, hl[i], side="left")
             hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
             if hi_c > lo_c:
-                allv = np.concatenate([tile_part, hnum[h_nn[lo_c:hi_c]]])
-            elif len(tile_part):
-                allv = tile_part
-            else:
+                hv = hnum[h_nn[lo_c:hi_c]]
+                v_parts.append(hv)
+                w_parts.append(np.ones(len(hv)))
+            if not v_parts:
                 continue
-            res[i] = [float(np.percentile(allv, q * 100)) for q in qs]
+            res[i] = _weighted_percentiles(
+                np.concatenate(v_parts), np.concatenate(w_parts), qs
+            )
         return res
 
     raise ValueError(f"op {op} not collection-tileable")  # pragma: no cover
@@ -677,31 +739,108 @@ class _CollCtx:
             self._packs[key] = _Pack(arrs, numeric=numeric, struct_v=struct_v)
         return self._packs[key]
 
-    def hll_dense(self, col, level):
-        """Dense (tiles × HLL_M) uint8 register matrix for one level."""
-        key = ("__hll", col, level)
-        if key not in self._packs:
-            frame = {"5m": self.tdf, "1h": self.t1h, "1d": self.t1d}[level]
-            sc = _stat_col(col, "hll")
-            if sc not in frame.columns or not len(frame):
-                self._packs[key] = np.zeros((len(frame), HLL_M), dtype=np.uint8)
-            else:
-                maps = frame[sc].to_numpy(object)
-                rows, idxs, rhos = [], [], []
-                for r, m in enumerate(maps):
-                    if m:
-                        for k2, v in m.items():
-                            rows.append(r)
-                            idxs.append(k2)
-                            rhos.append(v)
-                dense = np.zeros((len(maps), HLL_M), dtype=np.uint8)
-                if rows:
-                    np.maximum.at(
-                        dense,
-                        (np.asarray(rows), np.asarray(idxs)),
-                        np.asarray(rhos, dtype=np.uint8),
-                    )
-                self._packs[key] = dense
+    def pct_levels(self, col):
+        """Per-level (tile_ts, sample offsets, values, weights) for the
+        percentile gather. 1h/1d levels are rolled up IN THE KERNEL from
+        the 5-min tile samples (weighted equi-rank resample back to S when
+        a coarse tile exceeds the budget) — no extra Spark stages, O(total
+        samples) per key."""
+        key = ("__pct", col)
+        if key in self._packs:
+            return self._packs[key]
+        sc = _stat_col(col, "vals")
+        structs = self.tdf[sc].to_numpy(object) if sc in self.tdf.columns else np.empty(0, object)
+
+        def base_level():
+            lens, v_parts, w_parts = [], [], []
+            for st in structs:
+                if st is None or not len(st["q"]):
+                    lens.append(0)
+                    continue
+                q = np.asarray(st["q"], dtype=np.float64)
+                lens.append(len(q))
+                v_parts.append(q)
+                w_parts.append(np.full(len(q), float(st["n"]) / len(q)))
+            off = np.concatenate([[0], np.cumsum(np.asarray(lens, dtype=np.int64))]).astype(np.int64)
+            vs = np.concatenate(v_parts) if v_parts else np.empty(0)
+            ws = np.concatenate(w_parts) if w_parts else np.empty(0)
+            return (self.t5_ts, off, vs, ws)
+
+        def rollup(child, lvl_ms, cap):
+            ts_c, off_c, vs_c, ws_c = child
+            if not len(ts_c):
+                e = np.empty(0)
+                return (np.empty(0, np.int64), np.zeros(1, np.int64), e, e)
+            coarse = (ts_c // lvl_ms) * lvl_ms
+            ts_out, v_parts, w_parts, lens = [], [], [], []
+            start = 0
+            n_t = len(ts_c)
+            while start < n_t:
+                end = start
+                while end < n_t and coarse[end] == coarse[start]:
+                    end += 1
+                a, b = off_c[start], off_c[end]
+                v, w = vs_c[a:b], ws_c[a:b]
+                if len(v) > cap:
+                    total = w.sum()
+                    qpts = np.linspace(0.0, 1.0, cap)
+                    v = np.asarray(_weighted_percentiles(v, w, qpts))
+                    w = np.full(cap, total / cap)
+                ts_out.append(coarse[start])
+                lens.append(len(v))
+                v_parts.append(v)
+                w_parts.append(w)
+                start = end
+            off = np.concatenate([[0], np.cumsum(np.asarray(lens, dtype=np.int64))]).astype(np.int64)
+            return (
+                np.asarray(ts_out, dtype=np.int64),
+                off,
+                np.concatenate(v_parts) if v_parts else np.empty(0),
+                np.concatenate(w_parts) if w_parts else np.empty(0),
+            )
+
+        cap = max(
+            (len(st["q"]) for st in structs if st is not None and len(st["q"])), default=128
+        )
+        cap = max(cap, 128)
+        l5 = base_level()
+        l1h = rollup(l5, 3_600_000, cap)
+        l1d = rollup(l1h, 86_400_000, cap)
+        self._packs[key] = {"5m": l5, "1h": l1h, "1d": l1d}
+        return self._packs[key]
+
+    def hll_levels(self, col):
+        """(tile_ts, dense register matrix) per level: the 5-min level from
+        the SQL tile maps, 1h/1d rolled up IN THE KERNEL by register-wise
+        np.maximum.reduceat (registers merge by max — no Spark stages)."""
+        key = ("__hll", col)
+        if key in self._packs:
+            return self._packs[key]
+        sc = _stat_col(col, "hll")
+        maps = self.tdf[sc].to_numpy(object) if sc in self.tdf.columns else np.empty(0, object)
+        lens = np.fromiter((len(m) if m else 0 for m in maps), dtype=np.int64, count=len(maps))
+        dense5 = np.zeros((len(maps), HLL_M), dtype=np.uint8)
+        total = int(lens.sum())
+        if total:
+            idxs = np.fromiter(
+                (k for m in maps if m for k in m.keys()), dtype=np.int64, count=total
+            )
+            rhos = np.fromiter(
+                (v for m in maps if m for v in m.values()), dtype=np.int64, count=total
+            ).astype(np.uint8)
+            rows = np.repeat(np.arange(len(maps)), lens)
+            np.maximum.at(dense5, (rows, idxs), rhos)
+
+        def roll(ts_c, dense_c, lvl_ms):
+            if not len(ts_c):
+                return ts_c, dense_c
+            coarse = (ts_c // lvl_ms) * lvl_ms
+            starts = np.flatnonzero(np.concatenate([[True], coarse[1:] != coarse[:-1]]))
+            return coarse[starts], np.maximum.reduceat(dense_c, starts, axis=0)
+
+        t1h, d1h = roll(self.t5_ts, dense5, 3_600_000)
+        t1d, d1d = roll(t1h, d1h, 86_400_000)
+        self._packs[key] = {"5m": (self.t5_ts, dense5), "1h": (t1h, d1h), "1d": (t1d, d1d)}
         return self._packs[key]
 
     def hll_head(self, col):
@@ -1109,26 +1248,6 @@ def temporal_events_tiled(
     # hop pyramid (Resolution.scala:37-47) — per-level top-k is the top-k
     # of the union of child-tile top-ks, so rollups stay capped at k
     level_frames = []
-    hll_cols = [c for c, kinds in coll_by_col.items() if "hll" in kinds]
-    for lvl_ms, tag in ((3_600_000, 2), (86_400_000, 3)):
-        for c in hll_cols:
-            sc = _stat_col(c, "hll")
-            lv = (
-                tiles.select(*keys, TS_COL, sc)
-                .withColumn("__t2", (F.col(TS_COL) / lvl_ms).cast("long") * lvl_ms)
-                .select(*keys, "__t2", F.explode(F.map_entries(F.col(sc))).alias("__e"))
-                .groupBy(*keys, "__t2", F.col("__e.key").alias("__hidx"))
-                .agg(F.max("__e.value").alias("__hr"))
-                .groupBy(*keys, "__t2")
-                .agg(
-                    F.expr(
-                        "map_from_entries(collect_list(named_struct('key', __hidx, 'value', __hr)))"
-                    ).alias(sc)
-                )
-                .withColumnRenamed("__t2", TS_COL)
-                .withColumn("__kind", F.lit(tag))
-            )
-            level_frames.append(lv)
     gather_cols = [
         (c, kind, k2)
         for c, kinds in coll_by_col.items()

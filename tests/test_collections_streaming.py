@@ -147,6 +147,8 @@ def test_streaming_collection_tiles(spark, tmp_path):
     got = fold_counter_tiles(spark.table("coll_tiles_out"))
     rows = {r["k"]: r for r in got.collect()}
     assert list(rows["a"]["__t_v_topk"]) == [6.0, 5.0]
-    assert list(rows["a"]["__t_v_vals"]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    # vals tile IR is now a (count, samples) quantile struct
+    assert rows["a"]["__t_v_vals"]["n"] == 6
+    assert list(rows["a"]["__t_v_vals"]["q"]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     assert dict(rows["a"]["__t_c_cnt"]) == {"x": 3, "y": 2, "z": 1}
     assert dict(rows["b"]["__t_c_cnt"]) == {"q": 2, "r": 1}
