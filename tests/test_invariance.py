@@ -142,3 +142,28 @@ def test_kernel_property(ev_ts, q_off, nulls):
                 got = list(got)
             exp = naive_feature(p, ets, evs, int(qt)) if len(edf) else None
             assert allclose_feature(got, exp), (qt, p.output_column, got, exp)
+
+
+def test_tiled_collection_partitioning_invariance(spark):
+    """Collection tile IRs (counter maps, k-heaps, quantile samples, HLL
+    registers) must be layout- and shuffle-width-invariant."""
+    from chronon_spark.operators.tiled import temporal_events_tiled
+    from tests.test_tiled import GB, _gen
+
+    ev, q = _gen(seed=41, n_events=700, n_queries=150)
+    gb = GB
+    outs = []
+    for rep, shuf in ((3, 4), (17, 7)):
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuf))
+        ev_df = spark.createDataFrame(ev).repartition(rep)
+        q_df = spark.createDataFrame(q).repartition(rep)
+        rows = temporal_events_tiled(spark, gb, q_df, ev_df).collect()
+        outs.append(sorted([r.asDict() for r in rows], key=lambda r: (r["user"], r["ts"])))
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    a, b = outs
+    assert len(a) == len(b)
+    cols = [p.output_column for p in gb.unpacked()]
+    for ra, rb in zip(a, b):
+        assert (ra["user"], ra["ts"]) == (rb["user"], rb["ts"])
+        for c in cols:
+            assert allclose_feature(ra[c], rb[c]), (ra["user"], ra["ts"], c, ra[c], rb[c])
