@@ -97,7 +97,10 @@ HLL_M = 1 << HLL_P
 
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
     if part.bucket is not None:
-        # bucketed additive ops tile as Map[bucket → stats] per tile
+        # bucketed additive ops tile as Map[bucket → stats] per tile;
+        # bucketed counter ops as Map[bucket → Map[value → count]]
+        if part.operation in _COUNTER_OPS:
+            return True
         if part.operation not in BUCKETED_TILEABLE:
             return False
         if part.operation is Operation.COUNT:
@@ -151,8 +154,29 @@ def split_by_tileability(
 
 
 def _needed_bucket_pairs(gb: GroupBy) -> list[tuple[str, str]]:
-    """(input_column, bucket_column) pairs used by bucketed parts."""
-    return sorted({(p.input_column, p.bucket) for p in gb.unpacked() if p.bucket is not None})
+    """(input_column, bucket_column) pairs used by bucketed ADDITIVE parts."""
+    return sorted(
+        {
+            (p.input_column, p.bucket)
+            for p in gb.unpacked()
+            if p.bucket is not None and p.operation not in _COUNTER_OPS
+        }
+    )
+
+
+def _needed_bucket_cnt(gb: GroupBy) -> list[tuple[str, str]]:
+    """(input, bucket) pairs needing nested value→count tile maps."""
+    return sorted(
+        {
+            (p.input_column, p.bucket)
+            for p in gb.unpacked()
+            if p.bucket is not None and p.operation in _COUNTER_OPS
+        }
+    )
+
+
+def _bcnt_col(col: str, bucket: str) -> str:
+    return f"__bc_{col}__{bucket}"
 
 
 def _bt_col(col: str, bucket: str, s: str) -> str:
@@ -499,6 +523,49 @@ def _gather_bounds(qt, hs, part):
     e4 = np.maximum(e3, f1h)
     e5 = hs
     return e0, e1, e2, e3, e4, e5
+
+
+def _slide_counter_bucketed(tmaps, hb, hv, hmask, t_lo, t_hi, hl, h_hi, order):
+    """Bucketed sliding multiset: nested {bucket: {value: net}} live state,
+    tiles carry Map[bucket → Map[value → count]]. Same two-stack
+    amortization as _slide_counter."""
+    live: dict = {}
+
+    def add(b, v, c=1):
+        sub = live.setdefault(b, {})
+        new = sub.get(v, 0) + c
+        if new == 0:
+            sub.pop(v, None)
+            if not sub:
+                live.pop(b, None)
+        else:
+            sub[v] = new
+
+    ta = tr = ha = hr = 0
+    for i in order:
+        while ta < t_hi[i]:
+            m = tmaps[ta]
+            if m:
+                for b, sub in m.items():
+                    for v, c in sub.items():
+                        add(b, v, int(c))
+            ta += 1
+        while tr < t_lo[i]:
+            m = tmaps[tr]
+            if m:
+                for b, sub in m.items():
+                    for v, c in sub.items():
+                        add(b, v, -int(c))
+            tr += 1
+        while ha < h_hi[i]:
+            if hmask[ha]:
+                add(hb[ha], hv[ha])
+            ha += 1
+        while hr < hl[i]:
+            if hmask[hr]:
+                add(hb[hr], hv[hr], -1)
+            hr += 1
+        yield i, live
 
 
 def _weighted_percentiles(vs: np.ndarray, ws: np.ndarray, qs) -> list[float]:
@@ -865,6 +932,23 @@ class _CollCtx:
         dt = input_types[col]
         return isinstance(dt, (T.NumericType, T.BooleanType))
 
+    def raw(self, col):
+        """(object values, not-null mask) for any head column (cached)."""
+        if col not in self.craw:
+            vals = self.hdf[col].to_numpy(object) if col in self.hdf.columns else np.empty(0, object)
+            cmask = np.array([v is not None and v == v for v in vals], dtype=bool)
+            self.craw[col] = (vals, cmask)
+        return self.craw[col]
+
+    def bcnt_tile(self, col, bucket) -> np.ndarray:
+        key = ("__bcnt", col, bucket)
+        if key not in self._packs:
+            c = _bcnt_col(col, bucket)
+            self._packs[key] = (
+                self.tdf[c].to_numpy(object) if c in self.tdf.columns else np.empty(0, object)
+            )
+        return self._packs[key]
+
     def h_nn(self, col) -> np.ndarray:
         if col not in self._hnn:
             self._hnn[col] = np.flatnonzero(self.craw[col][1])
@@ -887,12 +971,14 @@ def make_tiled_kernel(
     numeric_by_col: dict[str, bool],
     input_types: dict[str, T.DataType],
     coll_by_col: dict[str, dict[str, int | None]] | None = None,
+    bcnt_pairs: list[tuple[str, str]] | None = None,
 ):
     from chronon_spark.operators.temporal import _INTEGRAL, _cast_feature
 
     parts = gb.unpacked()
     bucket_pairs = _needed_bucket_pairs(gb)
     coll_by_col = coll_by_col or {}
+    bcnt_pairs = bcnt_pairs or []
     integral_by_col = {
         c: isinstance(input_types[c], _INTEGRAL) for c in input_types
     }
@@ -930,12 +1016,51 @@ def make_tiled_kernel(
         # arrive as native python values and must compare equal to heads)
         cctx = (
             _CollCtx(tdf, t1h, t1d, hdf, coll_by_col, qt, head_start)
-            if coll_by_col
+            if (coll_by_col or bcnt_pairs)
             else None
         )
-        q_order = np.argsort(qt, kind="stable") if coll_by_col else None
+        q_order = np.argsort(qt, kind="stable") if (coll_by_col or bcnt_pairs) else None
 
         for p in parts:
+            if p.bucket is not None and p.operation in _COUNTER_OPS:
+                tmaps = cctx.bcnt_tile(p.input_column, p.bucket)
+                hv, hvm = cctx.raw(p.input_column)
+                hb, hbm = cctx.raw(p.bucket)
+                hmask = hvm & hbm if len(hvm) else hvm
+                if p.window is None:
+                    t_lo = np.zeros(nq, dtype=np.int64)
+                    hl = h_lo
+                else:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                    t_lo = np.searchsorted(tile_ts, tail, side="left")
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                kk = p.arg_map.get("k")
+                k = int(p.arg_map.get("k", 1))
+                bres = np.empty(nq, dtype=object)
+                bres[:] = None
+                for i, live in _slide_counter_bucketed(
+                    tmaps, hb, hv, hmask, t_lo, t_hi, hl, h_hi, q_order
+                ):
+                    if not live:
+                        continue
+                    if p.operation is Operation.UNIQUE_COUNT:
+                        m = {str(b): int(len(sub)) for b, sub in live.items() if sub}
+                    elif p.operation is Operation.BOUNDED_UNIQUE_COUNT:
+                        m = {str(b): int(min(len(sub), k)) for b, sub in live.items() if sub}
+                    else:  # HISTOGRAM / APPROX_HISTOGRAM_K
+                        m = {}
+                        for b, sub in live.items():
+                            d = {str(v): int(c) for v, c in sub.items() if c > 0}
+                            if kk:
+                                d = dict(
+                                    sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)]
+                                )
+                            if d:
+                                m[str(b)] = d
+                    bres[i] = m if m else None
+                out[p.output_column] = bres
+                continue
             if p.bucket is not None:
                 bp = bcols[(p.input_column, p.bucket)]
                 if p.window is None:
@@ -1225,6 +1350,30 @@ def temporal_events_tiled(
         )
         tiles = tiles.join(hm, keys + [TS_COL], "left")
 
+    # bucketed counter-op tile IRs: Map[bucket -> Map[value -> count]]
+    # per (key, tile) via a three-level rollup
+    for col, bucket in _needed_bucket_cnt(gb):
+        bc = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(col).isNotNull() & F.col(bucket).isNotNull())
+            .groupBy(*keys, "__tile", bucket, col)
+            .agg(F.count("*").alias("__n"))
+            .groupBy(*keys, "__tile", bucket)
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {col}, 'value', __n)))"
+                ).alias("__vm")
+            )
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {bucket}, 'value', __vm)))"
+                ).alias(_bcnt_col(col, bucket))
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(bc, keys + [TS_COL], "left")
+
     # counter-op tile IRs: value -> count maps per (key, tile)
     for col, kinds in coll_by_col.items():
         if "cnt" not in kinds:
@@ -1298,11 +1447,12 @@ def temporal_events_tiled(
         )
         hll_head_cols += [f"__hh_{c}_idx", f"__hh_{c}_rho"]
 
+    bcnt_pairs = _needed_bucket_cnt(gb)
     head_cols = sorted(
         set(stats_by_col)
         | set(coll_by_col)
-        | {c for c, _ in bucket_pairs}
-        | {b for _, b in bucket_pairs}
+        | {c for c, _ in bucket_pairs} | {b for _, b in bucket_pairs}
+        | {c for c, _ in bcnt_pairs} | {b for _, b in bcnt_pairs}
     )
     combined = tiles.unionByName(head_events.select(
         *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols + hll_head_cols]
@@ -1327,7 +1477,7 @@ def temporal_events_tiled(
     }
     input_types = {c: ev_schema[c].dataType for c in stats_by_col}
     kernel = make_tiled_kernel(
-        gb, slim_cols, stats_by_col, numeric_by_col, input_types, coll_by_col
+        gb, slim_cols, stats_by_col, numeric_by_col, input_types, coll_by_col, bcnt_pairs
     )
     from chronon_spark.operators.temporal import kernel_partitions
 

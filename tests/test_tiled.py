@@ -34,6 +34,9 @@ AGGS = (
     Aggregation("price", Operation.COUNT, windows=(Window(7),), buckets=("cat",)),
     Aggregation("price", Operation.SUM, windows=(None,), buckets=("cat",)),
     Aggregation("price", Operation.AVERAGE, windows=(Window(3),), buckets=("cat",)),
+    # bucketed counter family: nested Map[bucket -> ...] tile IRs
+    Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(7),), buckets=("cat",)),
+    Aggregation("cat", Operation.HISTOGRAM, windows=(Window(14), None), buckets=("cat",)),
     # non-algebraic family: mergeable collection tile IRs
     Aggregation("cat", Operation.UNIQUE_COUNT, windows=(Window(7), None)),
     Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(14),)),
