@@ -184,6 +184,54 @@ def q_join_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-algebraic ops on the hop-TILED temporal path (mode='tiled'
+    forced): sliding-counter UNIQUE/HISTOGRAM, k-heap TOP_K/LAST_K with
+    1h/1d rollup levels, weighted-sample percentiles — each adjudicated
+    against DuckDB's naive as-of SQL."""
+    _utc(spark)
+    from chronon_spark.api.types import Accuracy, Aggregation, EventSource, GroupBy, Operation, Window
+    from chronon_spark.operators.temporal import temporal_events
+
+    ev = _events(spark, sf_dir)
+    gb = GroupBy(
+        name="tc",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("event_type", Operation.UNIQUE_COUNT, windows=(Window(7),)),
+            Aggregation("event_type", Operation.HISTOGRAM, windows=(Window(7),)),
+            Aggregation("value", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation("value", Operation.LAST_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation(
+                "value", Operation.APPROX_PERCENTILE,
+                arg_map={"percentiles": [0.5]}, windows=(Window(7),),
+            ),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = ev.select("event_id", "user_id", "ts")
+    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "value", "event_type"), mode="tiled")
+    return out.select(
+        "event_id",
+        F.col("event_type_unique_count_7d").alias("uniq_7d"),
+        F.expr(
+            "CASE WHEN event_type_histogram_7d IS NULL THEN NULL ELSE "
+            "concat_ws(',', transform(array_sort(map_keys(event_type_histogram_7d)), "
+            "k -> concat(k, ':', cast(element_at(event_type_histogram_7d, k) AS string)))) END"
+        ).alias("type_hist_7d"),
+        F.expr(
+            "CASE WHEN value_top_k_3_7d IS NULL THEN NULL ELSE "
+            "concat_ws(',', transform(value_top_k_3_7d, x -> format_string('%.6f', x))) END"
+        ).alias("top3_7d"),
+        F.expr(
+            "CASE WHEN value_last_k_3_7d IS NULL THEN NULL ELSE "
+            "concat_ws(',', transform(value_last_k_3_7d, x -> format_string('%.6f', x))) END"
+        ).alias("last3_7d"),
+        F.round(F.expr("element_at(value_approx_percentile_7d, 1)"), 6).alias("p50_7d"),
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from chronon_spark.operators.features import lag_lead
@@ -668,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_snapshot": q_groupby_snapshot,
         "groupby_temporal": q_groupby_temporal,
         "join_backfill": q_join_backfill,
+        "temporal_collections": q_temporal_collections,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -755,6 +804,36 @@ SELECT q.event_id,
        NULLIF(count(CASE WHEN e.tms < q.dd * CAST({MS_DAY} AS BIGINT) AND e.tms >= q.dd * CAST({MS_DAY} AS BIGINT) - {MS_3D} THEN e.value END), 0) AS s_value_count_3d
 FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
 GROUP BY q.event_id
+""",
+        "temporal_collections": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value, event_type FROM events),
+pairs AS (
+  SELECT q.event_id, e.value, e.event_type, e.tms
+  FROM ev q JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+       AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H}
+),
+base AS (
+  SELECT q.event_id,
+         NULLIF(count(DISTINCT p.event_type), 0) AS uniq_7d,
+         (list(p.value ORDER BY p.value DESC, p.tms) FILTER (WHERE p.value IS NOT NULL))[1:3] AS topv,
+         (list(p.value ORDER BY p.tms DESC) FILTER (WHERE p.value IS NOT NULL))[1:3] AS lastv,
+         quantile_cont(p.value, 0.5) AS p50
+  FROM ev q LEFT JOIN pairs p ON p.event_id = q.event_id
+  GROUP BY q.event_id
+),
+hist AS (
+  SELECT event_id, event_type, count(*) AS n FROM pairs GROUP BY event_id, event_type
+),
+hs AS (
+  SELECT event_id,
+         string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_hist_7d
+  FROM hist GROUP BY event_id
+)
+SELECT b.event_id, b.uniq_7d, hs.type_hist_7d,
+       CASE WHEN len(b.topv) > 0 THEN array_to_string(list_transform(b.topv, x -> printf('%.6f', x)), ',') END AS top3_7d,
+       CASE WHEN len(b.lastv) > 0 THEN array_to_string(list_transform(b.lastv, x -> printf('%.6f', x)), ',') END AS last3_7d,
+       round(CAST(b.p50 AS DOUBLE), 6) AS p50_7d
+FROM base b LEFT JOIN hs ON hs.event_id = b.event_id
 """,
         "lag_lead": """
 SELECT event_id,
