@@ -25,6 +25,12 @@ the window's k-selection is contained in the union of per-tile
 k-selections + head), and per-tile sorted value arrays
 (APPROX_PERCENTILE — exact). temporal_events(mode="auto") picks this
 path when every part qualifies, else the exact raw kernel.
+
+Tie semantics: events sharing an exact timestamp are ordered by
+(ts, value) inside tiles — deterministic across layouts. The reference
+leaves equal-ts order unspecified (partition iteration order), so
+FIRST/LAST/K-list selections among exact-tie events may differ from the
+raw kernel's input-order pick; every other aggregate is tie-insensitive.
 """
 
 from __future__ import annotations

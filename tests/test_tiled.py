@@ -183,3 +183,54 @@ def test_tiled_hll_approx_unique(spark):
     out2 = {r["ts"]: r for r in temporal_events_tiled(spark, gb, q_df, ev_df).collect()}
     for t, r in rows.items():
         assert out2[t]["price_approx_unique_count_7d"] == r["price_approx_unique_count_7d"]
+
+
+def test_tiled_fuzz_vs_naive(spark):
+    """Hypothesis-style adversarial fuzz (deterministic seeds): tiny/empty
+    tiles, all-null stretches, duplicate timestamps on tile boundaries,
+    single-event keys — tiled collection kernel vs the naive oracle."""
+    parts_gb = GroupBy(
+        name="fz", sources=GB.sources, key_columns=("user",),
+        aggregations=(
+            Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(1), None)),
+            Aggregation("cat", Operation.HISTOGRAM, windows=(Window(2),)),
+            Aggregation("price", Operation.LAST_K, windows=(Window(1),), arg_map={"k": 2}),
+            Aggregation("price", Operation.TOP_K, windows=(Window(30),), arg_map={"k": 2}),
+            Aggregation("price", Operation.APPROX_PERCENTILE, windows=(Window(2),),
+                        arg_map={"percentiles": [0.0, 1.0]}),
+            Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(1),), buckets=("cat",)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    parts = parts_gb.unpacked()
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(1, 60))
+        ts = T0 + rng.integers(0, 3 * MS_DAY, n)
+        ev = pd.DataFrame({
+            "user": rng.choice(["a", "b"], n),
+            "ts": ts.astype(np.int64),
+            "cat": rng.choice(["x", None], n, p=[0.8, 0.2]),
+        })
+        # force boundary/duplicate timestamps; price is a FUNCTION of ts so
+        # equal-ts ties (whose order the reference leaves unspecified —
+        # partition iteration order) cannot change any aggregate value
+        ev.loc[ev.index % 5 == 0, "ts"] = (ev["ts"].iloc[0] // 300_000) * 300_000
+        ev["price"] = (ev["ts"] % 7).astype(float)
+        ev.loc[ev.index % 9 == 0, "price"] = None
+        q_ts = np.concatenate([ts[: min(5, n)], T0 + rng.integers(0, 4 * MS_DAY, 10)])
+        q = pd.DataFrame({"user": rng.choice(["a", "b", "c"], len(q_ts)), "ts": q_ts.astype(np.int64)})
+        out = [r.asDict() for r in temporal_events_tiled(
+            spark, parts_gb, spark.createDataFrame(q), spark.createDataFrame(ev)
+        ).collect()]
+        by_user = {u: g.sort_values("ts", kind="mergesort") for u, g in ev.groupby("user")}
+        for row in out:
+            g = by_user.get(row["user"])
+            for p in parts:
+                exp = None if g is None else naive_feature(
+                    p, g["ts"].to_numpy(np.int64), g[p.input_column].to_numpy(object),
+                    int(row["ts"]), buckets=g["cat"].to_numpy(object) if p.bucket else None,
+                )
+                assert allclose_feature(row[p.output_column], exp), (
+                    seed, row["user"], row["ts"], p.output_column, row[p.output_column], exp,
+                )
