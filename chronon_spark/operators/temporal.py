@@ -26,9 +26,11 @@ query's aggregate with vectorized numpy inside an Arrow-batched
 
 This is the same asymptotic shape as the reference's TwoStackLite
 (windowing/TwoStackLiteAggregator.scala:26-120) but batch-vectorized.
-Skew note: one key's events land in one Arrow batch; the scale path
-(hop pre-tiling that compresses events to ≤ days×24 hop IRs per key
-before the cogroup) is the planned round-2 optimization for hot keys.
+Skew note: one key's events land in one Arrow batch, so this RAW kernel
+is the exact-but-small-key path; ``mode="auto"`` routes every tileable
+GroupBy (now including the whole collection family) to operators/
+tiled.py, whose hop pre-tiling compresses a hot key to per-tile IRs
+before the cogroup (measured 6.8× at a 1.5M-event key, BENCH §8).
 """
 
 from __future__ import annotations
