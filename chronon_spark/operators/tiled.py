@@ -104,8 +104,9 @@ HLL_M = 1 << HLL_P
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
     if part.bucket is not None:
         # bucketed additive ops tile as Map[bucket → stats] per tile;
-        # bucketed counter ops as Map[bucket → Map[value → count]]
-        if part.operation in _COUNTER_OPS:
+        # bucketed counter ops as Map[bucket → Map[value → count]];
+        # bucketed k-lists as Map[bucket → k-capped array]
+        if part.operation in _COUNTER_OPS or part.operation in _KLIST_OPS:
             return True
         if part.operation not in BUCKETED_TILEABLE:
             return False
@@ -165,7 +166,9 @@ def _needed_bucket_pairs(gb: GroupBy) -> list[tuple[str, str]]:
         {
             (p.input_column, p.bucket)
             for p in gb.unpacked()
-            if p.bucket is not None and p.operation not in _COUNTER_OPS
+            if p.bucket is not None
+            and p.operation not in _COUNTER_OPS
+            and p.operation not in _KLIST_OPS
         }
     )
 
@@ -183,6 +186,29 @@ def _needed_bucket_cnt(gb: GroupBy) -> list[tuple[str, str]]:
 
 def _bcnt_col(col: str, bucket: str) -> str:
     return f"__bc_{col}__{bucket}"
+
+
+_KLIST_KIND = {
+    Operation.FIRST_K: "fstk",
+    Operation.LAST_K: "lstk",
+    Operation.TOP_K: "topk",
+    Operation.BOTTOM_K: "botk",
+}
+
+
+def _needed_bucket_klist(gb: GroupBy) -> list[tuple[str, str, str, int]]:
+    """(input, bucket, kind, max_k) quadruples for bucketed k-list parts."""
+    need: dict[tuple[str, str, str], int] = {}
+    for p in gb.unpacked():
+        if p.bucket is None or p.operation not in _KLIST_OPS:
+            continue
+        key = (p.input_column, p.bucket, _KLIST_KIND[p.operation])
+        need[key] = max(need.get(key, 0), int(p.arg_map.get("k", 1)))
+    return sorted((c, b, kind, k) for (c, b, kind), k in need.items())
+
+
+def _bkl_col(col: str, bucket: str, kind: str) -> str:
+    return f"__bk_{col}__{bucket}__{kind}"
 
 
 def _bt_col(col: str, bucket: str, s: str) -> str:
@@ -601,6 +627,66 @@ def _weighted_percentiles(vs: np.ndarray, ws: np.ndarray, qs) -> list[float]:
     return out
 
 
+def _eval_bucketed_klist(p, ctx, t_lo, t_hi, hl, h_hi, nq, input_types):
+    """Bucketed FIRST_K/LAST_K/TOP_K/BOTTOM_K over the multi-level cover:
+    per-tile Map[bucket → k-capped array] (rolled up per bucket in the
+    kernel), per-query per-bucket merge of the covered arrays + head
+    events. Tiles and segments are visited in ascending time order, so
+    first/last-k slices stay exact."""
+    from chronon_spark.operators.temporal import _INTEGRAL
+
+    op = p.operation
+    kind = _KLIST_KIND[op]
+    col, bucket = p.input_column, p.bucket
+    k = int(p.arg_map.get("k", 1))
+    lv = ctx.bklist_levels(col, bucket, kind, k)
+    e0, e1, e2, e3, e4, e5 = _gather_bounds(ctx.qt, ctx.head_start, p)
+    segs = [
+        (lv["5m"], np.searchsorted(lv["5m"][0], e0), np.searchsorted(lv["5m"][0], e1)),
+        (lv["1h"], np.searchsorted(lv["1h"][0], e1), np.searchsorted(lv["1h"][0], e2)),
+        (lv["1d"], np.searchsorted(lv["1d"][0], e2), np.searchsorted(lv["1d"][0], e3)),
+        (lv["1h"], np.searchsorted(lv["1h"][0], e3), np.searchsorted(lv["1h"][0], e4)),
+        (lv["5m"], np.searchsorted(lv["5m"][0], e4), np.searchsorted(lv["5m"][0], e5)),
+    ]
+    hv, hvm = ctx.raw(col)
+    hb, hbm = ctx.raw(bucket)
+    hmask = (hvm & hbm) if len(hvm) else hvm
+    h_nn = np.flatnonzero(hmask)
+    to_long = isinstance(input_types[col], _INTEGRAL)
+    res = np.empty(nq, dtype=object)
+    res[:] = None
+    for i in range(nq):
+        acc: dict = {}
+        for (ts_a, maps), lo_a, hi_a in segs:
+            for j in range(lo_a[i], hi_a[i]):
+                m = maps[j]
+                if m:
+                    for b, arr in m.items():
+                        acc.setdefault(b, []).append(arr)
+        lo_c = np.searchsorted(h_nn, hl[i], side="left")
+        hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
+        for idx in h_nn[lo_c:hi_c]:
+            acc.setdefault(hb[idx], []).append([hv[idx]])
+        if not acc:
+            continue
+        m_out = {}
+        for b, parts_b in acc.items():
+            vals = np.concatenate([np.asarray(a, dtype=object) for a in parts_b])
+            if op is Operation.FIRST_K:
+                sel = list(vals[:k])
+            elif op is Operation.LAST_K:
+                sel = list(vals[-k:][::-1])
+            elif op is Operation.TOP_K:
+                sel = list(np.sort(vals)[::-1][:k])
+            else:
+                sel = list(np.sort(vals)[:k])
+            if to_long:
+                sel = [int(x) for x in sel]
+            m_out[str(b)] = sel
+        res[i] = m_out if m_out else None
+    return res
+
+
 def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cast_fn):
     """Evaluate one collection part over tile IRs + raw head events."""
     op = p.operation
@@ -882,6 +968,68 @@ class _CollCtx:
         self._packs[key] = {"5m": l5, "1h": l1h, "1d": l1d}
         return self._packs[key]
 
+    def bklist_levels(self, col, bucket, kind, k):
+        """Per-level (tile_ts, per-tile Map[bucket → value array]) for one
+        bucketed k-list stat; 1h/1d rolled up per bucket in the kernel.
+        Struct TimeTuples are unwrapped to plain values up front (time
+        order is preserved by construction)."""
+        key = ("__bkl", col, bucket, kind, k)
+        if key in self._packs:
+            return self._packs[key]
+        sc = _bkl_col(col, bucket, kind)
+        raw_maps = self.tdf[sc].to_numpy(object) if sc in self.tdf.columns else np.empty(0, object)
+        struct_v = kind in ("fstk", "lstk")
+        maps5 = []
+        for m in raw_maps:
+            if not m:
+                maps5.append(None)
+                continue
+            maps5.append(
+                {b: [st["v"] for st in arr] if struct_v else list(arr) for b, arr in m.items()}
+            )
+
+        cap = k  # the part's own k bounds every rollup slice
+
+        def merge_arrays(parts):
+            vals = [v for a in parts for v in a]
+            if kind == "fstk":
+                return vals[:cap]
+            if kind == "lstk":
+                return vals[-cap:]
+            vs = np.sort(np.asarray(vals, dtype=object))
+            return list(vs[::-1][:cap]) if kind == "topk" else list(vs[:cap])
+
+        def roll(ts_c, maps_c, lvl_ms):
+            if not len(ts_c):
+                return ts_c, maps_c
+            coarse = (ts_c // lvl_ms) * lvl_ms
+            ts_out, maps_out = [], []
+            start, n_t = 0, len(ts_c)
+            while start < n_t:
+                end = start
+                grouped: dict = {}
+                while end < n_t and coarse[end] == coarse[start]:
+                    m = maps_c[end]
+                    if m:
+                        for b, arr in m.items():
+                            grouped.setdefault(b, []).append(arr)
+                    end += 1
+                ts_out.append(coarse[start])
+                maps_out.append(
+                    {b: merge_arrays(parts) for b, parts in grouped.items()} if grouped else None
+                )
+                start = end
+            return np.asarray(ts_out, dtype=np.int64), maps_out
+
+        t1h, m1h = roll(self.t5_ts, maps5, 3_600_000)
+        t1d, m1d = roll(t1h, m1h, 86_400_000)
+        self._packs[key] = {
+            "5m": (self.t5_ts, maps5),
+            "1h": (t1h, m1h),
+            "1d": (t1d, m1d),
+        }
+        return self._packs[key]
+
     def hll_levels(self, col):
         """(tile_ts, dense register matrix) per level: the 5-min level from
         the SQL tile maps, 1h/1d rolled up IN THE KERNEL by register-wise
@@ -978,6 +1126,7 @@ def make_tiled_kernel(
     input_types: dict[str, T.DataType],
     coll_by_col: dict[str, dict[str, int | None]] | None = None,
     bcnt_pairs: list[tuple[str, str]] | None = None,
+    bkl_quads: list[tuple[str, str, str, int]] | None = None,
 ):
     from chronon_spark.operators.temporal import _INTEGRAL, _cast_feature
 
@@ -985,6 +1134,7 @@ def make_tiled_kernel(
     bucket_pairs = _needed_bucket_pairs(gb)
     coll_by_col = coll_by_col or {}
     bcnt_pairs = bcnt_pairs or []
+    bkl_quads = bkl_quads or []
     integral_by_col = {
         c: isinstance(input_types[c], _INTEGRAL) for c in input_types
     }
@@ -1022,12 +1172,29 @@ def make_tiled_kernel(
         # arrive as native python values and must compare equal to heads)
         cctx = (
             _CollCtx(tdf, t1h, t1d, hdf, coll_by_col, qt, head_start)
-            if (coll_by_col or bcnt_pairs)
+            if (coll_by_col or bcnt_pairs or bkl_quads)
             else None
         )
-        q_order = np.argsort(qt, kind="stable") if (coll_by_col or bcnt_pairs) else None
+        q_order = (
+            np.argsort(qt, kind="stable")
+            if (coll_by_col or bcnt_pairs or bkl_quads)
+            else None
+        )
 
         for p in parts:
+            if p.bucket is not None and p.operation in _KLIST_OPS:
+                if p.window is None:
+                    t_lo = np.zeros(nq, dtype=np.int64)
+                    hl = h_lo
+                else:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                    t_lo = np.searchsorted(tile_ts, tail, side="left")
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                out[p.output_column] = _eval_bucketed_klist(
+                    p, cctx, t_lo, t_hi, hl, h_hi, nq, input_types
+                )
+                continue
             if p.bucket is not None and p.operation in _COUNTER_OPS:
                 tmaps = cctx.bcnt_tile(p.input_column, p.bucket)
                 hv, hvm = cctx.raw(p.input_column)
@@ -1380,6 +1547,23 @@ def temporal_events_tiled(
         )
         tiles = tiles.join(bc, keys + [TS_COL], "left")
 
+    # bucketed k-list tile IRs: Map[bucket -> k-capped array] per (key, tile)
+    for col, bucket, kind, k in _needed_bucket_klist(gb):
+        bk = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(col).isNotNull() & F.col(bucket).isNotNull())
+            .groupBy(*keys, "__tile", bucket)
+            .agg(F.expr(_coll_expr(col, kind, k)).alias("__arr"))
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {bucket}, 'value', __arr)))"
+                ).alias(_bkl_col(col, bucket, kind))
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(bk, keys + [TS_COL], "left")
+
     # counter-op tile IRs: value -> count maps per (key, tile)
     for col, kinds in coll_by_col.items():
         if "cnt" not in kinds:
@@ -1454,11 +1638,13 @@ def temporal_events_tiled(
         hll_head_cols += [f"__hh_{c}_idx", f"__hh_{c}_rho"]
 
     bcnt_pairs = _needed_bucket_cnt(gb)
+    bkl_quads = _needed_bucket_klist(gb)
     head_cols = sorted(
         set(stats_by_col)
         | set(coll_by_col)
         | {c for c, _ in bucket_pairs} | {b for _, b in bucket_pairs}
         | {c for c, _ in bcnt_pairs} | {b for _, b in bcnt_pairs}
+        | {c for c, _, _, _ in bkl_quads} | {b for _, b, _, _ in bkl_quads}
     )
     combined = tiles.unionByName(head_events.select(
         *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols + hll_head_cols]
@@ -1483,7 +1669,8 @@ def temporal_events_tiled(
     }
     input_types = {c: ev_schema[c].dataType for c in stats_by_col}
     kernel = make_tiled_kernel(
-        gb, slim_cols, stats_by_col, numeric_by_col, input_types, coll_by_col, bcnt_pairs
+        gb, slim_cols, stats_by_col, numeric_by_col, input_types, coll_by_col,
+        bcnt_pairs, bkl_quads,
     )
     from chronon_spark.operators.temporal import kernel_partitions
 
