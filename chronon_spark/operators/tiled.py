@@ -108,6 +108,12 @@ def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
         # bucketed k-lists as Map[bucket → k-capped array]
         if part.operation in _COUNTER_OPS or part.operation in _KLIST_OPS:
             return True
+        if part.operation in _PERCENTILE_LIKE:
+            if ev_schema is None:
+                return True
+            return isinstance(
+                ev_schema[part.input_column].dataType, (T.NumericType, T.BooleanType)
+            )
         if part.operation not in BUCKETED_TILEABLE:
             return False
         if part.operation is Operation.COUNT:
@@ -169,6 +175,7 @@ def _needed_bucket_pairs(gb: GroupBy) -> list[tuple[str, str]]:
             if p.bucket is not None
             and p.operation not in _COUNTER_OPS
             and p.operation not in _KLIST_OPS
+            and p.operation not in _PERCENTILE_LIKE
         }
     )
 
@@ -209,6 +216,21 @@ def _needed_bucket_klist(gb: GroupBy) -> list[tuple[str, str, str, int]]:
 
 def _bkl_col(col: str, bucket: str, kind: str) -> str:
     return f"__bk_{col}__{bucket}__{kind}"
+
+
+def _needed_bucket_pct(gb: GroupBy) -> list[tuple[str, str, int]]:
+    """(input, bucket, sample budget) for bucketed percentile parts."""
+    need: dict[tuple[str, str], int] = {}
+    for p in gb.unpacked():
+        if p.bucket is None or p.operation not in _PERCENTILE_LIKE:
+            continue
+        key = (p.input_column, p.bucket)
+        need[key] = max(need.get(key, 0), int(p.arg_map.get("accuracy", 128)))
+    return sorted((c, b, s_) for (c, b), s_ in need.items())
+
+
+def _bpc_col(col: str, bucket: str) -> str:
+    return f"__bp_{col}__{bucket}"
 
 
 def _bt_col(col: str, bucket: str, s: str) -> str:
@@ -627,6 +649,54 @@ def _weighted_percentiles(vs: np.ndarray, ws: np.ndarray, qs) -> list[float]:
     return out
 
 
+def _eval_bucketed_pct(p, ctx, hl, h_hi, nq):
+    """Bucketed APPROX_PERCENTILE over the multi-level cover: per-tile
+    Map[bucket → (n, ≤S samples)], kernel-side per-bucket weighted
+    rollups, per-query per-bucket weighted interpolation."""
+    col, bucket = p.input_column, p.bucket
+    s_budget = int(p.arg_map.get("accuracy", 128))
+    qs = p.arg_map.get("percentiles", [0.5])
+    lv = ctx.bpct_levels(col, bucket, s_budget)
+    e0, e1, e2, e3, e4, e5 = _gather_bounds(ctx.qt, ctx.head_start, p)
+    segs = [
+        (lv["5m"], np.searchsorted(lv["5m"][0], e0), np.searchsorted(lv["5m"][0], e1)),
+        (lv["1h"], np.searchsorted(lv["1h"][0], e1), np.searchsorted(lv["1h"][0], e2)),
+        (lv["1d"], np.searchsorted(lv["1d"][0], e2), np.searchsorted(lv["1d"][0], e3)),
+        (lv["1h"], np.searchsorted(lv["1h"][0], e3), np.searchsorted(lv["1h"][0], e4)),
+        (lv["5m"], np.searchsorted(lv["5m"][0], e4), np.searchsorted(lv["5m"][0], e5)),
+    ]
+    hv, hvm = ctx.raw(col)
+    hb, hbm = ctx.raw(bucket)
+    hmask = (hvm & hbm) if len(hvm) else hvm
+    h_nn = np.flatnonzero(hmask)
+    res = np.empty(nq, dtype=object)
+    res[:] = None
+    for i in range(nq):
+        acc: dict = {}
+        for (ts_a, maps), lo_a, hi_a in segs:
+            for j in range(lo_a[i], hi_a[i]):
+                m = maps[j]
+                if m:
+                    for b, (vs, ws) in m.items():
+                        acc.setdefault(b, ([], []))
+                        acc[b][0].append(vs)
+                        acc[b][1].append(ws)
+        lo_c = np.searchsorted(h_nn, hl[i], side="left")
+        hi_c = np.searchsorted(h_nn, h_hi[i], side="left")
+        for idx in h_nn[lo_c:hi_c]:
+            b = hb[idx]
+            acc.setdefault(b, ([], []))
+            acc[b][0].append(np.asarray([float(hv[idx])]))
+            acc[b][1].append(np.asarray([1.0]))
+        if not acc:
+            continue
+        res[i] = {
+            str(b): _weighted_percentiles(np.concatenate(vp), np.concatenate(wp), qs)
+            for b, (vp, wp) in acc.items()
+        }
+    return res
+
+
 def _eval_bucketed_klist(p, ctx, t_lo, t_hi, hl, h_hi, nq, input_types):
     """Bucketed FIRST_K/LAST_K/TOP_K/BOTTOM_K over the multi-level cover:
     per-tile Map[bucket → k-capped array] (rolled up per bucket in the
@@ -1030,6 +1100,62 @@ class _CollCtx:
         }
         return self._packs[key]
 
+    def bpct_levels(self, col, bucket, s_budget):
+        """Per-level (tile_ts, per-tile Map[bucket → (values, weights)])
+        for bucketed percentiles; kernel-side weighted-resample rollups."""
+        key = ("__bpc", col, bucket, s_budget)
+        if key in self._packs:
+            return self._packs[key]
+        sc = _bpc_col(col, bucket)
+        raw_maps = self.tdf[sc].to_numpy(object) if sc in self.tdf.columns else np.empty(0, object)
+        maps5 = []
+        for m in raw_maps:
+            if not m:
+                maps5.append(None)
+                continue
+            conv = {}
+            for b, st in m.items():
+                q = np.asarray(st["q"], dtype=np.float64)
+                conv[b] = (q, np.full(len(q), float(st["n"]) / len(q)))
+            maps5.append(conv)
+
+        def roll(ts_c, maps_c, lvl_ms):
+            if not len(ts_c):
+                return ts_c, maps_c
+            coarse = (ts_c // lvl_ms) * lvl_ms
+            ts_out, maps_out = [], []
+            start, n_t = 0, len(ts_c)
+            while start < n_t:
+                end = start
+                grouped: dict = {}
+                while end < n_t and coarse[end] == coarse[start]:
+                    m = maps_c[end]
+                    if m:
+                        for b, (vs, ws) in m.items():
+                            grouped.setdefault(b, ([], []))
+                            grouped[b][0].append(vs)
+                            grouped[b][1].append(ws)
+                    end += 1
+                merged = {}
+                for b, (vp, wp) in grouped.items():
+                    v = np.concatenate(vp)
+                    w = np.concatenate(wp)
+                    if len(v) > s_budget:
+                        total = w.sum()
+                        qpts = np.linspace(0.0, 1.0, s_budget)
+                        v = np.asarray(_weighted_percentiles(v, w, qpts))
+                        w = np.full(s_budget, total / s_budget)
+                    merged[b] = (v, w)
+                ts_out.append(coarse[start])
+                maps_out.append(merged if merged else None)
+                start = end
+            return np.asarray(ts_out, dtype=np.int64), maps_out
+
+        t1h, m1h = roll(self.t5_ts, maps5, 3_600_000)
+        t1d, m1d = roll(t1h, m1h, 86_400_000)
+        self._packs[key] = {"5m": (self.t5_ts, maps5), "1h": (t1h, m1h), "1d": (t1d, m1d)}
+        return self._packs[key]
+
     def hll_levels(self, col):
         """(tile_ts, dense register matrix) per level: the 5-min level from
         the SQL tile maps, 1h/1d rolled up IN THE KERNEL by register-wise
@@ -1182,6 +1308,17 @@ def make_tiled_kernel(
         )
 
         for p in parts:
+            if p.bucket is not None and p.operation in _PERCENTILE_LIKE:
+                if p.window is None:
+                    t_lo = np.zeros(nq, dtype=np.int64)
+                    hl = h_lo
+                else:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                    t_lo = np.searchsorted(tile_ts, tail, side="left")
+                    hl = np.maximum(h_lo, np.searchsorted(head_ts, tail, side="left"))
+                out[p.output_column] = _eval_bucketed_pct(p, cctx, hl, h_hi, nq)
+                continue
             if p.bucket is not None and p.operation in _KLIST_OPS:
                 if p.window is None:
                     t_lo = np.zeros(nq, dtype=np.int64)
@@ -1547,6 +1684,23 @@ def temporal_events_tiled(
         )
         tiles = tiles.join(bc, keys + [TS_COL], "left")
 
+    # bucketed percentile tile IRs: Map[bucket -> (n, <=S samples)] per tile
+    for col, bucket, s_budget in _needed_bucket_pct(gb):
+        bp = (
+            events.withColumn("__tile", tile_col)
+            .filter(F.col(col).isNotNull() & F.col(bucket).isNotNull())
+            .groupBy(*keys, "__tile", bucket)
+            .agg(F.expr(_coll_expr(col, "vals", s_budget)).alias("__pq"))
+            .groupBy(*keys, "__tile")
+            .agg(
+                F.expr(
+                    f"map_from_entries(collect_list(named_struct('key', {bucket}, 'value', __pq)))"
+                ).alias(_bpc_col(col, bucket))
+            )
+            .withColumnRenamed("__tile", TS_COL)
+        )
+        tiles = tiles.join(bp, keys + [TS_COL], "left")
+
     # bucketed k-list tile IRs: Map[bucket -> k-capped array] per (key, tile)
     for col, bucket, kind, k in _needed_bucket_klist(gb):
         bk = (
@@ -1639,12 +1793,14 @@ def temporal_events_tiled(
 
     bcnt_pairs = _needed_bucket_cnt(gb)
     bkl_quads = _needed_bucket_klist(gb)
+    bpc_trips = _needed_bucket_pct(gb)
     head_cols = sorted(
         set(stats_by_col)
         | set(coll_by_col)
         | {c for c, _ in bucket_pairs} | {b for _, b in bucket_pairs}
         | {c for c, _ in bcnt_pairs} | {b for _, b in bcnt_pairs}
         | {c for c, _, _, _ in bkl_quads} | {b for _, b, _, _ in bkl_quads}
+        | {c for c, _, _ in bpc_trips} | {b for _, b, _ in bpc_trips}
     )
     combined = tiles.unionByName(head_events.select(
         *keys, TS_COL, "__kind", *[F.col(c) for c in head_cols + hll_head_cols]

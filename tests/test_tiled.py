@@ -37,6 +37,9 @@ AGGS = (
     # bucketed counter family: nested Map[bucket -> ...] tile IRs
     Aggregation("price", Operation.UNIQUE_COUNT, windows=(Window(7),), buckets=("cat",)),
     Aggregation("cat", Operation.HISTOGRAM, windows=(Window(14), None), buckets=("cat",)),
+    # bucketed percentiles: Map[bucket -> (n, samples)] tile IRs
+    Aggregation("price", Operation.APPROX_PERCENTILE, windows=(Window(14), None),
+                arg_map={"percentiles": [0.5, 0.9]}, buckets=("cat",)),
     # bucketed k-lists: Map[bucket -> k-capped array] tile IRs
     Aggregation("price", Operation.LAST_K, windows=(Window(7),), arg_map={"k": 2}, buckets=("cat",)),
     Aggregation("price", Operation.TOP_K, windows=(Window(14), None), arg_map={"k": 3}, buckets=("cat",)),
@@ -88,12 +91,12 @@ def _gen(seed=17, n_events=900, n_queries=300, n_keys=5):
 
 
 def test_is_tileable():
-    assert is_tileable(GB)  # every op family incl. bucketed counters/k-lists
-    # bucketed percentiles are the one remaining raw-kernel fallback
+    # EVERY op × bucket combination rides the tiled path
+    assert is_tileable(GB)
     gb2 = GroupBy(name="x", sources=GB.sources, key_columns=("user",),
                   aggregations=(Aggregation("price", Operation.APPROX_PERCENTILE,
                                             arg_map={"percentiles": [0.5]}, buckets=("cat",)),))
-    assert not is_tileable(gb2)
+    assert is_tileable(gb2)
 
 
 def test_tiled_vs_naive(spark):
