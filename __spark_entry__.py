@@ -544,16 +544,36 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_PAGES_PATH = os.path.join(_ROOT, ".oracle_data", "webtext_pages_20k")
 
 
+def _fixture_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-independent content hash) over the oracle columns."""
+    r = df.select(
+        F.xxhash64(F.concat_ws("\x1f", "url", F.col("ts").cast("string"),
+                               F.col("text_len").cast("string"), "lang", "text")).alias("h")
+    ).select(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("h")).collect()[0]
+    return int(r["n"]), int(r["h"] or 0)
+
+
 def _flagship_pages(spark: SparkSession) -> DataFrame:
     """Deterministic 20k-row webtext fixture, also materialized as parquet
-    so the DuckDB oracle reads the exact same rows."""
+    so the DuckDB oracle reads the exact same rows. Freshness-validated:
+    a committed parquet that diverges from generate_webtext (e.g. after a
+    generator change) fails LOUDLY here instead of surfacing as a
+    confusing downstream hash mismatch."""
     from chronon_spark.fixtures.webtext import generate_webtext
 
     pages = generate_webtext(spark, n_rows=20_000, n_urls=500, days=60)
+    oracle_cols = pages.select("url", "ts", "text_len", "lang", "text")
     if not os.path.exists(os.path.join(FLAGSHIP_PAGES_PATH, "_SUCCESS")):
-        pages.select("url", "ts", "text_len", "lang", "text").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(FLAGSHIP_PAGES_PATH)
+        oracle_cols.coalesce(1).write.mode("overwrite").parquet(FLAGSHIP_PAGES_PATH)
+    else:
+        want = _fixture_fingerprint(oracle_cols)
+        got = _fixture_fingerprint(spark.read.parquet(FLAGSHIP_PAGES_PATH))
+        if want != got:
+            raise RuntimeError(
+                f"stale webtext oracle fixture at {FLAGSHIP_PAGES_PATH}: "
+                f"generated (rows, hash)={want} vs on-disk {got}; "
+                f"delete the directory to regenerate"
+            )
     return pages
 
 
@@ -816,7 +836,7 @@ base AS (
   SELECT q.event_id,
          NULLIF(count(DISTINCT p.event_type), 0) AS uniq_7d,
          (list(p.value ORDER BY p.value DESC, p.tms) FILTER (WHERE p.value IS NOT NULL))[1:3] AS topv,
-         (list(p.value ORDER BY p.tms DESC) FILTER (WHERE p.value IS NOT NULL))[1:3] AS lastv,
+         (list(p.value ORDER BY p.tms DESC, p.value DESC) FILTER (WHERE p.value IS NOT NULL))[1:3] AS lastv,
          quantile_cont(p.value, 0.5) AS p50
   FROM ev q LEFT JOIN pairs p ON p.event_id = q.event_id
   GROUP BY q.event_id

@@ -186,21 +186,54 @@ def _moments_direct(inp: str, op: Operation) -> Column:
     return F.expr(f"CASE WHEN {n} > 0 THEN {body} END")
 
 
+def _let_sql(value_expr: str, var: str, body: str) -> str:
+    """SQL let-binding via a 1-element transform: evaluates ``value_expr``
+    ONCE and binds it as lambda variable ``var`` inside ``body``. Needed
+    because expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element (no CSE inside lambda bodies) — e.g. an
+    element_at(sort_array(...), i) inside transform would re-sort per
+    element."""
+    return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+
+
+def _rle_count_entries(sorted_lst: str) -> str:
+    """Run-length count entries over a SORTED array: one O(n) pass instead
+    of a size(filter(...)) scan per distinct value (which is
+    O(distinct × n) — quadratic on high-cardinality columns). Boundary
+    positions (1-based) where the value changes close a run; run length =
+    boundary − previous boundary. The sorted array and the boundary array
+    are let-bound so they are computed once, not per element."""
+    ends = (
+        "filter(transform(sequence(1, size(__lst)), i -> "
+        "CASE WHEN i = size(__lst) OR element_at(__lst, i) != element_at(__lst, i + 1) "
+        "THEN i END), x -> x IS NOT NULL)"
+    )
+    entries = (
+        "transform(sequence(1, size(__ends)), j -> named_struct("
+        "'key', element_at(__lst, element_at(__ends, j)), "
+        "'value', CAST(element_at(__ends, j) - "
+        "CASE WHEN j = 1 THEN 0 ELSE element_at(__ends, j - 1) END AS BIGINT)))"
+    )
+    return _let_sql(sorted_lst, "__lst", _let_sql(ends, "__ends", entries))
+
+
+def _topk_entries(entries: str, k: int) -> str:
+    """Top-k entries by (count desc, key asc) — the reference's histogram
+    truncation order (SimpleAggregators.scala:250-322)."""
+    return (
+        f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
+        f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {k})"
+    )
+
+
 def _hist_finalize(list_col: str, part: AggregationPart) -> Column:
     """Build Map[String, Long] counts from a collected string array via
-    higher-order functions (no UDF). Optional top-k truncation at finalize
-    (SimpleAggregators.scala:250-322)."""
-    distinct = f"array_distinct({list_col})"
-    entries = (
-        f"transform({distinct}, kk -> named_struct("
-        f"'key', kk, 'value', size(filter({list_col}, xx -> xx = kk))))"
-    )
+    a sorted run-length pass (no UDF). Optional top-k truncation at
+    finalize (SimpleAggregators.scala:250-322)."""
+    entries = _rle_count_entries(f"array_sort({list_col})")
     k = part.arg_map.get("k")
     if k:
-        entries = (
-            f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
-            f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {int(k)})"
-        )
+        entries = _topk_entries(entries, int(k))
     return F.expr(
         f"CASE WHEN {list_col} IS NOT NULL AND size({list_col}) > 0 "
         f"THEN map_from_entries({entries}) END"
@@ -331,6 +364,22 @@ def _pct_samples(part: AggregationPart) -> int:
     return int(part.arg_map.get("accuracy", 128))
 
 
+def equirank_sample_struct(lst: str, s: int) -> str:
+    """(n, q) equi-rank sample struct over a sorted-array expression ``lst``
+    with budget ``s`` — let-bound so the sorted array is built once, not
+    once per sampled element. Shared with the tiled kernel's tile IRs."""
+    sampled = (
+        f"CASE WHEN size(__lst) <= {s} THEN __lst "
+        f"ELSE transform(sequence(0, {s} - 1), "
+        f"i -> element_at(__lst, CAST(floor(i * (size(__lst) - 1) / ({s} - 1)) AS INT) + 1)) END"
+    )
+    body = (
+        f"CASE WHEN size(__lst) > 0 THEN "
+        f"named_struct('n', CAST(size(__lst) AS BIGINT), 'q', {sampled}) END"
+    )
+    return _let_sql(lst, "__lst", body)
+
+
 def _pct_ir(inp: str, part: AggregationPart) -> Column:
     """Compact mergeable day IR: (count, ≤S equi-rank samples). Days with
     ≤S values keep every value — the merge is then EXACT (numpy-identical
@@ -338,14 +387,7 @@ def _pct_ir(inp: str, part: AggregationPart) -> Column:
     which is the reference's own contract for APPROX_PERCENTILE."""
     s = _pct_samples(part)
     lst = f"sort_array(collect_list(CAST({inp} AS DOUBLE)))"
-    sampled = (
-        f"CASE WHEN size({lst}) <= {s} THEN {lst} "
-        f"ELSE transform(sequence(0, {s} - 1), "
-        f"i -> element_at({lst}, CAST(floor(i * (size({lst}) - 1) / ({s} - 1)) AS INT) + 1)) END"
-    )
-    return F.expr(
-        f"CASE WHEN size({lst}) > 0 THEN named_struct('n', size({lst}), 'q', {sampled}) END"
-    )
+    return F.expr(equirank_sample_struct(lst, s))
 
 
 def _pct_merge(ir: str) -> WindowMerge:
@@ -413,34 +455,68 @@ _register(
 def _hist_ir(inp: str) -> Column:
     """Day IR = Map[value → count] (matches the reference's Histogram IR,
     SimpleAggregators.scala:250-322) instead of the raw value list — the
-    window merge then moves O(distinct/day), not O(events/day)."""
-    lst = f"collect_list({inp})"
-    ks = f"array_distinct({lst})"
+    window merge then moves O(distinct/day), not O(events/day). Built by
+    one sorted run-length pass: O(n log n) per key-day, never
+    O(distinct × n)."""
+    lst = f"sort_array(collect_list({inp}))"
     return F.expr(
-        f"CASE WHEN size({lst}) > 0 THEN map_from_entries(transform({ks}, "
-        f"kk -> named_struct('key', kk, 'value', CAST(size(filter({lst}, x -> x = kk)) AS BIGINT)))) END"
+        f"CASE WHEN size({lst}) > 0 THEN map_from_entries({_rle_count_entries(lst)}) END"
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Column-level let-binding (see _let_sql): evaluate ``value`` once,
+    bind it as a lambda variable inside ``body``."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _hist_map_merge(ir: str) -> WindowMerge:
+    """Merge day count-maps over the window frame: flatten entries, sort by
+    key, sum each key-run — O(E log E) in total entries E per output row
+    (the prior per-distinct re-filter was O(distinct²)). Intermediate
+    arrays are let-bound so nothing is re-evaluated per element."""
+
     def fn(w):
-        ents = F.flatten(
-            F.transform(F.collect_list(ir).over(w), lambda m: F.map_entries(m))
+        ents0 = F.array_sort(
+            F.flatten(F.transform(F.collect_list(ir).over(w), lambda m: F.map_entries(m)))
         )
-        ks = F.array_distinct(F.transform(ents, lambda e: e["key"]))
-        return F.map_from_entries(
-            F.transform(
-                ks,
-                lambda kk: F.struct(
-                    kk.alias("key"),
-                    F.aggregate(
-                        F.filter(ents, lambda e: e["key"] == kk),
-                        F.lit(0).cast("long"),
-                        lambda a, e: a + e["value"],
-                    ).alias("value"),
+
+        def with_ents(ents):
+            n = F.size(ents)
+            ends0 = F.filter(
+                F.transform(
+                    ents,
+                    lambda e, i: F.when(
+                        (i == n - 1) | (e["key"] != F.element_at(ents, i + 2)["key"]), i + 1
+                    ),
                 ),
+                lambda x: x.isNotNull(),
             )
-        )
+
+            def with_ends(ends):
+                merged = F.transform(
+                    ends,
+                    lambda endpos, j: F.struct(
+                        F.element_at(ents, endpos)["key"].alias("key"),
+                        F.aggregate(
+                            F.slice(
+                                ents,
+                                F.when(j == 0, F.lit(1)).otherwise(
+                                    F.element_at(ends, j) + 1
+                                ),
+                                endpos
+                                - F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda a, e: a + e["value"],
+                        ).alias("value"),
+                    ),
+                )
+                return F.map_from_entries(merged)
+
+            return _let(ends0, with_ends)
+
+        return _let(ents0, with_ents)
 
     return _wm(fn)
 
@@ -474,16 +550,8 @@ def _hist_ir_capped(inp: str, part: AggregationPart) -> Column:
     (SimpleAggregators.scala:459-601); exact whenever a day holds ≤ 8k
     distinct values."""
     cap = 8 * int(part.arg_map.get("k", 8))
-    lst = f"collect_list({inp})"
-    ks = f"array_distinct({lst})"
-    entries = (
-        f"transform({ks}, kk -> named_struct("
-        f"'key', kk, 'value', CAST(size(filter({lst}, x -> x = kk)) AS BIGINT)))"
-    )
-    entries = (
-        f"slice(array_sort({entries}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
-        f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END), 1, {cap})"
-    )
+    lst = f"sort_array(collect_list({inp}))"
+    entries = _topk_entries(_rle_count_entries(lst), cap)
     return F.expr(f"CASE WHEN size({lst}) > 0 THEN map_from_entries({entries}) END")
 
 

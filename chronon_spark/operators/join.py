@@ -126,8 +126,50 @@ def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str
 SMALL_MODE_CUTOFF = 5000  # spark.chronon.join.small_mode_cutoff (TableUtils.scala:348-351)
 
 
+def _probe_left_small(left: DataFrame) -> bool:
+    """Early-stopping row-count probe (JoinUtils.scala:300 leftRowCount).
+    Split out so join_backfill can run it ONCE per backfill and share the
+    verdict across parts (the reference caches leftDf's row count)."""
+    return left.limit(SMALL_MODE_CUTOFF + 1).count() <= SMALL_MODE_CUTOFF
+
+
+def _sql_literal(v) -> str | None:
+    """Render one key value as a Spark SQL literal. Returns None for types
+    with no safe literal form — the caller then falls back to the semi-join
+    path instead of injecting a silently-wrong IN filter.
+
+    Typed rendering matters: str(date) would parse as integer arithmetic
+    (2024-01-15 = 2008) and unescaped backslashes corrupt string literals
+    (Spark SQL strings are backslash-escaped by default)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None  # NaN/inf never equal anything useful in an IN list
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"CAST('{v}' AS DECIMAL(38, 18))"
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    return None
+
+
 def small_mode_key_values(
-    left: DataFrame, left_keys: list[str], right_keys: list[str]
+    left: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    is_small: bool | None = None,
 ) -> dict[str, list[str]] | None:
     """"Small mode" key collection (spark/JoinUtils.scala:296-351
     injectKeyFilter): when the left's distinct key set is under the cutoff,
@@ -138,24 +180,27 @@ def small_mode_key_values(
     (JoinUtils.scala:300 leftRowCount) — a cheap early-stopping
     limit+count probe — NOT distinct-key cardinality; a large left with
     few keys is served better by the hash semi join than by a wide InSet
-    evaluated per scanned row (measured 2× slower at sf0.1)."""
-    if left.limit(SMALL_MODE_CUTOFF + 1).count() > SMALL_MODE_CUTOFF:
+    evaluated per scanned row (measured 2× slower at sf0.1).
+
+    ``is_small``: pre-computed probe verdict (join_backfill probes once and
+    reuses it across parts); None means probe here."""
+    if is_small is None:
+        is_small = _probe_left_small(left)
+    if not is_small:
         return None
     rows = left.select(*left_keys).dropna().distinct().collect()
 
-    def lit(v):
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        return str(v)
-
     out = {}
     for lk, rk in zip(left_keys, right_keys):
-        vals = sorted({lit(r[lk]) for r in rows})
+        vals = set()
+        for r in rows:
+            lit = _sql_literal(r[lk])
+            if lit is None:
+                return None  # unliteralizable key type → semi-join path
+            vals.add(lit)
         if not vals:
             return None
-        out[rk] = vals
+        out[rk] = sorted(vals)
     return out
 
 
@@ -215,16 +260,22 @@ def compute_join_part(
     left_end: str,
     skew_keys=None,
     small_mode: bool = True,
+    left_is_small: bool | None = None,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
-    (ts | ds), feature columns prefixed with the part's full prefix."""
+    (ts | ds), feature columns prefixed with the part's full prefix.
+
+    ``left_is_small``: shared probe verdict from join_backfill (one
+    limit+count per backfill, not one per part)."""
     gb = part.group_by
     r2l = part.right_to_left()  # right key -> left col
     right_keys = list(gb.key_columns)
     left_keys = [r2l[k] for k in right_keys]
 
     key_values = (
-        small_mode_key_values(left, left_keys, right_keys) if small_mode else None
+        small_mode_key_values(left, left_keys, right_keys, is_small=left_is_small)
+        if small_mode
+        else None
     )
     rights = [
         render_any_source(
@@ -316,6 +367,14 @@ def join_backfill(
     # (spark/Join.scala:464-558)
     left, covered_sets = bootstrap_fold(left, join, spark)
 
+    # persist the folded left: every part probes/collects keys against it
+    # and the final fold re-reads it — without a persist the whole left
+    # plan (scan + bootstrap joins) re-executes 2×/part (the reference
+    # caches leftDf, spark/JoinBase.scala:423-466)
+    left = left.persist()
+    # ONE small-mode probe per backfill, shared across parts
+    left_is_small = _probe_left_small(left) if join.right_parts else False
+
     def part_input(part: JoinPart) -> DataFrame:
         """Rows the part must actually compute: bootstrap-covered rows are
         skipped (findUnfilledRecords, spark/Join.scala:566-584); the fold's
@@ -345,7 +404,8 @@ def join_backfill(
         def materialize(part: JoinPart):
             table = f"{join.name}__{part.full_prefix}"
             feats, join_cols = compute_join_part(
-                spark, part_input(part), part, start_ds, end_ds, join.skew_keys
+                spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
+                left_is_small=left_is_small,
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -364,7 +424,8 @@ def join_backfill(
     else:
         for part in join.right_parts:
             feats, join_cols = compute_join_part(
-                spark, part_input(part), part, start_ds, end_ds, join.skew_keys
+                spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
+                left_is_small=left_is_small,
             )
             out = coalesced_join(out, feats, join_cols, "left")
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from chronon_spark.api.types import AggregationPart, GroupBy, Operation
+from chronon_spark.functions.sketches import HLL_M, hll_estimate, hll_idx_rho_exprs
 from chronon_spark.sources.scan import TS_COL, null_key_filter
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
@@ -128,12 +129,25 @@ class _SparseTable:
 class _EventCol:
     """Per-input-column precomputation shared across parts/windows."""
 
-    def __init__(self, series: pd.Series, numeric: bool):
+    def __init__(self, series: pd.Series, numeric: bool, integral: bool = False):
         self.numeric = numeric
+        self.integral = integral
         if numeric:
             vals = pd.to_numeric(series, errors="coerce").to_numpy(dtype=np.float64)
             self.mask = ~np.isnan(vals)
             self.vals = vals
+            if integral:
+                # exact long SUM: int64 prefix sums (running totals beyond
+                # 2^53 stay exact — same contract as the tiled kernel's
+                # int64 tile-prefix, tiled.py _TilePrefix). Values arrive
+                # int64-exact from Arrow when the column has no nulls.
+                if pd.api.types.is_integer_dtype(series.dtype):
+                    ivals = series.to_numpy(dtype=np.int64)
+                else:
+                    ivals = np.nan_to_num(vals, nan=0.0).astype(np.int64)
+                self._ipsum = np.empty(len(ivals) + 1, dtype=np.int64)
+                self._ipsum[0] = 0
+                np.cumsum(np.where(self.mask, ivals, 0), out=self._ipsum[1:])
         else:
             self.raw = series.to_numpy(dtype=object)
             self.mask = np.array([v is not None and v == v for v in self.raw], dtype=bool)
@@ -205,10 +219,10 @@ def _compute_part(
     if op is Operation.COUNT:
         return _obj([int(c) for c in cnt], has)
     if op is Operation.SUM:
+        if col.integral:
+            s = col._ipsum[hi] - col._ipsum[lo]
+            return _obj([int(x) for x in s], has)
         s = col.psum[hi] - col.psum[lo]
-        if col.numeric:
-            # integral sums stay long; detect via compact dtype later at Arrow
-            pass
         return _obj([float(x) for x in s], has)
     if op is Operation.AVERAGE:
         s = col.psum[hi] - col.psum[lo]
@@ -334,6 +348,7 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
     numeric_cols = {
         f.name: isinstance(f.dataType, (T.NumericType, T.BooleanType)) for f in events_schema.fields
     }
+    integral_cols = {f.name: isinstance(f.dataType, _INTEGRAL) for f in events_schema.fields}
     input_types = {f.name: f.dataType for f in events_schema.fields}
 
     def kernel(qdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
@@ -358,9 +373,31 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
         def event_col(name: str, frame: pd.DataFrame = None) -> _EventCol:
             if frame is None:
                 if name not in cols:
-                    cols[name] = _EventCol(edf[name], numeric_cols[name])
+                    cols[name] = _EventCol(edf[name], numeric_cols[name], integral_cols[name])
                 return cols[name]
-            return _EventCol(frame[name], numeric_cols[name])
+            return _EventCol(frame[name], numeric_cols[name], integral_cols[name])
+
+        def hll_eval(frame: pd.DataFrame, name: str, lo: np.ndarray, hi: np.ndarray):
+            """APPROX_UNIQUE_COUNT via the shared HLL register sketch:
+            JVM-hashed (idx, rho) per event (null-guarded), register max
+            over each query's event range — the SAME estimator the tiled
+            kernel stitches from tile maps (functions/sketches.py)."""
+            idx = pd.to_numeric(frame[f"__hh_{name}_idx"], errors="coerce").to_numpy(np.float64)
+            rho = pd.to_numeric(frame[f"__hh_{name}_rho"], errors="coerce").to_numpy(np.float64)
+            pos = np.flatnonzero(~np.isnan(idx))
+            cidx = idx[pos].astype(np.int64)
+            crho = rho[pos].astype(np.uint8)
+            a = np.searchsorted(pos, lo, side="left")
+            b = np.searchsorted(pos, hi, side="left")
+            out = np.empty(len(lo), dtype=object)
+            out[:] = None
+            for i in range(len(lo)):
+                if b[i] <= a[i]:
+                    continue
+                regs = np.zeros(HLL_M, dtype=np.uint8)
+                np.maximum.at(regs, cidx[a[i]:b[i]], crho[a[i]:b[i]])
+                out[i] = hll_estimate(regs)
+            return out
 
         for p in parts:
             if p.window is None:
@@ -370,7 +407,10 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
                 tail_t = ((qt - w) // hop) * hop  # floor-to-hop grid (sawtooth tail)
                 lo = np.searchsorted(ev_ts, tail_t, side="left")
             if p.bucket is None:
-                vals = _compute_part(p, event_col(p.input_column), lo, head)
+                if p.operation is Operation.APPROX_UNIQUE_COUNT:
+                    vals = hll_eval(edf, p.input_column, lo, head)
+                else:
+                    vals = _compute_part(p, event_col(p.input_column), lo, head)
                 out[p.output_column] = _cast_feature(vals, p, input_types[p.input_column])
             else:
                 # bucketed: per distinct bucket value, compute on the event
@@ -392,12 +432,15 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
                         sub_lo = np.zeros(nq, dtype=np.int64)
                     else:
                         sub_lo = np.searchsorted(sub_ts, tail_t, side="left")
-                    scol = _EventCol(sub[p.input_column], numeric_cols[p.input_column])
-                    vals = _cast_feature(
-                        _compute_part(stripped, scol, sub_lo, sub_head),
-                        stripped,
-                        input_types[p.input_column],
-                    )
+                    if p.operation is Operation.APPROX_UNIQUE_COUNT:
+                        raw_vals = hll_eval(sub, p.input_column, sub_lo, sub_head)
+                    else:
+                        scol = _EventCol(
+                            sub[p.input_column], numeric_cols[p.input_column],
+                            integral_cols[p.input_column],
+                        )
+                        raw_vals = _compute_part(stripped, scol, sub_lo, sub_head)
+                    vals = _cast_feature(raw_vals, stripped, input_types[p.input_column])
                     for i, v in enumerate(vals):
                         if v is not None and v is not pd.NA:
                             maps[i][bval] = v
@@ -486,6 +529,17 @@ def _temporal_events_impl(
     )
     events = events.select(*keys, TS_COL, *needed)
     ev_schema = events.schema
+
+    # APPROX_UNIQUE inputs get JVM-side HLL (idx, rho) columns so the raw
+    # kernel answers with the SAME sketch the tiled path uses (no Python
+    # hashing, estimator parity across mode="raw"/"tiled")
+    for c in sorted(
+        {p.input_column for p in parts if p.operation is Operation.APPROX_UNIQUE_COUNT}
+    ):
+        idx_expr, rho_expr = hll_idx_rho_exprs(c)
+        events = events.withColumn(f"__hh_{c}_idx", idx_expr).withColumn(
+            f"__hh_{c}_rho", rho_expr
+        )
 
     events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
     # queries and events often derive from the same frame (e.g. features at

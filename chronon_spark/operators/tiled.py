@@ -96,9 +96,14 @@ _COUNTER_OPS = {
 
 # HLL sketch parameters for APPROX_UNIQUE_COUNT tile IRs
 # (reference: CPC lgK=8, SimpleAggregators.scala:716-760; we use classic
-# HLL p=9 → 512 registers, rse ≈ 1.04/√512 ≈ 4.6%)
-HLL_P = 9
-HLL_M = 1 << HLL_P
+# HLL p=9 → 512 registers, rse ≈ 1.04/√512 ≈ 4.6%) — shared with the raw
+# temporal kernel so mode="raw"/"tiled" answer the same estimate
+from chronon_spark.functions.sketches import (  # noqa: E402
+    HLL_M,
+    HLL_P,
+    hll_estimate,
+    hll_idx_rho_exprs,
+)
 
 
 def _part_tileable(part, ev_schema: T.StructType | None) -> bool:
@@ -328,17 +333,12 @@ def _coll_expr(c: str, kind: str, k: int | None) -> str:
         # (count, <=S equi-rank samples): exact when the tile holds <=S
         # values (5-min tiles almost always do); busier tiles degrade to a
         # quantile sketch — APPROX_PERCENTILE's contract (reference: KLL
-        # k=128, SimpleAggregators.scala:762-802)
-        S = int(k or 128)
-        lst = f"array_sort(collect_list(CAST({c} AS DOUBLE)))"
-        sampled = (
-            f"CASE WHEN size({lst}) <= {S} THEN {lst} "
-            f"ELSE transform(sequence(0, {S} - 1), "
-            f"i -> element_at({lst}, CAST(floor(i * (size({lst}) - 1) / ({S} - 1)) AS INT) + 1)) END"
-        )
-        return (
-            f"CASE WHEN size({lst}) > 0 THEN "
-            f"named_struct('n', CAST(size({lst}) AS BIGINT), 'q', {sampled}) END"
+        # k=128, SimpleAggregators.scala:762-802); let-bound sampling
+        # shared with the snapshot day IR (functions/aggregations.py)
+        from chronon_spark.functions.aggregations import equirank_sample_struct
+
+        return equirank_sample_struct(
+            f"array_sort(collect_list(CAST({c} AS DOUBLE)))", int(k or 128)
         )
     raise ValueError(kind)
 
@@ -362,14 +362,20 @@ class _TilePrefix:
         self.prefix: dict[str, np.ndarray] = {}
         for s in ("n", "s1", "s2", "s3", "s4"):
             if s in stats:
-                arr = pd.to_numeric(tdf[_stat_col(col, s)], errors="coerce").to_numpy(np.float64)
+                ser = tdf[_stat_col(col, s)]
+                arr = pd.to_numeric(ser, errors="coerce").to_numpy(np.float64)
                 arr = np.nan_to_num(arr, nan=0.0)
                 if s == "s1" and integral:
                     # per-tile long sums cumulated in int64: exact long SUM
-                    # even when the running total exceeds 2^53
+                    # even when the running total exceeds 2^53 (and fully
+                    # exact when the tile column arrived null-free int64)
+                    if pd.api.types.is_integer_dtype(ser.dtype):
+                        iarr = ser.to_numpy(dtype=np.int64)
+                    else:
+                        iarr = arr.astype(np.int64)
                     ip = np.empty(n_t + 1, dtype=np.int64)
                     ip[0] = 0
-                    np.cumsum(arr.astype(np.int64), out=ip[1:])
+                    np.cumsum(iarr, out=ip[1:])
                     self.prefix[s] = ip
                     continue
                 p = np.empty(n_t + 1)
@@ -781,8 +787,6 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
             (d1h, np.searchsorted(t1h, e3), np.searchsorted(t1h, e4)),
             (d5, np.searchsorted(t5, e4), np.searchsorted(t5, e5)),
         ]
-        alpha = 0.7213 / (1 + 1.079 / HLL_M)
-        pow2 = np.power(2.0, -np.arange(64, dtype=np.float64))
         for i in range(nq):
             regs = np.zeros(HLL_M, dtype=np.int8)
             any_data = False
@@ -800,11 +804,7 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
             if not any_data or not regs.any():
                 res[i] = None  # no contributing values in the window
                 continue
-            est = alpha * HLL_M * HLL_M / pow2[regs.astype(np.int64)].sum()
-            zeros = int((regs == 0).sum())
-            if est <= 2.5 * HLL_M and zeros > 0:
-                est = HLL_M * np.log(HLL_M / zeros)
-            res[i] = int(round(est))
+            res[i] = hll_estimate(regs)
         return cast_fn(res, p, input_types[col])
 
     if op in _COUNTER_OPS:
@@ -1777,17 +1777,9 @@ def temporal_events_tiled(
     )
     hll_head_cols = []
     for c in [cc for cc, kinds in coll_by_col.items() if "hll" in kinds]:
-        h = f"xxhash64({c})"
-        w = f"({h} & {(1 << (64 - HLL_P)) - 1})"
-        head_events = head_events.withColumn(
-            f"__hh_{c}_idx",
-            F.expr(f"CAST(shiftrightunsigned({h}, {64 - HLL_P}) AS INT)"),
-        ).withColumn(
-            f"__hh_{c}_rho",
-            F.expr(
-                f"CAST(CASE WHEN {w} = 0 THEN {64 - HLL_P + 1} "
-                f"ELSE {64 - HLL_P + 1} - length(bin({w})) END AS INT)"
-            ),
+        idx_expr, rho_expr = hll_idx_rho_exprs(c)
+        head_events = head_events.withColumn(f"__hh_{c}_idx", idx_expr).withColumn(
+            f"__hh_{c}_rho", rho_expr
         )
         hll_head_cols += [f"__hh_{c}_idx", f"__hh_{c}_rho"]
 

@@ -93,13 +93,16 @@ class Warehouse:
         # partitions that the unfilled/resume contract depends on.
         self.fmt.insert_overwrite(df, table)
 
-        written = self.partitions(table)
+        # lineage row counts come from the JUST-WRITTEN partitions only —
+        # never a full-table re-scan, which would make backfill step N pay
+        # an O(N)-partitions extra scan (year-long backfills quadratic)
         ldir = self._lineage_dir(table)
         os.makedirs(ldir, exist_ok=True)
         counts = {
             r["ds"]: r["n"]
-            for r in self.read(table).groupBy("ds").agg(F.count("*").alias("n")).collect()
+            for r in df.groupBy("ds").agg(F.count("*").alias("n")).collect()
         }
+        written = sorted(counts)
         for ds in written:
             with open(os.path.join(ldir, f"{ds}.json"), "w") as f:
                 json.dump(

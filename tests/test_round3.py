@@ -1,0 +1,247 @@
+"""Round-3 regression tests: typed small-mode literals, one probe per
+backfill, raw≡tiled APPROX_UNIQUE estimator parity, exact int64 SUM on
+both kernels, lineage without full-table re-scans."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators import join as join_mod
+from chronon_spark.operators.join import _sql_literal, join_backfill
+from chronon_spark.operators.temporal import temporal_events
+
+MS_DAY = 86_400_000
+T0 = 1_700_000_000_000
+
+
+# ------------------------------------------------------- typed SQL literals
+
+
+def test_sql_literal_types():
+    assert _sql_literal(True) == "TRUE"
+    assert _sql_literal(7) == "7"
+    assert _sql_literal("o'brien") == r"'o\'brien'"
+    assert _sql_literal("a\\b") == r"'a\\b'"
+    assert _sql_literal(dt.date(2024, 1, 15)) == "DATE '2024-01-15'"
+    assert _sql_literal(dt.datetime(2024, 1, 15, 3, 4, 5)).startswith("TIMESTAMP '2024-01-15")
+    assert _sql_literal(float("nan")) is None
+    assert _sql_literal(object()) is None  # unliteralizable → semi-join path
+
+
+def test_small_mode_date_and_backslash_keys(spark):
+    """Date-typed and backslash-laden string keys survive small-mode IN
+    injection: the injected filter must keep (not silently prune) matching
+    right rows. Regression for str(date) rendering as integer arithmetic."""
+    ev = pd.DataFrame(
+        {
+            "user": ["a\\b'c", "a\\b'c", "plain"],
+            "ts": np.array([T0 + 1, T0 + 2, T0 + 3], dtype=np.int64),
+            "amount": [10.0, 20.0, 5.0],
+        }
+    )
+    ev_df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    ev_df.createOrReplaceTempView("r3_ev")
+    q = pd.DataFrame(
+        {"user": ["a\\b'c", "plain"], "ts": np.array([T0 + MS_DAY] * 2, dtype=np.int64)}
+    )
+    q_df = spark.createDataFrame(q).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    q_df.createOrReplaceTempView("r3_q")
+    gb = GroupBy(
+        name="r3_gb",
+        sources=(EventSource(table="r3_ev", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(Aggregation("amount", Operation.SUM, windows=(None,)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    join = Join(
+        name="r3_join",
+        left=EventSource(table="r3_q", query=Query(time_column="ts")),
+        right_parts=(JoinPart(gb),),
+    )
+    ds = dt.datetime.fromtimestamp((T0 + MS_DAY) / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+    rows = {r["user"]: r for r in join_backfill(spark, join, ds, ds).collect()}
+    assert rows["a\\b'c"]["r3_gb_amount_sum"] == 30.0
+    assert rows["plain"]["r3_gb_amount_sum"] == 5.0
+
+
+# -------------------------------------------------- one probe per backfill
+
+
+def test_single_probe_per_backfill(spark, monkeypatch):
+    """join_backfill runs the small-mode row-count probe ONCE and shares the
+    verdict across all parts (the reference caches leftDf's row count)."""
+    calls = {"n": 0}
+    real = join_mod._probe_left_small
+
+    def counting(left):
+        calls["n"] += 1
+        return real(left)
+
+    monkeypatch.setattr(join_mod, "_probe_left_small", counting)
+
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i % 3}" for i in range(30)],
+            "ts": (T0 + np.arange(30) * 3_600_000).astype(np.int64),
+            "amount": np.arange(30).astype(float),
+        }
+    )
+    ev_df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    ev_df.createOrReplaceTempView("r3p_ev")
+    ev_df.createOrReplaceTempView("r3p_q")
+
+    def gb(name, op):
+        return GroupBy(
+            name=name,
+            sources=(EventSource(table="r3p_ev", query=Query(time_column="ts")),),
+            key_columns=("user",),
+            aggregations=(Aggregation("amount", op, windows=(Window(7),)),),
+            accuracy=Accuracy.TEMPORAL,
+        )
+
+    join = Join(
+        name="r3p_join",
+        left=EventSource(table="r3p_q", query=Query(time_column="ts")),
+        right_parts=(
+            JoinPart(gb("g1", Operation.SUM)),
+            JoinPart(gb("g2", Operation.COUNT)),
+            JoinPart(gb("g3", Operation.MAX)),
+        ),
+    )
+    d0 = dt.datetime.fromtimestamp(T0 / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+    d1 = dt.datetime.fromtimestamp((T0 + 2 * MS_DAY) / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+    join_backfill(spark, join, d0, d1).collect()
+    assert calls["n"] == 1, f"expected 1 probe for 3 parts, saw {calls['n']}"
+
+
+# ------------------------------------- raw ≡ tiled APPROX_UNIQUE estimator
+
+
+def test_raw_tiled_hll_parity(spark):
+    """mode='raw' and mode='tiled' answer the IDENTICAL HLL estimate for
+    APPROX_UNIQUE_COUNT on the same input (shared sketch, same JVM hash) —
+    closes the round-2 estimator-divergence gap."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i % 4}" for i in range(n)],
+            "ts": (T0 + rng.integers(0, 10 * MS_DAY, n)).astype(np.int64),
+            "val": rng.integers(0, 900, n).astype(float),
+        }
+    )
+    # sprinkle nulls: they must not update registers on either path
+    ev.loc[ev.index % 17 == 0, "val"] = None
+    gb = GroupBy(
+        name="hpar",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("val", Operation.APPROX_UNIQUE_COUNT, windows=(Window(3), None)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = pd.DataFrame(
+        {
+            "user": [f"u{i % 4}" for i in range(60)],
+            "ts": (T0 + rng.integers(MS_DAY, 11 * MS_DAY, 60)).astype(np.int64),
+        }
+    )
+    ev_df, q_df = spark.createDataFrame(ev), spark.createDataFrame(q)
+    cols = ["user", "ts", "val_approx_unique_count_3d", "val_approx_unique_count"]
+    raw = {
+        (r["user"], r["ts"]): r
+        for r in temporal_events(spark, gb, q_df, ev_df, mode="raw").select(*cols).collect()
+    }
+    til = {
+        (r["user"], r["ts"]): r
+        for r in temporal_events(spark, gb, q_df, ev_df, mode="tiled").select(*cols).collect()
+    }
+    assert raw.keys() == til.keys()
+    exacts = 0
+    for k in raw:
+        assert raw[k]["val_approx_unique_count_3d"] == til[k]["val_approx_unique_count_3d"], k
+        assert raw[k]["val_approx_unique_count"] == til[k]["val_approx_unique_count"], k
+        if raw[k]["val_approx_unique_count"] is not None:
+            exacts += 1
+    assert exacts > 30
+
+
+# ----------------------------------------------- exact int64 SUM both paths
+
+
+def test_int64_sum_exact_beyond_2_53(spark):
+    """Long SUM whose running total exceeds 2^53 stays exact on BOTH the
+    raw and tiled kernels (int64 prefix sums — float64 accumulation would
+    drift by several units here)."""
+    rng = np.random.default_rng(11)
+    n = 20_000
+    vals = rng.integers(10**12, 2 * 10**12, n)  # total ≈ 3e16 > 2^53
+    ev = pd.DataFrame(
+        {
+            "user": ["u0"] * n,
+            "ts": (T0 + rng.integers(0, 5 * MS_DAY, n)).astype(np.int64),
+            "big": vals,
+        }
+    )
+    gb = GroupBy(
+        name="bigsum",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(Aggregation("big", Operation.SUM, windows=(None,)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    qt = int(T0 + 6 * MS_DAY)
+    q_df = spark.createDataFrame(pd.DataFrame({"user": ["u0"], "ts": [qt]}))
+    ev_df = spark.createDataFrame(ev)
+    expected = int(ev["big"].sum())  # python int — exact
+    for mode in ("raw", "tiled"):
+        got = temporal_events(spark, gb, q_df, ev_df, mode=mode).collect()[0]["big_sum"]
+        assert got == expected, (mode, got, expected, got - expected)
+
+
+# --------------------------------------- lineage without full-table rescan
+
+
+def test_lineage_counts_without_table_rescan(spark, tmp_path, monkeypatch):
+    """insert_partitions derives lineage row counts from the written frame —
+    it must never read the output table back (O(N)-partition scans made
+    long backfills quadratic)."""
+    from chronon_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def explode(table):
+        raise AssertionError(f"insert_partitions read back table {table}")
+
+    monkeypatch.setattr(wh, "read", explode)
+    df = spark.createDataFrame(
+        pd.DataFrame({"ds": ["2024-01-01"] * 3 + ["2024-01-02"] * 2, "v": range(5)})
+    )
+    written = wh.insert_partitions(df, "t_r3")
+    assert written == ["2024-01-01", "2024-01-02"]
+    monkeypatch.undo()
+    lin = wh.lineage("t_r3")
+    assert lin["2024-01-01"]["row_count"] == 3
+    assert lin["2024-01-02"]["row_count"] == 2
