@@ -664,6 +664,42 @@ def q_elementwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_elementwise_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-level element_wise (api.thrift:229-234): a windowed
+    position-wise AVERAGE over an array column through the TEMPORAL
+    sawtooth path — Aggregation(element_wise=True), not the standalone
+    operator. The array is built positionally from `value` so the oracle
+    is three plain as-of averages."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy, Aggregation, EventSource, GroupBy, Operation, Window,
+    )
+    from chronon_spark.operators.temporal import temporal_events
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.expr("array(value, value * 2, value + 1)").alias("vec"),
+    )
+    gb = GroupBy(
+        name="ew",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("vec", Operation.AVERAGE, windows=(Window(7),), element_wise=True),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = ev.select("event_id", "user_id", "ts")
+    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "vec"))
+    return out.select(
+        "event_id",
+        F.expr(
+            "CASE WHEN vec_average_7d IS NOT NULL THEN "
+            "concat_ws(',', transform(vec_average_7d, x -> format_string('%.6f', x))) END"
+        ).alias("vec_avg_7d"),
+    )
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector auto-explode: scalar aggregate over all list elements."""
     from chronon_spark.api.types import Operation
@@ -762,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_unique": q_approx_unique,
         "map_column_agg": q_map_column_agg,
         "elementwise_mean": q_elementwise_mean,
+        "elementwise_windowed": q_elementwise_windowed,
         "vector_stats": q_vector_stats,
         "temporal_entities": q_temporal_entities,
     }
@@ -1022,6 +1059,17 @@ WITH e AS (
   SELECT label, pos, avg(CAST(v AS DOUBLE)) AS a FROM e GROUP BY label, pos
 )
 SELECT label, array_to_string(list(printf('%.6f', a) ORDER BY pos), ',') AS emb_mean FROM p GROUP BY label
+""",
+        "elementwise_windowed": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events)
+SELECT q.event_id,
+       CASE WHEN count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) > 0 THEN
+         printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END))
+         || ',' || printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value * 2 END))
+         || ',' || printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value + 1 END))
+       END AS vec_avg_7d
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
 """,
         "vector_stats": """
 SELECT label, round(avg(CAST(v AS DOUBLE)), 6) AS elem_avg

@@ -106,12 +106,23 @@ class Aggregation:
     arg_map: dict = field(default_factory=dict)  # k= for *_K ops, percentiles=[...]
     windows: tuple[Window | None, ...] = (None,)  # None = unbounded
     buckets: tuple[str, ...] = ()  # bucket column names (string-typed)
+    # api.thrift:229-234: when true and input_column is an array type, the
+    # operation applies POSITION-wise across the arrays (e.g. AVERAGE over
+    # [[1,2],[3,4]] → [2.0, 3.0]) — any op works on lists this way
+    element_wise: bool = False
 
     def unpack(self) -> list["AggregationPart"]:
         windows = self.windows if self.windows else (None,)
         buckets: tuple[str | None, ...] = self.buckets if self.buckets else (None,)
+        if self.element_wise and self.buckets:
+            raise NotImplementedError(
+                "element_wise + buckets on one Aggregation is not supported"
+            )
         return [
-            AggregationPart(self.input_column, self.operation, dict(self.arg_map), w, b)
+            AggregationPart(
+                self.input_column, self.operation, dict(self.arg_map), w, b,
+                self.element_wise,
+            )
             for b in buckets
             for w in windows
         ]
@@ -131,6 +142,7 @@ class AggregationPart:
     arg_map: dict
     window: Window | None
     bucket: str | None
+    element_wise: bool = False
 
     @property
     def output_column(self) -> str:

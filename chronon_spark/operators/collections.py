@@ -21,7 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chronon_spark.api.types import AggregationPart, Operation
-from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, spec_for
+from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, _let_sql, spec_for
+
+
+def pos_map_to_array(map_expr: str) -> str:
+    """Map[str(position) → value] ⇒ dense array sized to max(position)+1,
+    missing positions null — the result-list contract of the reference's
+    ElementWiseAggregator (result list initialized with nulls to tensor
+    size). Used to finalize config-level element_wise aggregations that
+    ride the bucket machinery with ``__pos`` as the bucket."""
+    body = (
+        "CASE WHEN __m IS NOT NULL AND size(__m) > 0 THEN "
+        "transform(sequence(0, array_max(transform(map_keys(__m), k -> CAST(k AS INT)))), "
+        "i -> element_at(__m, CAST(i AS STRING))) END"
+    )
+    return _let_sql(map_expr, "__m", body)
 
 
 def _direct(op: Operation, input_expr: str, arg_map: dict | None = None):

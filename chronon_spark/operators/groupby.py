@@ -68,7 +68,8 @@ def snapshot_events(
     (epoch millis) and ``ds``. Returns (keys..., ds, feature columns)."""
     keys = list(gb.key_columns)
     parts = gb.unpacked()
-    plain = [p for p in parts if p.bucket is None]
+    ew_parts = [p for p in parts if p.element_wise]
+    plain = [p for p in parts if p.bucket is None and not p.element_wise]
     bucket_cols = sorted({p.bucket for p in parts if p.bucket is not None})
 
     events = null_key_filter(events, tuple(keys))
@@ -109,6 +110,50 @@ def snapshot_events(
                     f"CASE WHEN size({bp.output_column}) > 0 THEN {bp.output_column} END"
                 ).alias(bp.output_column)
                 for bp in bparts
+            ],
+        )
+        out = rolled if out is None else out.join(rolled, keys + ["ds"], "full_outer")
+
+    # element_wise parts (api.thrift:229-234): posexplode the array input,
+    # run the standard snapshot machinery keyed by (keys, position), roll
+    # positions back up into a dense array (Map[pos → value] → array) —
+    # any op × window uniformly (ElementWiseAggregator.scala semantics)
+    for ecol in sorted({p.input_column for p in ew_parts}):
+        from chronon_spark.operators.collections import pos_map_to_array
+
+        eparts = [p for p in ew_parts if p.input_column == ecol]
+        exploded = events.filter(F.col(ecol).isNotNull()).select(
+            *keys,
+            *(["ts"] if "ts" in events.columns else []),
+            "ds",
+            F.posexplode(F.col(ecol)).alias("__posn", "__ewv"),
+        ).withColumn("__pos", F.col("__posn").cast("string")).drop("__posn")
+        sub_gb = GroupBy(
+            name=f"{gb.name}__ew_{ecol}",
+            sources=gb.sources,
+            key_columns=tuple(keys) + ("__pos",),
+            aggregations=(),
+            accuracy=Accuracy.SNAPSHOT,
+        )
+        stripped = [
+            AggregationPart("__ewv", p.operation, p.arg_map, p.window, None)
+            for p in eparts
+        ]
+        sub = _snapshot_plain(spark, sub_gb, stripped, exploded, start_ds, end_ds)
+        rolls = [
+            F.expr(
+                f"map_from_entries(collect_list(CASE WHEN {sp.output_column} IS NOT NULL "
+                f"THEN named_struct('key', __pos, 'value', {sp.output_column}) END))"
+            ).alias(ep.output_column)
+            for sp, ep in zip(stripped, eparts)
+        ]
+        rolled = sub.groupBy(*keys, "ds").agg(*rolls)
+        rolled = rolled.select(
+            *keys,
+            "ds",
+            *[
+                F.expr(pos_map_to_array(ep.output_column)).alias(ep.output_column)
+                for ep in eparts
             ],
         )
         out = rolled if out is None else out.join(rolled, keys + ["ds"], "full_outer")
@@ -278,11 +323,13 @@ def snapshot_entities(
     (spark/GroupBy.scala:100-142 snapshotEntities). Windows don't apply —
     each ds is a full snapshot."""
     keys = list(gb.key_columns)
-    parts = [p for p in gb.unpacked() if p.bucket is None]
+    parts = [p for p in gb.unpacked() if p.bucket is None and not p.element_wise]
+    ew_parts = [p for p in gb.unpacked() if p.element_wise]
     if "ts" not in snapshots.columns:
         # entity snapshots carry no event time; day-midnight millis stands in
         # so time-ordered ops (FIRST/LAST) stay well-typed
         snapshots = snapshots.withColumn("ts", F.unix_timestamp(F.to_date("ds")) * 1000)
+    snapshots = null_key_filter(snapshots, tuple(keys))
     aggs = []
     post = []
     for p in parts:
@@ -290,10 +337,43 @@ def snapshot_entities(
         aggs.append(c)
         fin = DIRECT_NEEDS_FINALIZE.get(p.operation)
         post.append((p, fin))
-    out = null_key_filter(snapshots, tuple(keys)).groupBy(*keys, "ds").agg(*aggs)
+    out = snapshots.groupBy(*keys, "ds").agg(*aggs) if parts else None
     for p, fin in post:
         if fin is not None:
             out = out.withColumn(p.output_column, fin(p.output_column, p))
+    # element_wise over entity snapshots: position-keyed direct aggregate
+    # rolled back into a dense array (same shape as snapshot_events)
+    for ecol in sorted({p.input_column for p in ew_parts}):
+        from chronon_spark.operators.collections import pos_map_to_array
+
+        eparts = [p for p in ew_parts if p.input_column == ecol]
+        exploded = snapshots.filter(F.col(ecol).isNotNull()).select(
+            *keys, "ds", "ts", F.posexplode(F.col(ecol)).alias("__posn", "__ewv")
+        ).withColumn("__pos", F.col("__posn").cast("string"))
+        sub_aggs = []
+        sub_post = []
+        for p in eparts:
+            sp = AggregationPart("__ewv", p.operation, p.arg_map, p.window, None)
+            sub_aggs.append(spec_for(p.operation).direct("__ewv", sp).alias(f"__a_{p.output_column}"))
+            sub_post.append((p, sp, DIRECT_NEEDS_FINALIZE.get(p.operation)))
+        sub = exploded.groupBy(*keys, "ds", "__pos").agg(*sub_aggs)
+        for p, sp, fin in sub_post:
+            if fin is not None:
+                sub = sub.withColumn(f"__a_{p.output_column}", fin(f"__a_{p.output_column}", sp))
+        rolled = sub.groupBy(*keys, "ds").agg(
+            *[
+                F.expr(
+                    f"map_from_entries(collect_list(CASE WHEN __a_{p.output_column} IS NOT NULL "
+                    f"THEN named_struct('key', __pos, 'value', __a_{p.output_column}) END))"
+                ).alias(p.output_column)
+                for p in eparts
+            ]
+        )
+        rolled = rolled.select(
+            *keys, "ds",
+            *[F.expr(pos_map_to_array(p.output_column)).alias(p.output_column) for p in eparts],
+        )
+        out = rolled if out is None else out.join(rolled, keys + ["ds"], "full_outer")
     return out
 
 

@@ -462,7 +462,23 @@ def temporal_events(
     with GroupBy ``derivations`` applied to the output (selectExpr over
     feature columns — spark/GroupBy.scala:763-774 applies them to ALL
     GroupBy output regardless of accuracy)."""
-    out = _temporal_events_impl(spark, gb, queries, events, mode=mode, passthrough=passthrough)
+    import dataclasses
+
+    ew_aggs = tuple(a for a in gb.aggregations if a.element_wise)
+    if ew_aggs:
+        base_aggs = tuple(a for a in gb.aggregations if not a.element_wise)
+        if base_aggs:
+            gb_base = dataclasses.replace(gb, aggregations=base_aggs, derivations=None)
+            out = temporal_events(
+                spark, gb_base, queries, events, mode=mode, passthrough=passthrough
+            )
+        else:
+            out = queries
+        out = _attach_elementwise_temporal(spark, gb, ew_aggs, out, queries, events)
+    else:
+        out = _temporal_events_impl(
+            spark, gb, queries, events, mode=mode, passthrough=passthrough
+        )
     if gb.derivations:
         feature_names = {p.output_column for p in gb.unpacked()}
         base = (
@@ -472,6 +488,73 @@ def temporal_events(
         )
         exprs = base + [f"{e} AS {a}" for a, e in gb.derivations.items() if a != "*"]
         out = out.selectExpr(*exprs)
+    return out
+
+
+def _attach_elementwise_temporal(
+    spark: SparkSession,
+    gb: GroupBy,
+    ew_aggs: tuple,
+    out: DataFrame,
+    queries: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Config-level element_wise (api.thrift:229-234, aggregator/row/
+    ElementWiseAggregator.scala) on the temporal path: posexplode the array
+    input and ride the existing BUCKET machinery with the position as the
+    bucket, then densify Map[pos → value] into the output array. Any op ×
+    window works uniformly; the exploded GroupBy auto-dispatches to the
+    tiled kernel when its ops allow.
+
+    Null contract: null/empty arrays never update (posexplode skips them);
+    null elements inside arrays are skipped per-position (the reference
+    throws on in-tensor nulls — we degrade gracefully, documented)."""
+    import dataclasses
+
+    from chronon_spark.api.types import Aggregation
+    from chronon_spark.operators.collections import pos_map_to_array
+
+    keys = list(gb.key_columns)
+    cond = F.col(TS_COL).isNotNull()
+    kcond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        kcond = c if kcond is None else (kcond | c)
+    if kcond is not None:
+        cond = cond & kcond
+    qslim = queries.select(*keys, TS_COL).filter(cond).distinct()
+
+    for col in sorted({a.input_column for a in ew_aggs}):
+        col_aggs = tuple(
+            Aggregation("__ewv", a.operation, dict(a.arg_map), a.windows, ("__pos",))
+            for a in ew_aggs
+            if a.input_column == col
+        )
+        exploded = events.select(
+            *keys,
+            TS_COL,
+            F.posexplode(F.col(col)).alias("__posn", "__ewv"),
+        ).select(*keys, TS_COL, F.col("__posn").cast("string").alias("__pos"), "__ewv")
+        sub_gb = dataclasses.replace(
+            gb, name=f"{gb.name}__ew_{col}", aggregations=col_aggs, derivations=None
+        )
+        feats = temporal_events(spark, sub_gb, qslim, exploded)
+        # rename bucketed map outputs to the declared element_wise column
+        # names and densify to arrays
+        renames = []
+        for a in ew_aggs:
+            if a.input_column != col:
+                continue
+            for p_sub, p_out in zip(
+                dataclasses.replace(a, input_column="__ewv", buckets=("__pos",),
+                                    element_wise=False).unpack(),
+                a.unpack(),
+            ):
+                renames.append(
+                    F.expr(pos_map_to_array(p_sub.output_column)).alias(p_out.output_column)
+                )
+        feats = feats.select(*keys, TS_COL, *renames)
+        out = out.join(feats, keys + [TS_COL], "left")
     return out
 
 

@@ -245,3 +245,95 @@ def test_lineage_counts_without_table_rescan(spark, tmp_path, monkeypatch):
     lin = wh.lineage("t_r3")
     assert lin["2024-01-01"]["row_count"] == 3
     assert lin["2024-01-02"]["row_count"] == 2
+
+
+# ----------------------------------------- element_wise as a config flag
+
+
+def test_elementwise_config_temporal(spark):
+    """element_wise=True on an Aggregation (api.thrift:229-234): windowed
+    position-wise AVERAGE/SUM over array inputs through the TEMPORAL path,
+    checked against a per-query numpy oracle."""
+    rng = np.random.default_rng(3)
+    n = 800
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i % 3}" for i in range(n)],
+            "ts": (T0 + rng.integers(0, 9 * MS_DAY, n)).astype(np.int64),
+        }
+    )
+    ev["vec"] = [list(map(float, rng.integers(1, 50, 3))) for _ in range(n)]
+    gb = GroupBy(
+        name="ewt",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("vec", Operation.AVERAGE, windows=(Window(2), None), element_wise=True),
+            Aggregation("vec", Operation.SUM, windows=(Window(2),), element_wise=True),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = pd.DataFrame(
+        {
+            "user": [f"u{i % 3}" for i in range(40)],
+            "ts": (T0 + rng.integers(MS_DAY, 10 * MS_DAY, 40)).astype(np.int64),
+        }
+    )
+    out = temporal_events(spark, gb, spark.createDataFrame(q), spark.createDataFrame(ev))
+    rows = {(r["user"], r["ts"]): r for r in out.collect()}
+    HOP_1H = 3_600_000
+    by_user = {u: g for u, g in ev.groupby("user")}
+    checked = 0
+    for (u, qt), r in rows.items():
+        g = by_user[u]
+        for col, window, op in [
+            ("vec_average_2d", 2 * MS_DAY, "mean"),
+            ("vec_average", None, "mean"),
+            ("vec_sum_2d", 2 * MS_DAY, "sum"),
+        ]:
+            if window is None:
+                lo = -(1 << 62)
+            else:
+                lo = ((qt - window) // HOP_1H) * HOP_1H
+            sel = g[(g["ts"] >= lo) & (g["ts"] < qt)]
+            got = r[col]
+            if len(sel) == 0:
+                assert got is None, (u, qt, col, got)
+                continue
+            mat = np.array(sel["vec"].tolist())
+            exp = mat.mean(axis=0) if op == "mean" else mat.sum(axis=0)
+            assert got is not None and np.allclose(got, exp), (u, qt, col, got, exp)
+            checked += 1
+    assert checked > 50
+
+
+def test_elementwise_config_snapshot(spark):
+    """element_wise through the SNAPSHOT path: daily position-wise windowed
+    mean, ragged arrays (positions missing from shorter arrays aggregate
+    over fewer values; absent positions are null)."""
+    ev = pd.DataFrame(
+        {
+            "user": ["a"] * 3,
+            "ts": np.array([T0, T0 + 1000, T0 + 2000], dtype=np.int64),
+        }
+    )
+    ev["vec"] = [[2.0, 4.0], [4.0, 8.0, 12.0], [6.0]]
+    ev_df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    from chronon_spark.operators.groupby import snapshot_events
+
+    gb = GroupBy(
+        name="ews",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("vec", Operation.AVERAGE, windows=(Window(7),), element_wise=True),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    ds = dt.datetime.fromtimestamp(T0 / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+    out = snapshot_events(spark, gb, ev_df, ds, ds).collect()
+    assert len(out) == 1
+    got = out[0]["vec_average_7d"]
+    assert np.allclose([got[0], got[1]], [4.0, 6.0]) and got[2] == 12.0
