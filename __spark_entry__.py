@@ -710,6 +710,62 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("label", F.round("elem_avg", 6).alias("elem_avg"))
 
 
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ds column summaries (operators/stats.column_summary — the
+    StatsCompute/SummaryJob family): total count, null counts/rates,
+    numeric percentiles, one row per day."""
+    _utc(spark)
+    from chronon_spark.operators.stats import column_summary
+
+    ev = _events(spark, sf_dir).select("ds", "value", "event_type")
+    s = column_summary(ev, keys=())
+    return s.select(
+        "ds",
+        "total_count",
+        F.col("value__null_count").alias("value_nulls"),
+        F.round("value__null_rate", 6).alias("value_null_rate"),
+        F.col("event_type__null_count").alias("type_nulls"),
+        F.expr(
+            "concat_ws(',', transform(value__percentiles, x -> format_string('%.6f', x)))"
+        ).alias("value_pcts"),
+    )
+
+
+def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table diff metrics (operators/stats.compare_tables — the
+    CompareJob/CompareMetrics family) of events vs a deterministically
+    perturbed copy: +1 on value for event_id%10==0, event_type nulled for
+    %17==0, rows dropped for %31==0."""
+    _utc(spark)
+    from chronon_spark.operators.stats import compare_tables
+
+    left = _events(spark, sf_dir).select("event_id", "value", "event_type")
+    right = (
+        left.filter(F.expr("event_id % 31 != 0"))
+        .select(
+            "event_id",
+            F.expr("CASE WHEN event_id % 10 = 0 THEN value + 1 ELSE value END").alias("value"),
+            F.expr("CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END").alias(
+                "event_type"
+            ),
+        )
+    )
+    _, metrics = compare_tables(left, right, ["event_id"])
+    return metrics.select(
+        "total",
+        "value_both_null",
+        "value_left_null",
+        "value_right_null",
+        "value_mismatch",
+        F.round("value_smape", 6).alias("value_smape"),
+        F.expr(
+            "concat_ws(',', transform(value_left_minus_right_pct, x -> format_string('%.6f', x)))"
+        ).alias("value_diff_pcts"),
+        "event_type_mismatch",
+        "event_type_right_null",
+    )
+
+
 def q_temporal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal entities with mutations: each event inserts its value and
     deletes the user's previous value (same day). Mutations at exactly
@@ -800,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elementwise_mean": q_elementwise_mean,
         "elementwise_windowed": q_elementwise_windowed,
         "vector_stats": q_vector_stats,
+        "stats_summary": q_stats_summary,
+        "compare_tables": q_compare_tables,
         "temporal_entities": q_temporal_entities,
     }
 
@@ -1075,6 +1133,39 @@ GROUP BY q.event_id
 SELECT label, round(avg(CAST(v AS DOUBLE)), 6) AS elem_avg
 FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
 GROUP BY label
+""",
+        "stats_summary": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS value_null_rate,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_nulls,
+       array_to_string(list_transform(quantile_cont(CAST(value AS DOUBLE), [0.05, 0.25, 0.5, 0.75, 0.95]),
+                                      x -> printf('%.6f', x)), ',') AS value_pcts
+FROM events GROUP BY 1
+""",
+        "compare_tables": """
+WITH l AS (SELECT event_id, value, event_type FROM events),
+r AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN value + 1 ELSE value END AS value,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS event_type
+  FROM events WHERE event_id % 31 != 0
+),
+j AS (SELECT l.value AS vl, r.value AS vr, l.event_type AS tl, r.event_type AS tr,
+             (l.event_id IS NOT NULL OR r.event_id IS NOT NULL) AS present
+      FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN vl IS NULL AND vr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_both_null,
+       CAST(sum(CASE WHEN vl IS NULL AND vr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_left_null,
+       CAST(sum(CASE WHEN vl IS NOT NULL AND vr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_right_null,
+       CAST(sum(CASE WHEN vl IS NOT NULL AND vr IS NOT NULL AND vl != vr THEN 1 ELSE 0 END) AS BIGINT) AS value_mismatch,
+       round(avg(CASE WHEN abs(vl) + abs(vr) != 0 THEN abs(vl - vr) * 2.0 / (abs(vl) + abs(vr)) ELSE 0.0 END), 6) AS value_smape,
+       array_to_string(list_transform(quantile_cont(CAST(vl - vr AS DOUBLE), [0.05, 0.25, 0.5, 0.75, 0.95]),
+                                      x -> printf('%.6f', x)), ',') AS value_diff_pcts,
+       CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL AND tl != tr THEN 1 ELSE 0 END) AS BIGINT) AS event_type_mismatch,
+       CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_right_null
+FROM j
 """,
         "temporal_entities": """
 SELECT event_id,

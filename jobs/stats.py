@@ -1,0 +1,74 @@
+"""spark-submit entry point for the stats/compare job family.
+
+    spark-submit --py-files dist/engine.zip jobs/stats.py summary \\
+        --table /data/wh/my_features --keys user_id --out /data/wh/_stats
+
+    spark-submit --py-files dist/engine.zip jobs/stats.py compare \\
+        --left /data/wh/old_features --right /data/wh/new_features \\
+        --keys user_id,ds [--mapping old_col=new_col,...]
+
+Mirrors the reference's SummaryJob / CompareJob driver verbs
+(spark/stats/SummaryJob.scala, CompareJob.scala:60-140). ``summary``
+writes per-ds summary rows back to the warehouse; ``compare`` prints the
+one-row metrics JSON and optionally persists the row-level comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "chronon_spark")):
+    sys.path.insert(0, _repo_root)
+
+
+def _read(spark, path: str):
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="verb", required=True)
+    s = sub.add_parser("summary")
+    s.add_argument("--table", required=True)
+    s.add_argument("--keys", default="")
+    s.add_argument("--out", default=None)
+    c = sub.add_parser("compare")
+    c.add_argument("--left", required=True)
+    c.add_argument("--right", required=True)
+    c.add_argument("--keys", required=True)
+    c.add_argument("--mapping", default="")
+    c.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from chronon_spark.operators.stats import column_summary, compare_tables
+    from chronon_spark.session import build_session
+
+    spark = build_session(app_name=f"stats:{args.verb}")
+    if args.verb == "summary":
+        keys = [k for k in args.keys.split(",") if k]
+        out = column_summary(_read(spark, args.table), keys=keys)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"summary written: {args.out}")
+        else:
+            for r in out.orderBy(out.columns[0]).collect():
+                print(json.dumps(r.asDict(), default=str))
+    else:
+        keys = [k for k in args.keys.split(",") if k]
+        mapping = dict(kv.split("=", 1) for kv in args.mapping.split(",") if kv)
+        comparison, metrics = compare_tables(
+            _read(spark, args.left), _read(spark, args.right), keys, mapping
+        )
+        print(json.dumps(metrics.first().asDict(), default=str))
+        if args.out:
+            comparison.write.mode("overwrite").parquet(args.out)
+            print(f"comparison written: {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
