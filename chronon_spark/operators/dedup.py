@@ -295,21 +295,16 @@ def embedding_near_dups(
     seed: int = 13,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH bucket
-    join, exact cosine verify inside buckets (F.zip_with/aggregate — no
-    UDF)."""
+    join, exact cosine verify inside buckets. Signature via the shared
+    hyperplane path (operators/similarity.hyperplane_buckets): literal SQL
+    for small dims, broadcast-matrix pandas_udf above dim 64."""
+    from chronon_spark.operators.similarity import hyperplane_buckets
+
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
-    sig_bits = []
-    for p in range(n_planes):
-        coefs = ", ".join(f"{planes[p][j]:.6f}D" for j in range(dim))
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({coefs}), (x, w) -> cast(x as double) * w), "
-            f"0.0D, (acc, v) -> acc + v)"
-        )
-        sig_bits.append(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END")
-    bucket = F.expr("concat_ws('', " + ", ".join(sig_bits) + ")")
+    bucket = F.element_at(
+        hyperplane_buckets(df.sparkSession, vec_col, dim, n_planes, 1, seed), 1
+    )
     norm = F.expr(
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)), 0.0D, (a, v) -> a + v))"
     )

@@ -14,8 +14,18 @@ the JVM; no UDF in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Above this embedding dim, hyperplane/centroid math moves from inlined SQL
+# literals into an Arrow-batched pandas_udf over a broadcast numpy matrix:
+# at dim 768 × 16 tables the literal form is a ~100k-node Catalyst tree
+# (plan-compile blowup + codegen limits); the udf keeps the plan O(1) and
+# the math is one BLAS matmul per Arrow batch.
+VECTORIZED_DIM_CUTOFF = 64
 
 
 def _dot(a: str, b: str):
@@ -62,9 +72,20 @@ def brute_force_top_k(
     )
 
 
-def _hyperplane_bucket(vec_col: str, dim: int, n_planes: int, seed: int):
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+def plane_matrix(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables, n_planes, dim) random hyperplanes — same seeding for the
+    SQL and vectorized paths so buckets are reproducible."""
+    return np.stack(
+        [
+            np.random.default_rng(seed + 7919 * t).normal(size=(n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def _hyperplane_bucket_sql(vec_col: str, planes: np.ndarray):
+    """Single-table bucket string from inlined literals (small dims)."""
+    n_planes, dim = planes.shape
     bits = []
     for p in range(n_planes):
         coefs = ", ".join(f"{planes[p][j]:.6f}D" for j in range(dim))
@@ -76,15 +97,34 @@ def _hyperplane_bucket(vec_col: str, dim: int, n_planes: int, seed: int):
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
-def _hyperplane_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int):
+def hyperplane_buckets(spark, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int):
     """Array of per-table hyperplane bucket strings (one signature per
-    table, independent planes)."""
-    return F.array(
-        *[
-            _hyperplane_bucket(vec_col, dim, n_planes, seed + 7919 * t)
-            for t in range(n_tables)
-        ]
-    )
+    table, independent planes). Small dims inline the planes as SQL
+    literals (pure JVM codegen); above VECTORIZED_DIM_CUTOFF the planes
+    are a broadcast numpy matrix applied by one Arrow-batched matmul —
+    same pattern as the simhash bit-vote."""
+    planes = plane_matrix(dim, n_planes, n_tables, seed)
+    if dim <= VECTORIZED_DIM_CUTOFF:
+        return F.array(*[_hyperplane_bucket_sql(vec_col, planes[t]) for t in range(n_tables)])
+
+    flat = planes.reshape(n_tables * n_planes, dim)
+    bc = spark.sparkContext.broadcast(flat)
+    pows = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def sig(v: pd.Series) -> pd.Series:
+        m = bc.value
+        out = [None] * len(v)
+        idx = [i for i, x in enumerate(v) if x is not None and len(x) == m.shape[1]]
+        if idx:
+            x = np.asarray([np.asarray(v.iloc[i], dtype=np.float64) for i in idx])
+            bits = (x @ m.T) >= 0  # (n, tables*planes)
+            codes = bits.reshape(len(idx), n_tables, n_planes) @ pows  # (n, tables)
+            for row_i, c in zip(idx, codes):
+                out[row_i] = [str(int(b)) for b in c]
+        return pd.Series(out)
+
+    return sig(F.col(vec_col))
 
 
 def lsh_top_k(
@@ -110,15 +150,16 @@ def lsh_top_k(
     candidate-generation shuffle. Scan cost ≈ n_tables/2^n_planes of brute
     force; recall rises with n_tables (1-(1-p^b)^L amplification)."""
     dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
+    spark = corpus.sparkSession
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("cv"),
-        _hyperplane_buckets(corpus_vec, dim, n_planes, n_tables, seed).alias("bks"),
+        hyperplane_buckets(spark, corpus_vec, dim, n_planes, n_tables, seed).alias("bks"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
-        _hyperplane_buckets(query_vec, dim, n_planes, n_tables, seed).alias("bks"),
+        hyperplane_buckets(spark, query_vec, dim, n_planes, n_tables, seed).alias("bks"),
     )
     c_narrow = c.select("vec_id", F.posexplode("bks").alias("t", "bucket"))
     q_narrow = q.select("query_id", F.posexplode("bks").alias("t", "bucket"))
@@ -175,28 +216,55 @@ def ivf_top_k(
         )
     ]
 
-    def cell_expr(vec: str):
-        dists = []
-        for i, cv in cents:
-            coefs = ", ".join(f"{x:.6f}D" for x in cv)
-            d = (
-                f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
-                f"0.0D, (s, v) -> s + v)"
-            )
-            dists.append(f"named_struct('d', {d}, 'c', {i})")
-        return f"array_sort(array({', '.join(dists)}))"
+    dim = len(cents[0][1]) if cents else 0
+    spark = corpus.sparkSession
+
+    def nearest_cells_col(vec: str, top: int):
+        """Array of the ``top`` nearest cell ids (ascending distance, ties
+        by cell id). Literal SQL for small dims; broadcast-matrix
+        pandas_udf above the cutoff (plan stays O(1) in dim × n_cells)."""
+        if dim <= VECTORIZED_DIM_CUTOFF:
+            dists = []
+            for i, cv in cents:
+                coefs = ", ".join(f"{x:.6f}D" for x in cv)
+                d = (
+                    f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+                    f"0.0D, (s, v) -> s + v)"
+                )
+                dists.append(f"named_struct('d', {d}, 'c', {i})")
+            arr = f"array_sort(array({', '.join(dists)}))"
+            return F.expr(f"transform(slice({arr}, 1, {top}), s -> s.c)")
+
+        cmat = np.asarray([cv for _, cv in cents], dtype=np.float64)
+        bc = spark.sparkContext.broadcast(cmat)
+
+        @pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(v: pd.Series) -> pd.Series:
+            m = bc.value
+            cn2 = (m * m).sum(axis=1)
+            out = [None] * len(v)
+            idx = [i for i, x in enumerate(v) if x is not None and len(x) == m.shape[1]]
+            if idx:
+                x = np.asarray([np.asarray(v.iloc[i], dtype=np.float64) for i in idx])
+                # |x-c|^2 = |x|^2 - 2 x·c + |c|^2; |x|^2 constant per row →
+                # ranking needs only -2 x·c + |c|^2
+                d2 = -2.0 * (x @ m.T) + cn2
+                order = np.argsort(d2, axis=1, kind="stable")[:, :top]
+                for row_i, o in zip(idx, order):
+                    out[row_i] = [int(j) for j in o]
+            return pd.Series(out)
+
+        return cells(F.col(vec))
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("cv"),
-        F.expr(f"element_at({cell_expr(corpus_vec)}, 1).c").alias("cell"),
+        F.element_at(nearest_cells_col(corpus_vec, 1), 1).alias("cell"),
     ).withColumn("cn", _norm("cv"))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
-        F.explode(
-            F.expr(f"transform(slice({cell_expr(query_vec)}, 1, {n_probe}), s -> s.c)")
-        ).alias("cell"),
+        F.explode(nearest_cells_col(query_vec, n_probe)).alias("cell"),
     ).withColumn("qn", _norm("qv"))
     scored = c.join(F.broadcast(q), "cell").withColumn(
         "cosine",

@@ -74,14 +74,21 @@ def backfill_features(
     """
     if "text_len" not in pages.columns:
         pages = pages.withColumn("text_len", F.length("text"))
-    slim = pages.select("url", "ts", "ds", "text_len", "lang")
     if queries is None:
+        # 8-byte text hash riding the slim frame keys the final payload
+        # join: two crawls of one url at the SAME millisecond with
+        # different texts match 1:1 by hash instead of fanning out, and
+        # byte-identical duplicate crawls collapse to one payload row
+        # (each left row still gets its exact text — identity preserved)
+        pages = pages.withColumn("__th", F.xxhash64("text"))
+        slim = pages.select("url", "ts", "ds", "text_len", "lang", "__th")
         left = enrich_pages(slim).select(
             "url",
             "ts",
             "ds",
             "lang",
             "text_len",
+            "__th",
             "text_len_lag_1",
             "text_len_lag_2",
             "text_len_lead_1",
@@ -89,9 +96,12 @@ def backfill_features(
             "session_ts",
             "session_event_idx",
         )
-        payload = pages.select("url", "ts", "text")
-        payload_keys = ["url", "ts"]
+        payload_keys = ["url", "ts", "__th"]
+        # the dropDuplicates shuffle hashes on the same keys as the join
+        # below, so AQE reuses one exchange — text crosses the network once
+        payload = pages.select(*payload_keys, "text").dropDuplicates(payload_keys)
     else:
+        slim = pages.select("url", "ts", "ds", "text_len", "lang")
         left = queries
         payload = None
         payload_keys = []
@@ -106,5 +116,5 @@ def backfill_features(
     )
     if payload is not None:
         # the single wide-column shuffle of the whole pipeline
-        feats = feats.join(payload, payload_keys, "left")
+        feats = feats.join(payload, payload_keys, "left").drop("__th")
     return feats

@@ -337,3 +337,71 @@ def test_elementwise_config_snapshot(spark):
     assert len(out) == 1
     got = out[0]["vec_average_7d"]
     assert np.allclose([got[0], got[1]], [4.0, 6.0]) and got[2] == 12.0
+
+
+# -------------------------------------- high-dim ANN vectorized signatures
+
+
+def test_ann_high_dim_vectorized(spark):
+    """dim-512 LSH/IVF: signature/assignment via the broadcast-matrix
+    pandas_udf (no 100k-literal Catalyst tree); recall@5 vs brute force
+    stays sane and the plan compiles in bounded time."""
+    from chronon_spark.operators.similarity import (
+        VECTORIZED_DIM_CUTOFF,
+        brute_force_top_k,
+        ivf_top_k,
+        lsh_top_k,
+    )
+
+    assert 512 > VECTORIZED_DIM_CUTOFF
+    rng = np.random.default_rng(41)
+    dim, n, nq = 512, 400, 8
+    base = rng.normal(size=(20, dim))
+    corpus_vecs = base[rng.integers(0, 20, n)] + 0.15 * rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, v)) for v in corpus_vecs]})
+    )
+    qv = corpus_vecs[:nq] + 0.01 * rng.normal(size=(nq, dim))
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": range(nq), "query_vec": [list(map(float, v)) for v in qv]})
+    )
+    truth: dict = {}
+    for r in brute_force_top_k(corpus, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    for approx in (
+        lsh_top_k(corpus, queries, k=5, n_planes=8, n_tables=12, seed=5),
+        ivf_top_k(corpus, queries, k=5, n_cells=12, n_probe=4, seed=5),
+    ):
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_embedding_near_dups_high_dim(spark):
+    """Planted high-dim duplicates found through the vectorized signature."""
+    from chronon_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(9)
+    dim = 256
+    base = rng.normal(size=(30, dim))
+    rows, vid = [], 0
+    expected = set()
+    for i in range(30):
+        rows.append((vid, [float(x) for x in base[i]]))
+        if i < 10:  # plant a near-identical twin
+            twin = base[i] + 0.001 * rng.normal(size=dim)
+            rows.append((vid + 1, [float(x) for x in twin]))
+            expected.add((vid, vid + 1))
+            vid += 1
+        vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, cosine_threshold=0.99, n_planes=12).collect()
+    }
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, (recall, got, expected)

@@ -92,3 +92,33 @@ def test_lang_frequency_map(spark, pages):
     )
     # bucketed counts sum to ≤ the unbucketed count (null langs excluded)
     assert sum(row["text_len_count_30d_by_lang"].values()) <= row["text_len_count_30d"]
+
+
+def test_same_ms_duplicate_crawls(spark):
+    """Two crawls of one url at the SAME millisecond (distinct texts, and a
+    byte-identical duplicate pair) must not fan out the payload join: row
+    count invariant, each row keeps its exact text."""
+    import pandas as pd
+
+    T0 = 1_700_000_000_000
+    rows = [
+        ("u1", T0, "alpha text"),
+        ("u1", T0, "beta text"),        # same ms, different text
+        ("u1", T0 + 1000, "gamma"),
+        ("u2", T0, "same bytes"),
+        ("u2", T0, "same bytes"),       # byte-identical duplicate crawl
+        ("u2", T0 + 5000, "later"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "text"])
+    pages = spark.createDataFrame(pdf).select(
+        "url",
+        F.col("ts").cast("long").alias("ts"),
+        "text",
+        F.lit("en").alias("lang"),
+        F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd").alias("ds"),
+    )
+    out = backfill_features(spark, pages)
+    assert out.count() == len(rows)  # no fan-out
+    got = sorted((r["url"], r["ts"], r["text"]) for r in out.select("url", "ts", "text").collect())
+    assert got == sorted((u, t, x) for u, t, x in rows)
+    assert "__th" not in out.columns
