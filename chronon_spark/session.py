@@ -50,6 +50,12 @@ def build_session(
         # keep post-shuffle parallelism: default 64MB advisory target
         # collapses small-SF stages to a handful of tasks
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # allow co-partitioned joins when ONE side is already hash-laid-out
+        # on a subset of the join keys (e.g. a bucketed-by-url table joined
+        # on (url, ts, hash)): only the other side shuffles, the bucketed
+        # scan keeps zero exchanges — the point of provisioning bucketed
+        # tables for the flagship payload join
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

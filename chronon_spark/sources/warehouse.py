@@ -148,7 +148,41 @@ class Warehouse:
                     f,
                 )
 
+    # ------------------------------------------------------ bucketed layout
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 64,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Write a hash-bucketed, per-bucket-sorted table via the session
+        catalog (``bucketBy``/``sortBy`` + ``saveAsTable``) — the layout
+        the reference provisions with Iceberg ``bucketed_by`` tables
+        (spark/catalog/TableUtils.scala:223-284). A join whose keys cover
+        the bucket columns then reads the table with NO exchange above the
+        scan: HashPartitioning(bucket_cols, n) satisfies the join's
+        clustered distribution, and only the other side shuffles
+        (requireAllClusterKeysForCoPartition=false in session.py). At 100TB
+        this removes the single wide-column shuffle of pipelines like the
+        webtext flagship's payload join."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .option("path", self.path(table))
+            .saveAsTable(table)
+        )
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Catalog read — preserves bucketing metadata (a plain path read
+        would lose the HashPartitioning and re-shuffle)."""
+        return self.spark.table(table)
+
     def drop(self, table: str) -> None:
+        if self.spark.catalog.tableExists(table):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
         shutil.rmtree(self.path(table), ignore_errors=True)
         shutil.rmtree(self._lineage_dir(table), ignore_errors=True)
 

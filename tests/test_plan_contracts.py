@@ -52,3 +52,91 @@ def test_snapshot_sketch_ir_plan(spark):
     plan = _plan(snapshot_events(spark, gb, ev, "2023-11-15", "2023-12-10"))
     assert "flatten(collect_list" not in plan
     assert "collect_set" not in plan
+
+
+def _walk(node, pred, out):
+    if pred(node):
+        out.append(node)
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), pred, out)
+
+
+def test_bucketed_payload_join_no_exchange_on_pages(spark, tmp_path):
+    """The flagship's 100-TB layout contract: with the pages table written
+    bucketed-by-url (Warehouse.write_bucketed — the Iceberg bucketed_by
+    analogue), the final wide-column payload join reads pages with ZERO
+    exchange above the scan; only the slim feats side shuffles (subset
+    co-partitioning on url, requireAllClusterKeysForCoPartition=false)."""
+    from chronon_spark.sources.warehouse import Warehouse
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i % 97}" for i in range(n)],
+            "ts": [1_700_000_000_000 + i * 60_000 for i in range(n)],
+            "text": [f"body of page {i}" for i in range(n)],
+        }
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_bucketed(
+        spark.createDataFrame(pdf), "pages_bucketed_t", ["url"], n_buckets=8,
+        sort_cols=["url", "ts"],
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "false",  # plain tree for the walk
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ (at-scale) shape
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pages = wh.read_bucketed("pages_bucketed_t")
+        payload = (
+            pages.withColumn("__th", F.xxhash64("text"))
+            .select("url", "ts", "__th", "text")
+            .dropDuplicates(["url", "ts", "__th"])
+        )
+        feats = spark.createDataFrame(pdf[["url", "ts"]]).withColumn(
+            "__th", F.xxhash64(F.concat(F.lit("body of page "), F.lit("x")))
+        )
+        joined = feats.join(payload, ["url", "ts", "__th"], "left")
+        root = joined._jdf.queryExecution().executedPlan()
+
+        exchanges: list = []
+        _walk(root, lambda nd: "ShuffleExchange" in nd.getClass().getSimpleName(), exchanges)
+        assert len(exchanges) == 1, f"expected 1 exchange (feats side), got {len(exchanges)}"
+        # the single exchange's subtree must NOT contain the bucketed scan
+        scans_under_exchange: list = []
+        _walk(
+            exchanges[0],
+            lambda nd: "FileSourceScan" in nd.getClass().getSimpleName(),
+            scans_under_exchange,
+        )
+        assert not scans_under_exchange, "pages scan found under an exchange"
+        assert "Bucketed: true" in root.toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        wh.drop("pages_bucketed_t")
+
+
+def test_bucketed_flagship_end_to_end(spark, tmp_path):
+    """backfill_features over a bucketed-by-url catalog table returns the
+    same rows as over the plain frame (layout is a pure physical change)."""
+    from chronon_spark.fixtures.webtext import generate_webtext
+    from chronon_spark.pipelines.webtext import backfill_features
+    from chronon_spark.sources.warehouse import Warehouse
+
+    pages = generate_webtext(spark, n_rows=3000, n_urls=80, days=20)
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    wh.write_bucketed(pages, "pages_flag_b", ["url"], n_buckets=8, sort_cols=["url", "ts"])
+    try:
+        plain = backfill_features(spark, pages)
+        bucketed = backfill_features(spark, wh.read_bucketed("pages_flag_b"))
+        cols = sorted(plain.columns)
+        a = sorted((tuple(r) for r in plain.select(*cols).collect()), key=repr)
+        b = sorted((tuple(r) for r in bucketed.select(*cols).collect()), key=repr)
+        assert a == b
+    finally:
+        wh.drop("pages_flag_b")
