@@ -117,19 +117,19 @@ def streaming_tiles(
 def fold_counter_tiles(tiles: DataFrame) -> DataFrame:
     """Batch/read-side fold: convert streamed ``__t_{c}_cnt_list`` value
     lists into the value→count maps the batch tiled kernel consumes
-    (one bounded tile's worth of values per row — no shuffle)."""
+    (one bounded tile's worth of values per row — no shuffle). Sorted
+    run-length pass, same as the batch histogram IR (O(n log n) per tile,
+    not O(distinct × n))."""
+    from chronon_spark.functions.aggregations import _rle_count_entries
+
     out = tiles
     for c in tiles.columns:
         if not c.endswith("_cnt_list"):
             continue
         target = c[: -len("_list")]
-        ks = f"array_distinct({c})"
+        entries = _rle_count_entries(f"sort_array({c})")
         out = out.withColumn(
             target,
-            F.expr(
-                f"CASE WHEN size({c}) > 0 THEN map_from_entries(transform({ks}, "
-                f"kk -> named_struct('key', kk, 'value', "
-                f"CAST(size(filter({c}, x -> x = kk)) AS BIGINT)))) END"
-            ),
+            F.expr(f"CASE WHEN size({c}) > 0 THEN map_from_entries({entries}) END"),
         ).drop(c)
     return out
