@@ -553,27 +553,50 @@ def _fixture_fingerprint(df: DataFrame) -> tuple[int, int]:
     return int(r["n"]), int(r["h"] or 0)
 
 
+_FIXTURE_VALIDATED = False
+
+
 def _flagship_pages(spark: SparkSession) -> DataFrame:
     """Deterministic 20k-row webtext fixture, also materialized as parquet
     so the DuckDB oracle reads the exact same rows. Freshness-validated:
     a committed parquet that diverges from generate_webtext (e.g. after a
     generator change) fails LOUDLY here instead of surfacing as a
-    confusing downstream hash mismatch."""
+    confusing downstream hash mismatch. The fingerprint of the parquet is
+    recorded in a sidecar at write time, so validation costs one pass over
+    the GENERATED frame (compared against the sidecar) — not an extra
+    parquet scan — and runs once per process."""
+    global _FIXTURE_VALIDATED
+    import json as _json
+
     from chronon_spark.fixtures.webtext import generate_webtext
 
     pages = generate_webtext(spark, n_rows=20_000, n_urls=500, days=60)
     oracle_cols = pages.select("url", "ts", "text_len", "lang", "text")
+    sidecar = os.path.join(FLAGSHIP_PAGES_PATH, "_fingerprint.json")
     if not os.path.exists(os.path.join(FLAGSHIP_PAGES_PATH, "_SUCCESS")):
         oracle_cols.coalesce(1).write.mode("overwrite").parquet(FLAGSHIP_PAGES_PATH)
-    else:
+        n, h = _fixture_fingerprint(spark.read.parquet(FLAGSHIP_PAGES_PATH))
+        with open(sidecar, "w") as f:
+            _json.dump({"rows": n, "hash": h}, f)
+        _FIXTURE_VALIDATED = True
+    elif not _FIXTURE_VALIDATED:
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                rec = _json.load(f)
+            got = (rec["rows"], rec["hash"])
+        else:  # pre-sidecar checkout: one-time full parquet fingerprint
+            got = _fixture_fingerprint(spark.read.parquet(FLAGSHIP_PAGES_PATH))
         want = _fixture_fingerprint(oracle_cols)
-        got = _fixture_fingerprint(spark.read.parquet(FLAGSHIP_PAGES_PATH))
         if want != got:
             raise RuntimeError(
                 f"stale webtext oracle fixture at {FLAGSHIP_PAGES_PATH}: "
                 f"generated (rows, hash)={want} vs on-disk {got}; "
                 f"delete the directory to regenerate"
             )
+        if not os.path.exists(sidecar):  # upgrade pre-sidecar checkouts
+            with open(sidecar, "w") as f:
+                _json.dump({"rows": want[0], "hash": want[1]}, f)
+        _FIXTURE_VALIDATED = True
     return pages
 
 

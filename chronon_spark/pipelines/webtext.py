@@ -97,9 +97,21 @@ def backfill_features(
             "session_event_idx",
         )
         payload_keys = ["url", "ts", "__th"]
-        # the dropDuplicates shuffle hashes on the same keys as the join
-        # below, so AQE reuses one exchange — text crosses the network once
-        payload = pages.select(*payload_keys, "text").dropDuplicates(payload_keys)
+        payload = pages.select(*payload_keys, "text")
+        # byte-identical duplicate crawls at one (url, ts) would fan the
+        # join out; dedupe the wide payload ONLY when such rows exist —
+        # probed on the SLIM frame (narrow aggregate, no text movement),
+        # so the common duplicate-free case pays zero wide-side aggregate
+        has_dup = (
+            slim.groupBy(*payload_keys)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if has_dup:
+            payload = payload.dropDuplicates(payload_keys)
     else:
         slim = pages.select("url", "ts", "ds", "text_len", "lang")
         left = queries
