@@ -158,3 +158,63 @@ def compare_tables(
             ]
     metrics = comparison.agg(*aggs)
     return comparison, metrics
+
+
+def consistency_job(
+    spark,
+    join,
+    logged: DataFrame,
+    sample_percent: float = 100.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Online-offline consistency — the ConsistencyJob analogue
+    (spark/stats/ConsistencyJob.scala:35-150) and the last member of the
+    reference's stats job family (StatsCompute / CompareJob /
+    ConsistencyJob / SummaryJob).
+
+    ``logged`` carries the join's left key columns + ``ts`` + one column
+    per ONLINE-SERVED feature value, named exactly as the offline
+    backfill names them. The job rebuilds the comparison join with the
+    logged rows as the left side (buildComparisonJoin: left keys + ts
+    only — the served values must NOT leak into the recompute), runs the
+    standard point-in-time enrichment offline over those rows, and feeds
+    (logged, offline) through the same CompareMetrics machinery as
+    ``compare_tables``. Returns (row-level comparison frame keyed by
+    keys+ts, one-row metrics frame).
+
+    ``sample_percent`` mirrors ``metaData.consistencySamplePercent``
+    (api.thrift:285). Deviation, documented: the reference samples with
+    ``RAND() <= pct``; we sample deterministically on
+    ``xxhash64(keys, ts)`` so a resumed/re-run job compares the SAME row
+    subset (checkpoint-stable lineage).
+
+    Scale shape: sampling and key projection are map-side; the offline
+    recompute is the ordinary enrichment path (small-mode IN / semi-join
+    pruned right scans over the logged key set); the final compare joins
+    on a per-row uid — with AQE the slim logged side broadcasts.
+    """
+    from chronon_spark.streaming.enrich import enrich_batch
+
+    left_keys: list[str] = []
+    for part in join.right_parts:
+        for c in part.right_to_left().values():
+            if c not in left_keys:
+                left_keys.append(c)
+    feature_cols = [
+        c for c in logged.columns if c not in (*left_keys, "ts", "ds")
+    ]
+    if not feature_cols:
+        raise ValueError("logged frame has no feature columns to check")
+    if sample_percent < 100.0:
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in left_keys], F.col("ts")), F.lit(10_000)
+        )
+        logged = logged.filter(bucket < int(round(sample_percent * 100)))
+    uid = "__log_uid"
+    logged = logged.withColumn(uid, F.monotonically_increasing_id()).persist()
+    offline = enrich_batch(spark, join, logged.select(uid, *left_keys, "ts"))
+    comparison, metrics = compare_tables(
+        logged.select(uid, *left_keys, "ts", *feature_cols),
+        offline.select(uid, *left_keys, "ts", *feature_cols),
+        keys=[uid, *left_keys, "ts"],
+    )
+    return comparison.drop(uid), metrics

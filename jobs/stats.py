@@ -42,9 +42,19 @@ def main() -> None:
     c.add_argument("--keys", required=True)
     c.add_argument("--mapping", default="")
     c.add_argument("--out", default=None)
+    k = sub.add_parser("consistency")
+    k.add_argument("--config", required=True, help="python module with the Join")
+    k.add_argument("--name", required=True, help="Join name inside the module")
+    k.add_argument("--logged", required=True, help="parquet of served rows")
+    k.add_argument("--sample-percent", type=float, default=100.0)
+    k.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from chronon_spark.operators.stats import column_summary, compare_tables
+    from chronon_spark.operators.stats import (
+        column_summary,
+        compare_tables,
+        consistency_job,
+    )
     from chronon_spark.session import build_session
 
     spark = build_session(app_name=f"stats:{args.verb}")
@@ -57,11 +67,22 @@ def main() -> None:
         else:
             for r in out.orderBy(out.columns[0]).collect():
                 print(json.dumps(r.asDict(), default=str))
-    else:
+    elif args.verb == "compare":
         keys = [k for k in args.keys.split(",") if k]
         mapping = dict(kv.split("=", 1) for kv in args.mapping.split(",") if kv)
         comparison, metrics = compare_tables(
             _read(spark, args.left), _read(spark, args.right), keys, mapping
+        )
+        print(json.dumps(metrics.first().asDict(), default=str))
+        if args.out:
+            comparison.write.mode("overwrite").parquet(args.out)
+            print(f"comparison written: {args.out}")
+    else:  # consistency (ConsistencyJob.scala analogue)
+        from jobs.backfill import find_config, load_config_module
+
+        join = find_config(load_config_module(args.config), args.name)
+        comparison, metrics = consistency_job(
+            spark, join, _read(spark, args.logged), sample_percent=args.sample_percent
         )
         print(json.dumps(metrics.first().asDict(), default=str))
         if args.out:

@@ -81,3 +81,130 @@ def test_stats_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     m = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][0])
     assert m["value_mismatch"] == 0 and m["event_type_mismatch"] == 0
+
+
+def test_consistency_job(spark):
+    """OOC consistency (ConsistencyJob analogue): logged-vs-offline
+    recompute catches exactly the perturbed rows, and the deterministic
+    sampler picks a stable subset across runs."""
+    import numpy as np
+
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.stats import consistency_job
+    from chronon_spark.streaming.enrich import enrich_batch
+
+    MS_DAY = 86_400_000
+    T0 = 1_700_000_000_000
+    rng = np.random.default_rng(47)
+    n = 300
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, 6, n)],
+            "ts": (T0 + rng.integers(0, 10 * MS_DAY, n)).astype("int64"),
+            "amount": rng.integers(1, 40, n).astype(float),
+        }
+    )
+    spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    ).createOrReplaceTempView("cons_events")
+    gb = GroupBy(
+        name="cons_gb",
+        sources=(EventSource(table="cons_events", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("amount", Operation.SUM, windows=(Window(3), None)),
+            Aggregation("amount", Operation.COUNT, windows=(None,)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    join = Join(
+        name="cons_join", left=EventSource(table="unused"), right_parts=(JoinPart(gb),)
+    )
+
+    # the "served" log = ground-truth offline values on 60 query rows
+    q = pd.DataFrame(
+        {
+            "user": [f"u{i % 6}" for i in range(60)],
+            "ts": (T0 + 2 * MS_DAY + np.arange(60) * 3_600_000).astype("int64"),
+        }
+    )
+    truth = enrich_batch(spark, join, spark.createDataFrame(q)).toPandas()
+    sum_col = [c for c in truth.columns if c.endswith("sum_3d")][0]
+    cnt_col = [c for c in truth.columns if c.endswith("count")][0]
+
+    # perturb the served sum on 7 rows where it is non-null
+    logged = truth.copy()
+    hit = logged.index[logged[sum_col].notna()][:7]
+    logged.loc[hit, sum_col] = logged.loc[hit, sum_col] + 1.0
+    comparison, metrics = consistency_job(spark, join, spark.createDataFrame(logged))
+    m = metrics.first()
+    assert m["total"] == 60
+    assert m[f"{sum_col}_mismatch"] == 7
+    assert m[f"{cnt_col}_mismatch"] == 0
+    bad = comparison.filter(F.col(f"{sum_col}_left") != F.col(f"{sum_col}_right"))
+    assert bad.count() == 7 and "user" in comparison.columns and "ts" in comparison.columns
+
+    # deterministic sampling: same subset both runs, strictly smaller than full
+    _, m1 = consistency_job(spark, join, spark.createDataFrame(logged), sample_percent=40.0)
+    _, m2 = consistency_job(spark, join, spark.createDataFrame(logged), sample_percent=40.0)
+    r1, r2 = m1.first(), m2.first()
+    assert r1["total"] == r2["total"] < 60
+    assert r1[f"{sum_col}_mismatch"] == r2[f"{sum_col}_mismatch"]
+
+
+def test_consistency_cli(tmp_path):
+    """`stats.py consistency` smoke: config-module Join + logged parquet
+    in, metrics JSON out."""
+    import numpy as np
+
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i % 3}" for i in range(50)],
+            "ts": (1_700_000_000_000 + np.arange(50) * 3_600_000).astype("int64"),
+            "amount": np.arange(50).astype(float),
+        }
+    )
+    ev["ds"] = pd.to_datetime(ev["ts"], unit="ms").dt.strftime("%Y-%m-%d")
+    ev.to_parquet(tmp_path / "events.parquet")
+    logged = pd.DataFrame(
+        {
+            "user": ["u0", "u1", "u2"],
+            "ts": [1_700_000_000_000 + 40 * 3_600_000] * 3,
+            "cons_cli_gb_amount_sum": [0.0, 0.0, 0.0],
+        }
+    )
+    logged.to_parquet(tmp_path / "logged.parquet")
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        f"src = EventSource(table={str(tmp_path / 'events.parquet')!r}, query=Query(time_column='ts'))\n"
+        "gb = GroupBy(name='cons_cli_gb', sources=(src,), key_columns=('user',),\n"
+        "             aggregations=(Aggregation('amount', Operation.SUM, windows=(None,)),),\n"
+        "             accuracy=Accuracy.TEMPORAL)\n"
+        "j = Join(name='cons_cli_join', left=EventSource(table='unused'),\n"
+        "         right_parts=(JoinPart(gb),))\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "stats.py"), "consistency",
+            "--config", str(cfg), "--name", "cons_cli_join",
+            "--logged", str(tmp_path / "logged.parquet"),
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][0])
+    # served zeros vs real sums: every non-null offline row mismatches
+    assert m["total"] == 3 and m["cons_cli_gb_amount_sum_mismatch"] == 3
