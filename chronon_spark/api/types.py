@@ -87,8 +87,10 @@ class Operation(enum.Enum):
     APPROX_PERCENTILE = "approx_percentile"
     # exact map until k distinct values, then frequent-items truncation
     # (reference uses Yahoo ItemsSketch, SimpleAggregators.scala:459-601;
-    # we use a deterministic space-saving cap: day IRs keep the top 8k
-    # entries by count, finalize keeps top k)
+    # we use a deterministic mergeable Misra-Gries cap: day IRs keep the
+    # top 8k entries by count plus a truncation-error sentinel, finalize
+    # keeps top k — est ≤ true ≤ est + error_bound, the ItemsSketch
+    # upper/lower-bound contract; bound 0 when no day truncates)
     APPROX_HISTOGRAM_K = "approx_histogram_k"
 
     @property

@@ -543,16 +543,52 @@ _register(
 )
 
 
+# Sentinel map key carrying the Misra-Gries truncation error inside
+# APPROX_HISTOGRAM_K day IRs. chr(0) prefix: sorts before (and cannot be
+# produced by) any printable stringified value.
+_MG_ERR_KEY_SQL = "concat(chr(0), '__mg_err')"
+
+
 def _hist_ir_capped(inp: str, part: AggregationPart) -> Column:
-    """Space-saving day IR for APPROX_HISTOGRAM_K: keep only the top 8k
-    entries by (count desc, key asc) per day — a deterministic stand-in for
-    the reference's ItemsSketch frequent-items IR
-    (SimpleAggregators.scala:459-601); exact whenever a day holds ≤ 8k
-    distinct values."""
+    """Space-saving day IR for APPROX_HISTOGRAM_K: keep the top 8k entries
+    by (count desc, key asc) per day — the deterministic analogue of the
+    reference's ItemsSketch frequent-items IR
+    (SimpleAggregators.scala:459-601) — WITH the sketch's error guarantee:
+    when a day truncates, a sentinel entry records the largest dropped
+    count. The ordinary entry-sum window merge accumulates the sentinel
+    across days, so for every retained key the merged result satisfies
+    est ≤ true ≤ est + error_bound (mergeable Misra-Gries; Agarwal et al.,
+    "Mergeable Summaries", PODS'12). Exact (bound 0) whenever every day
+    holds ≤ 8k distinct values. Keys stringified — Map[String, Long],
+    matching ItemsSketch<String> and this engine's temporal/tiled paths."""
     cap = 8 * int(part.arg_map.get("k", 8))
-    lst = f"sort_array(collect_list({inp}))"
-    entries = _topk_entries(_rle_count_entries(lst), cap)
-    return F.expr(f"CASE WHEN size({lst}) > 0 THEN map_from_entries({entries}) END")
+    lst = f"sort_array(collect_list(CAST({inp} AS STRING)))"
+    ranked = (
+        f"array_sort({_rle_count_entries(lst)}, (a, b) -> CASE WHEN a.value > b.value THEN -1 "
+        f"WHEN a.value < b.value THEN 1 WHEN a.key < b.key THEN -1 ELSE 1 END)"
+    )
+    body = (
+        f"CASE WHEN size(__rk) = 0 THEN NULL "
+        f"WHEN size(__rk) > {cap} THEN map_from_entries(concat(slice(__rk, 1, {cap}), "
+        f"array(named_struct('key', {_MG_ERR_KEY_SQL}, "
+        f"'value', element_at(__rk, {cap} + 1).value)))) "
+        f"ELSE map_from_entries(__rk) END"
+    )
+    return F.expr(_let_sql(ranked, "__rk", body))
+
+
+def approx_histogram_error_bound(ir: str) -> Column:
+    """Frequency error bound of a merged APPROX_HISTOGRAM_K IR: for every
+    key in the finalized map, est ≤ true_count ≤ est + bound (the
+    ItemsSketch getUpperBound/getLowerBound contract). 0 when no day
+    truncated."""
+    return F.expr(f"coalesce(try_element_at({ir}, {_MG_ERR_KEY_SQL}), 0L)")
+
+
+def _hist_map_finalize_capped(ir: str, part: AggregationPart) -> Column:
+    """APPROX finalize: strip the error sentinel, then standard top-k."""
+    clean = f"map_filter({ir}, (k, v) -> k != {_MG_ERR_KEY_SQL})"
+    return _hist_map_finalize(clean, part)
 
 
 _register(
@@ -560,7 +596,7 @@ _register(
     direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized via direct_finalize
     ir=_hist_ir_capped,
     merge=lambda ir, p: _hist_map_merge(ir),
-    finalize=lambda ir, p: _hist_map_finalize(ir, p),
+    finalize=lambda ir, p: _hist_map_finalize_capped(ir, p),
 )
 
 _register(

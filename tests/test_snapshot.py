@@ -122,3 +122,58 @@ def test_spine_coverage(data):
         while d <= end_d:
             assert (user, d.isoformat()) in seen, f"missing {user} {d}"
             d += dt.timedelta(days=1)
+
+
+def test_approx_histogram_error_bound(spark):
+    """Misra-Gries guarantee of the capped APPROX_HISTOGRAM_K day IRs:
+    under per-day truncation (cap = 8k), every retained key satisfies
+    est ≤ true ≤ est + error_bound after the window merge, the bound is
+    nonzero (truncation really happened), and the sentinel never leaks
+    into the finalized map."""
+    from pyspark.sql import Window as W
+
+    from chronon_spark.api.types import AggregationPart
+    from chronon_spark.functions.aggregations import (
+        OP_SPECS,
+        approx_histogram_error_bound,
+    )
+
+    # one user, 3 days, 40 distinct cats/day, skewed counts; cap = 8·k = 8
+    rows = []
+    for day in range(3):
+        for c in range(40):
+            for _ in range(1 + (40 - c) * 2 // (day + 2)):
+                rows.append(("u0", day, f"cat{c:02d}"))
+    pdf = pd.DataFrame(rows, columns=["user", "dd", "cat"])
+    df = spark.createDataFrame(pdf)
+    part = AggregationPart("cat", Operation.APPROX_HISTOGRAM_K, {"k": 1}, Window(7), None)
+    spec = OP_SPECS[Operation.APPROX_HISTOGRAM_K]
+    daily = df.groupBy("user", "dd").agg(spec.ir("cat", part).alias("__ir"))
+    w = W.partitionBy("user").orderBy("dd").rangeBetween(-6, 0)
+    merged = daily.withColumn("__m", spec.merge("__ir", part).over(w))
+    out = (
+        merged.withColumn("__f", spec.finalize("__m", part))
+        .withColumn("__err", approx_histogram_error_bound("__m"))
+        .orderBy(F.desc("dd"))
+        .first()
+    )
+    est_map, err = out["__f"], out["__err"]
+    assert err > 0 and len(est_map) == 1
+    true_counts = pdf["cat"].value_counts()
+    for key, est in est_map.items():
+        assert "\x00" not in key
+        t = int(true_counts[key])
+        assert est <= t <= est + err, (key, est, t, err)
+
+    # no-truncation case: bound is exactly 0 and counts are exact
+    small = spark.createDataFrame(pdf[pdf["cat"].isin(["cat00", "cat01"])])
+    sdaily = small.groupBy("user", "dd").agg(spec.ir("cat", part).alias("__ir"))
+    sm = sdaily.withColumn("__m", spec.merge("__ir", part).over(w))
+    srow = (
+        sm.withColumn("__f", spec.finalize("__m", part))
+        .withColumn("__err", approx_histogram_error_bound("__m"))
+        .orderBy(F.desc("dd"))
+        .first()
+    )
+    assert srow["__err"] == 0
+    assert srow["__f"]["cat00"] == int(true_counts["cat00"])
