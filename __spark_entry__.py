@@ -338,6 +338,23 @@ def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _model_weights() -> "np.ndarray":
+    import numpy as np
+
+    return np.round(np.random.default_rng(123).normal(size=64), 6)
+
+
+def q_model_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model transform (ModelTransformBatchJob analogue): linear
+    scorer score = sigmoid(w·embedding + b) over the embeddings table —
+    deterministic seeded weights, oracle via DuckDB list_dot_product."""
+    from chronon_spark.operators.model import LinearModelBackend
+
+    be = LinearModelBackend(weights=_model_weights(), bias=0.25, link="sigmoid")
+    out = be.transform(spark, _emb(spark, sf_dir))
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine HISTOGRAM op (map IR) rendered as a sorted string for
     dialect-portable comparison."""
@@ -861,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "similarity_bruteforce": q_similarity_bruteforce,
+        "model_transform": q_model_transform,
         "histogram": q_histogram,
         "approx_histogram": q_approx_histogram,
         "topk_percentiles": q_topk_percentiles,
@@ -902,7 +920,13 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter({toks}, x -> list_contains([{ws}], x))) AS s_{lang}"
         for lang, ws in sw.items()
     )
+    model_w = "[" + ", ".join(repr(float(x)) for x in _model_weights()) + "]"
     return {
+        "model_transform": f"""
+SELECT vec_id,
+       round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]), {model_w}::DOUBLE[]) + 0.25))), 6) AS score
+FROM embeddings
+""",
         "groupby_snapshot": f"""
 WITH ev AS (
   SELECT user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd, value FROM events
