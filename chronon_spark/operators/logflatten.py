@@ -40,16 +40,19 @@ def flatten_log_table(
     spark: SparkSession,
     raw: DataFrame,
     schemas: dict[str, tuple[str, str]],
-) -> tuple[DataFrame, DataFrame]:
+    with_stats: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Flatten ``raw`` (key_json, value_json, ts_millis, ds, schema_hash)
     through the ``schemas`` registry {schema_hash: (key_ddl, value_ddl)}.
 
     Returns (flat frame, one-row decode-stats frame with rows_in /
-    rows_decoded / rows_dropped)."""
+    rows_decoded / rows_dropped — or None with ``with_stats=False``).
+    Stats cost two extra counting passes; the range-walked job skips them
+    so a backfill pays exactly one pass per range (the reference tracks
+    drops with accumulator metrics inside its single pass)."""
     known = raw.filter(
         F.col("schema_hash").isNotNull() & F.col("schema_hash").isin(list(schemas))
     )
-    rows_in = raw.count()
 
     # union field list across versions, first occurrence wins (dedupeFields)
     fields: list[T.StructField] = []
@@ -107,6 +110,9 @@ def flatten_log_table(
         flat = per_version[0]
         for p in per_version[1:]:
             flat = flat.unionByName(p)
+    if not with_stats:
+        return flat, None
+    rows_in = raw.count()
     rows_decoded = flat.count()
     stats = spark.createDataFrame(
         [(rows_in, rows_decoded, rows_in - rows_decoded)],
@@ -134,7 +140,7 @@ def log_flattener_job(
             raw = warehouse.read(input_table).filter(
                 (F.col("ds") >= rng.start) & (F.col("ds") <= rng.end)
             )
-            flat, _ = flatten_log_table(spark, raw, schemas)
+            flat, _ = flatten_log_table(spark, raw, schemas, with_stats=False)
             warehouse.insert_partitions(flat, output_table)
             written.extend(rng.days())
     return written
