@@ -168,24 +168,28 @@ def snapshot_events(
 _DELTA_UNIQUE_OPS = {Operation.UNIQUE_COUNT, Operation.BOUNDED_UNIQUE_COUNT}
 
 
+def _occurrences(ev: DataFrame, keys: list[str], inp: str) -> DataFrame:
+    """Distinct (keys, day, value) occurrence rows — the compact input of
+    the sliding-distinct delta encoding. Day-partitionable, so the
+    incremental runner materializes it once per day."""
+    return ev.filter(F.col(inp).isNotNull()).select(*keys, DAY_IDX, inp).distinct()
+
+
 def _unique_deltas(
-    ev: DataFrame, keys: list[str], part: AggregationPart, out_name: str
+    occ: DataFrame, keys: list[str], part: AggregationPart, out_name: str
 ) -> DataFrame:
     """Exact sliding-window distinct counts WITHOUT materializing value
     sets: a value's occurrence on day d contributes +1 to output day D iff
     its previous occurrence is outside D's window — an interval of output
     days, encoded as ±1 difference rows and integrated by a running sum.
     Total work is O(distinct (key, value, day) occurrences); the r1 path
-    re-materialized every day's collect_set once per output day."""
+    re-materialized every day's collect_set once per output day.
+
+    ``occ``: the `_occurrences` frame (already distinct)."""
     inp = part.input_column
-    occ = (
-        ev.filter(F.col(inp).isNotNull())
-        .select(*keys, DAY_IDX, inp)
-        .distinct()
-        .withColumn(
-            "__prev",
-            F.lag(DAY_IDX).over(Window.partitionBy(*keys, inp).orderBy(F.col(DAY_IDX))),
-        )
+    occ = occ.withColumn(
+        "__prev",
+        F.lag(DAY_IDX).over(Window.partitionBy(*keys, inp).orderBy(F.col(DAY_IDX))),
     )
     if part.window is None:
         deltas = (
@@ -207,6 +211,21 @@ def _unique_deltas(
     return deltas
 
 
+def _daily_irs(
+    keys: list[str], spec_parts: list[AggregationPart], ev: DataFrame
+) -> DataFrame:
+    """Stage 1: per-(keys, day) partial IRs (map-side combine is free:
+    Catalyst HashAggregate partial/final — SURVEY §4). The only stage that
+    touches raw events for registry ops — day-partitionable, so the
+    incremental runner materializes it once per day."""
+    ir_exprs = [
+        spec_for(p.operation).ir(p.input_column, p).alias(_ir_col(p)) for p in spec_parts
+    ]
+    if not ir_exprs:
+        ir_exprs = [F.count("*").alias("__rows")]
+    return ev.groupBy(*keys, DAY_IDX).agg(*ir_exprs)
+
+
 def _snapshot_plain(
     spark: SparkSession,
     gb: GroupBy,
@@ -214,20 +233,20 @@ def _snapshot_plain(
     events: DataFrame,
     start_ds: str,
     end_ds: str,
+    daily: DataFrame | None = None,
+    occs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
+    """``daily`` / ``occs`` override stage 1 with pre-materialized frames
+    (the incremental IR cache); when absent they derive from ``events``."""
     keys = list(gb.key_columns)
-    ev = _with_day_idx(events)
     uniq_parts = [p for p in parts if p.operation in _DELTA_UNIQUE_OPS]
     spec_parts = [p for p in parts if p.operation not in _DELTA_UNIQUE_OPS]
 
-    # ---- stage 1: per-(keys, day) partial IRs (map-side combine is free:
-    # Catalyst HashAggregate partial/final — SURVEY §4)
-    ir_exprs = [
-        spec_for(p.operation).ir(p.input_column, p).alias(_ir_col(p)) for p in spec_parts
-    ]
-    if not ir_exprs:
-        ir_exprs = [F.count("*").alias("__rows")]
-    daily = ev.groupBy(*keys, DAY_IDX).agg(*ir_exprs)
+    ev = None
+    if daily is None or any((occs or {}).get(p.input_column) is None for p in uniq_parts):
+        ev = _with_day_idx(events)
+    if daily is None:
+        daily = _daily_irs(keys, spec_parts, ev)
 
     # ---- stage 2: output-day spine = days each daily row influences
     # (bounded by max window; unbounded windows influence through end_ds)
@@ -269,7 +288,10 @@ def _snapshot_plain(
     # sum is the exact windowed distinct count at every output day
     for p in uniq_parts:
         dcol = f"__d_{p.output_column}"
-        merged = merged.join(_unique_deltas(ev, keys, p, dcol), keys + [DAY_IDX], "full_outer")
+        occ = (occs or {}).get(p.input_column)
+        if occ is None:
+            occ = _occurrences(ev, keys, p.input_column)
+        merged = merged.join(_unique_deltas(occ, keys, p, dcol), keys + [DAY_IDX], "full_outer")
 
     # ---- stage 3: window merges + finalize
     feature_cols = []

@@ -186,6 +186,16 @@ class Warehouse:
         shutil.rmtree(self.path(table), ignore_errors=True)
         shutil.rmtree(self._lineage_dir(table), ignore_errors=True)
 
+    def invalidate_partitions(self, table: str, days: list[str]) -> None:
+        """Drop the named ds partitions AND their lineage records — the
+        late-data hook: an invalidated day reads as unfilled again."""
+        for ds in days:
+            shutil.rmtree(os.path.join(self.path(table), f"ds={ds}"), ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._lineage_dir(table), f"{ds}.json"))
+            except FileNotFoundError:
+                pass
+
     def lineage(self, table: str) -> dict[str, dict]:
         ldir = self._lineage_dir(table)
         if not os.path.isdir(ldir):
