@@ -54,6 +54,15 @@ def main() -> None:
     ap.add_argument("--end", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--step-days", type=int, default=30)
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="snapshot GroupBys only: materialize day IRs once and read the "
+        "cache (scan-once-per-day; see operators/incremental.py)",
+    )
+    ap.add_argument(
+        "--refresh-days", default="",
+        help="with --incremental: comma list of IR days to invalidate (late data)",
+    )
     args = ap.parse_args()
 
     from chronon_spark.api.types import GroupBy, Join
@@ -66,7 +75,19 @@ def main() -> None:
     wh = Warehouse(spark, args.warehouse)
     conf = find_config(load_config_module(args.config), args.name)
     if isinstance(conf, GroupBy):
-        table = run_group_by_backfill(spark, wh, conf, args.start, args.end, args.step_days)
+        if args.incremental:
+            from chronon_spark.operators.incremental import (
+                run_group_by_backfill_incremental,
+            )
+
+            refresh = [d for d in args.refresh_days.split(",") if d]
+            table, mat = run_group_by_backfill_incremental(
+                spark, wh, conf, args.start, args.end, args.step_days,
+                refresh_days=refresh or None,
+            )
+            print(f"ir days materialized this run: {len(mat)}")
+        else:
+            table = run_group_by_backfill(spark, wh, conf, args.start, args.end, args.step_days)
     elif isinstance(conf, Join):
         table = run_join_backfill(spark, wh, conf, args.start, args.end, args.step_days)
     else:

@@ -74,3 +74,33 @@ def test_make_dist_and_cli(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "done: cli_gb partitions [2024-01-10 .. 2024-01-12] (3)" in out.stdout
+
+
+def test_backfill_cli_incremental(tmp_path):
+    """--incremental smoke: IR cache materializes, output lands, second
+    run materializes nothing."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        "gb = GroupBy(name='cli_inc_gb',\n"
+        "  sources=(EventSource(table='/root/testdata/sf0.001/events.parquet',\n"
+        "    query=Query(selects={'user_id': None, 'value': None},\n"
+        "                time_column='unix_millis(cast(ts as timestamp))')),),\n"
+        "  key_columns=('user_id',),\n"
+        "  aggregations=(Aggregation('value', Operation.SUM, windows=(Window(7),)),))\n"
+    )
+    wh = tmp_path / "wh"
+    args = [
+        sys.executable, os.path.join(ROOT, "jobs", "backfill.py"),
+        "--config", str(cfg), "--name", "cli_inc_gb",
+        "--start", "2024-01-10", "--end", "2024-01-12",
+        "--warehouse", str(wh), "--incremental",
+    ]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(args, capture_output=True, text=True, cwd=ROOT, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done: cli_inc_gb partitions [2024-01-10 .. 2024-01-12] (3)" in out.stdout
+    assert "ir days materialized this run: 9" in out.stdout  # 7d lookback + 3 output days
+    out2 = subprocess.run(args, capture_output=True, text=True, cwd=ROOT, env=env, timeout=300)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "ir days materialized this run: 0" in out2.stdout
