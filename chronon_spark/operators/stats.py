@@ -160,6 +160,124 @@ def compare_tables(
     return comparison, metrics
 
 
+def _bin_counts(df: DataFrame, col: str, edges: list[float]) -> "list[int]":
+    """Per-bin counts over (-inf, e1], (e1, e2], ..., (en, +inf) in ONE
+    map-side pass: bin index = number of edges strictly below the value
+    (O(bins) JVM aggregate per row, no shuffle beyond the final tiny
+    groupBy)."""
+    arr = ", ".join(repr(float(e)) for e in edges)
+    idx = F.expr(
+        f"aggregate(array({arr}), 0, (acc, e) -> acc + CASE WHEN CAST({col} AS DOUBLE) > e "
+        f"THEN 1 ELSE 0 END)"
+    )
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(idx.alias("__bin"))
+        .groupBy("__bin")
+        .count()
+        .collect()
+    )
+    counts = [0] * (len(edges) + 1)
+    for r in rows:
+        counts[r["__bin"]] = r["count"]
+    return counts
+
+
+def _regularize(pmf, eps: float):
+    """StatsGenerator.regularize: shift mass so no bin is zero while the
+    distribution stays valid (aggregator/row/StatsGenerator.scala:175-188)."""
+    import numpy as np
+
+    pmf = np.asarray(pmf, dtype=np.float64)
+    zeros = int((pmf == 0.0).sum())
+    if zeros == 0:
+        return pmf
+    nonzero = len(pmf) - zeros
+    out = pmf.copy()
+    out[pmf == 0.0] = eps * nonzero / max(zeros, 1)
+    out[pmf != 0.0] -= eps
+    return out
+
+
+def psi(
+    reference: DataFrame,
+    comparison: DataFrame,
+    col: str,
+    bins: int = 128,
+    eps: float = 1e-6,
+) -> float:
+    """Population Stability Index between two frames' distributions of
+    ``col`` — StatsGenerator.PSIKllSketch semantics
+    (aggregator/row/StatsGenerator.scala:145-173): split points are the
+    UNION of both sides' quantile grids, per-side PMFs are regularized
+    against zero bins, PSI = Σ (p−q)·ln(p/q). Rules of thumb: <0.10
+    little shift, 0.10-0.25 moderate, >0.25 action required.
+
+    Exact-rank variant (deviation, documented): the reference reads bin
+    masses off KLL sketches; absent the datasketches wheel the split
+    points come from Spark's exact ``percentile`` and bin masses from
+    one counting pass per side — same definition, no sketch error."""
+    import numpy as np
+
+    grid = ", ".join(str((i + 1) / (bins + 1)) for i in range(bins))
+    edges = set()
+    for df in (reference, comparison):
+        q = df.agg(
+            F.expr(f"percentile(CAST({col} AS DOUBLE), array({grid}))").alias("q")
+        ).first()["q"]
+        if q is None:
+            return None
+        edges.update(float(x) for x in q)
+    split = sorted(edges)
+    rc = np.asarray(_bin_counts(reference, col, split), dtype=np.float64)
+    cc = np.asarray(_bin_counts(comparison, col, split), dtype=np.float64)
+    if rc.sum() == 0 or cc.sum() == 0:
+        return None
+    p = _regularize(rc / rc.sum(), eps)
+    q = _regularize(cc / cc.sum(), eps)
+    return float(((p - q) * np.log(p / q)).sum())
+
+
+def drift_series(
+    spark,
+    df: DataFrame,
+    col: str,
+    ds_col: str = "ds",
+    bins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Day-over-day drift: PSI of ``col`` between each ds and the
+    previous ds (the SummaryJob temporal-drift read on summary
+    percentiles). One groupBy(ds) computes every day's quantile grid;
+    consecutive-day PSI is derived from the quantile functions driver-side
+    (tiny: days × bins values). Returns (ds, psi vs previous ds)."""
+    import numpy as np
+
+    grid = ", ".join(str((i + 1) / (bins + 1)) for i in range(bins))
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(ds_col)
+        .agg(F.expr(f"percentile(CAST({col} AS DOUBLE), array({grid}))").alias("q"))
+        .orderBy(ds_col)
+        .collect()
+    )
+
+    def pmf_from_quantiles(qs, split):
+        # mass between split points = Δrank, rank via interpolation on the
+        # inverse quantile function (the sketch getPMF analogue)
+        ranks = np.interp(split, qs, np.linspace(0, 1, len(qs)))
+        return np.diff(np.concatenate([[0.0], ranks, [1.0]]))
+
+    out = []
+    for prev, cur in zip(rows, rows[1:]):
+        qs_p, qs_c = np.asarray(prev["q"]), np.asarray(cur["q"])
+        split = np.unique(np.concatenate([qs_p, qs_c]))
+        p = _regularize(pmf_from_quantiles(qs_p, split), eps)
+        q = _regularize(pmf_from_quantiles(qs_c, split), eps)
+        out.append((cur[ds_col], float(((p - q) * np.log(p / q)).sum())))
+    return spark.createDataFrame(out, f"{ds_col} string, psi double")
+
+
 def consistency_job(
     spark,
     join,

@@ -42,6 +42,10 @@ def main() -> None:
     c.add_argument("--keys", required=True)
     c.add_argument("--mapping", default="")
     c.add_argument("--out", default=None)
+    dr = sub.add_parser("drift")
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--col", required=True)
+    dr.add_argument("--bins", type=int, default=32)
     k = sub.add_parser("consistency")
     k.add_argument("--config", required=True, help="python module with the Join")
     k.add_argument("--name", required=True, help="Join name inside the module")
@@ -54,6 +58,7 @@ def main() -> None:
         column_summary,
         compare_tables,
         consistency_job,
+        drift_series,
     )
     from chronon_spark.session import build_session
 
@@ -67,6 +72,10 @@ def main() -> None:
         else:
             for r in out.orderBy(out.columns[0]).collect():
                 print(json.dumps(r.asDict(), default=str))
+    elif args.verb == "drift":
+        out = drift_series(spark, _read(spark, args.table), args.col, bins=args.bins)
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
     elif args.verb == "compare":
         keys = [k for k in args.keys.split(",") if k]
         mapping = dict(kv.split("=", 1) for kv in args.mapping.split(",") if kv)

