@@ -19,10 +19,11 @@ Re-expresses the reference's stats module on DataFrame primitives:
 
 Deviations, documented: percentiles use Spark's exact ``percentile``
 (linear interpolation — matches numpy/DuckDB quantile_cont) instead of a
-KLL sketch byte format (datasketches wheel unavailable — BENCH §limits),
-and the sequence edit-distance metric (stats/EditDistance.scala) is
-replaced by length-based metrics (a DP edit distance is a per-row Python
-loop — against the no-per-row-Python contract).
+KLL sketch byte format (datasketches wheel unavailable — BENCH §limits).
+String columns get the stats/EditDistance.scala metric via JVM-native
+``levenshtein`` (absolute + max-length-normalized averages); ARRAY
+columns keep length-based metrics only (a sequence DP edit distance is a
+per-row Python loop — against the no-per-row-Python contract).
 
 Scale shape: one shuffle for the summary groupBy (partial aggregation
 map-side), one shuffle for the compare join (AQE may broadcast the
@@ -143,6 +144,22 @@ def compare_tables(
                 _pct_array(f"CAST({c}_left - {c}_right AS DOUBLE)", COMPARE_PERCENTILES).alias(
                     f"{c}_left_minus_right_pct"
                 ),
+            ]
+        if isinstance(dt, T.StringType):
+            # EditDistance.scala metric for strings — JVM-native
+            # levenshtein, averaged over rows where both sides present
+            # (0 when equal), plus the reference's normalized variant
+            # (distance / max length)
+            both = lc.isNotNull() & rc.isNotNull()
+            ed = F.when(both, F.levenshtein(lc, rc))
+            norm = F.when(
+                both,
+                F.levenshtein(lc, rc)
+                / F.greatest(F.length(lc), F.length(rc), F.lit(1)),
+            )
+            aggs += [
+                F.avg(ed).alias(f"{c}_edit_distance"),
+                F.avg(norm).alias(f"{c}_edit_distance_norm"),
             ]
         if isinstance(dt, T.ArrayType):
             aggs += [

@@ -238,3 +238,17 @@ def test_psi_drift(spark):
     assert set(ser) == {"2024-01-02", "2024-01-03", "2024-01-04"}
     assert ser["2024-01-02"] < 0.10 and ser["2024-01-04"] < 0.10
     assert ser["2024-01-03"] > 0.25
+
+
+def test_compare_edit_distance(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["kitten", "abc", None]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["sitting", "abc", "x"]})
+    )
+    _, m = compare_tables(left, right, ["id"])
+    r = m.first()
+    # rows with both present: (kitten,sitting)=3, (abc,abc)=0 → avg 1.5
+    assert r["t_edit_distance"] == pytest.approx(1.5)
+    assert r["t_edit_distance_norm"] == pytest.approx((3 / 7 + 0.0) / 2)
