@@ -140,3 +140,76 @@ def test_bucketed_flagship_end_to_end(spark, tmp_path):
         assert a == b
     finally:
         wh.drop("pages_flag_b")
+
+
+def test_incremental_phase2_reads_cache_only(spark, tmp_path):
+    """The incremental runner's output step must plan as scans of the IR /
+    occurrence cache tables ONLY — the raw events relation may not appear
+    anywhere in the executed plans of phase 2 (the scan-once contract)."""
+    import numpy as np
+
+    from chronon_spark.api.types import (
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.incremental import run_group_by_backfill_incremental
+    from chronon_spark.sources.warehouse import Warehouse
+
+    MS_DAY = 86_400_000
+    T0 = 1_700_000_000_000
+    rng = np.random.default_rng(3)
+    n = 300
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, 4, n)],
+            "ts": (T0 + rng.integers(0, 12 * MS_DAY, n)).astype(np.int64),
+            "v": rng.integers(1, 30, n).astype(float),
+        }
+    )
+    raw_dir = str(tmp_path / "raw_events.parquet")
+    spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    ).write.mode("overwrite").parquet(raw_dir)
+    gb = GroupBy(
+        name="plan_inc_gb",
+        sources=(EventSource(table=raw_dir, query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(5),)),
+            Aggregation("v", Operation.UNIQUE_COUNT, windows=(Window(5),)),
+        ),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # first run: cache materializes (this IS allowed to scan raw)
+    run_group_by_backfill_incremental(spark, wh, gb, "2023-11-20", "2023-11-24")
+
+    # intercept the output write: the frame handed to overwrite_partitions
+    # carries its own file provenance (DataFrame.inputFiles)
+    captured = []
+    orig_ow = Warehouse.overwrite_partitions
+
+    def spy(self, df, table, partitions, **kw):
+        if table == "plan_inc_gb":  # the OUTPUT write (phase 2)
+            captured.append(list(df.inputFiles()))
+        return orig_ow(self, df, table, partitions, **kw)
+
+    Warehouse.overwrite_partitions = spy
+    try:
+        # extend by one day → phase 1 scans raw for the new day only;
+        # phase 2 (output) must read caches exclusively
+        _, mat = run_group_by_backfill_incremental(
+            spark, wh, gb, "2023-11-20", "2023-11-25"
+        )
+    finally:
+        Warehouse.overwrite_partitions = orig_ow
+    assert captured, "no output write captured"
+    for files in captured:
+        assert files, "output step read no files"
+        assert any("plan_inc_gb__ir" in f for f in files)
+        assert any("plan_inc_gb__occ__v" in f for f in files)
+        bad = [f for f in files if "raw_events.parquet" in f]
+        assert not bad, f"phase 2 touched raw events: {bad[:3]}"
