@@ -33,3 +33,13 @@ def test_example_flagship_join(spark, tmp_path):
     lin = wh.lineage("url_features")
     run_join_backfill(spark, wh, cfg.url_features, start, hi)
     assert wh.lineage("url_features") == lin
+
+
+def test_example_ooc_pipeline(spark):
+    from examples.ooc_pipeline import run_example
+
+    m = run_example(spark)
+    assert m["total"] == 50
+    # count column logged faithfully; average corrupted on ts%13==0 rows
+    assert m["ooc_url_counts_text_len_count_7d_mismatch"] == 0
+    assert m["ooc_url_counts_text_len_average_7d_mismatch"] == 7  # deterministic fixture
