@@ -1547,36 +1547,18 @@ def make_tiled_kernel(
     return kernel
 
 
-def temporal_events_tiled(
-    spark: SparkSession,
-    gb: GroupBy,
-    queries: DataFrame,
-    events: DataFrame,
-    passthrough: bool = False,
-) -> DataFrame:
-    """Tiled exact as-of aggregation (see module docstring)."""
+def build_tile_frame(gb: GroupBy, events: DataFrame) -> DataFrame:
+    """The 5-minute tile frame: one row per (keys, tile start) carrying
+    every op family's tile IR columns — the ONLY stage of the tiled path
+    that aggregates raw history (one row per key-tile regardless of event
+    volume), and therefore the unit the TileStore persists. Tiles never
+    span a day boundary (86400000 % TILE_MS == 0), so the frame is
+    day-partitionable and per-day builds concatenate to the one-pass
+    build exactly. Schema is a pure function of the GroupBy config
+    (caches key on the semantic hash). ``events`` must already be
+    null-key-filtered with a non-null ``ts``."""
     keys = list(gb.key_columns)
-    if not is_tileable(gb, events.schema):
-        raise ValueError("GroupBy contains non-tileable parts; use temporal_events")
     stats_by_col = _needed_stats(gb)
-
-    events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
-    events = events.select(*[F.col(c).alias(c) for c in events.columns])
-
-    cond = F.col(TS_COL).isNotNull()
-    kcond = None
-    for k in keys:
-        c = F.col(k).isNotNull()
-        kcond = c if kcond is None else (kcond | c)
-    if kcond is not None:
-        cond = cond & kcond
-    if passthrough:
-        qlite = queries.filter(cond)
-        pad = queries.filter(~cond)
-    else:
-        qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
-        pad = None
-
     # ---- tiles: per-(key, 5min) IR stats; map-side combine compresses the
     # raw volume before the shuffle
     tile_col = (F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS
@@ -1736,6 +1718,45 @@ def temporal_events_tiled(
             .withColumnRenamed("__tile", TS_COL)
         )
         tiles = tiles.join(cm, keys + [TS_COL], "left")
+
+    return tiles
+
+
+def temporal_events_tiled(
+    spark: SparkSession,
+    gb: GroupBy,
+    queries: DataFrame,
+    events: DataFrame,
+    passthrough: bool = False,
+    tiles_override: DataFrame | None = None,
+) -> DataFrame:
+    """Tiled exact as-of aggregation (see module docstring)."""
+    keys = list(gb.key_columns)
+    if not is_tileable(gb, events.schema):
+        raise ValueError("GroupBy contains non-tileable parts; use temporal_events")
+    stats_by_col = _needed_stats(gb)
+
+    events = null_key_filter(events, tuple(keys)).filter(F.col(TS_COL).isNotNull())
+    events = events.select(*[F.col(c).alias(c) for c in events.columns])
+
+    cond = F.col(TS_COL).isNotNull()
+    kcond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        kcond = c if kcond is None else (kcond | c)
+    if kcond is not None:
+        cond = cond & kcond
+    if passthrough:
+        qlite = queries.filter(cond)
+        pad = queries.filter(~cond)
+    else:
+        qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
+        pad = None
+
+    coll_by_col = _needed_coll(gb)
+    bucket_pairs = _needed_bucket_pairs(gb)
+    tile_col = (F.col(TS_COL) / TILE_MS).cast("long") * TILE_MS
+    tiles = tiles_override if tiles_override is not None else build_tile_frame(gb, events)
 
     # 1h/1d rollup levels for full-range gather ops (TOP_K/BOTTOM_K): the
     # hop pyramid (Resolution.scala:37-47) — per-level top-k is the top-k
