@@ -261,20 +261,35 @@ def compute_join_part(
     skew_keys=None,
     small_mode: bool = True,
     left_is_small: bool | None = None,
+    tile_warehouse=None,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix.
 
     ``left_is_small``: shared probe verdict from join_backfill (one
-    limit+count per backfill, not one per part)."""
+    limit+count per backfill, not one per part).
+
+    ``tile_warehouse``: route tileable temporal parts through the
+    persisted TileStore. Tile builds must see the UNPRUNED right source
+    (a cache built from a key-pruned scan would be wrong for every other
+    left), so key pruning (small-mode IN + semi join) is disabled for
+    those parts — the compact cache is what makes that affordable."""
     gb = part.group_by
     r2l = part.right_to_left()  # right key -> left col
     right_keys = list(gb.key_columns)
     left_keys = [r2l[k] for k in right_keys]
 
+    tile_active = False
+    if tile_warehouse is not None and gb.inferred_accuracy is Accuracy.TEMPORAL:
+        from chronon_spark.operators.tiled import is_tileable
+
+        # schema probe on the unfiltered source rendering is deferred —
+        # config-level tileability is enough to decide pruning here
+        tile_active = is_tileable(gb, None)
+
     key_values = (
         small_mode_key_values(left, left_keys, right_keys, is_small=left_is_small)
-        if small_mode
+        if small_mode and not tile_active
         else None
     )
     rights = [
@@ -305,9 +320,21 @@ def compute_join_part(
             F.col("ds"),
             F.col(ROW_UID),
         )
-        if in_filters is None:
+        tile_range = None
+        if tile_active and is_tileable(gb, right_df.schema):
+            max_w = gb.max_window_millis
+            if max_w is None:
+                lo = right_df.agg(F.min("ds").alias("m")).first()["m"] or left_start
+            else:
+                lo = shift_ds(left_start, -int(-(-max_w // 86_400_000)))  # ceil days
+            tile_range = (lo, left_end)
+        elif in_filters is None:
             right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
-        feats = temporal_events(spark, gb, queries, right_df)
+        feats = temporal_events(
+            spark, gb, queries, right_df,
+            tile_warehouse=tile_warehouse if tile_range else None,
+            tile_range=tile_range,
+        )
         out_keyed = _rename_keys(feats, right_keys, left_keys)
         join_cols = [ROW_UID]
         out_keyed = out_keyed.drop(*[c for c in left_keys if c in out_keyed.columns], TS_COL)
@@ -346,6 +373,7 @@ def join_backfill(
     end_ds: str,
     part_warehouse=None,
     part_parallelism: int = 4,
+    tile_warehouse=None,
 ) -> DataFrame:
     """Full Join backfill over [start_ds, end_ds] of the left source.
 
@@ -354,7 +382,11 @@ def join_backfill(
     parts are reused: lineage + resume, spark/JoinBase.scala:209-213)
     and the part jobs run CONCURRENTLY on a thread pool so Spark
     schedules their stages in parallel (spark/Join.scala:292-404,
-    spark.chronon.join.part.parallelism)."""
+    spark.chronon.join.part.parallelism).
+
+    ``tile_warehouse``: tileable temporal parts read/write the persisted
+    5-min tile cache (operators/tilestore.py) — repeated backfills scan
+    raw right history only for unmaterialized days + query-head tiles."""
     left = render_source(spark, join.left, None, query_start=start_ds, query_end=end_ds)
     left = left.filter(F.col("ds").between(start_ds, end_ds))
     left = skew_filter(left, join.skew_keys)
@@ -405,7 +437,7 @@ def join_backfill(
             table = f"{join.name}__{part.full_prefix}"
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
-                left_is_small=left_is_small,
+                left_is_small=left_is_small, tile_warehouse=tile_warehouse,
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -425,7 +457,7 @@ def join_backfill(
         for part in join.right_parts:
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
-                left_is_small=left_is_small,
+                left_is_small=left_is_small, tile_warehouse=tile_warehouse,
             )
             out = coalesced_join(out, feats, join_cols, "left")
 

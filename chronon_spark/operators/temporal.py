@@ -457,11 +457,18 @@ def temporal_events(
     events: DataFrame,
     mode: str = "auto",
     passthrough: bool = False,
+    tile_warehouse=None,
+    tile_range: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``,
     with GroupBy ``derivations`` applied to the output (selectExpr over
     feature columns — spark/GroupBy.scala:763-774 applies them to ALL
-    GroupBy output regardless of accuracy)."""
+    GroupBy output regardless of accuracy).
+
+    ``tile_warehouse`` + ``tile_range``: route tileable work through the
+    persisted TileStore (operators/tilestore.py) — 5-min tiles for
+    [tile_range] materialize once per (config, day) and raw events feed
+    only head tiles on later runs."""
     import dataclasses
 
     ew_aggs = tuple(a for a in gb.aggregations if a.element_wise)
@@ -470,14 +477,16 @@ def temporal_events(
         if base_aggs:
             gb_base = dataclasses.replace(gb, aggregations=base_aggs, derivations=None)
             out = temporal_events(
-                spark, gb_base, queries, events, mode=mode, passthrough=passthrough
+                spark, gb_base, queries, events, mode=mode, passthrough=passthrough,
+                tile_warehouse=tile_warehouse, tile_range=tile_range,
             )
         else:
             out = queries
         out = _attach_elementwise_temporal(spark, gb, ew_aggs, out, queries, events)
     else:
         out = _temporal_events_impl(
-            spark, gb, queries, events, mode=mode, passthrough=passthrough
+            spark, gb, queries, events, mode=mode, passthrough=passthrough,
+            tile_warehouse=tile_warehouse, tile_range=tile_range,
         )
     if gb.derivations:
         feature_names = {p.output_column for p in gb.unpacked()}
@@ -565,6 +574,8 @@ def _temporal_events_impl(
     events: DataFrame,
     mode: str = "auto",
     passthrough: bool = False,
+    tile_warehouse=None,
+    tile_range: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
@@ -595,6 +606,17 @@ def _temporal_events_impl(
         )
 
         if mode == "tiled" or (mode == "auto" and is_tileable(gb, events.schema)):
+            if tile_warehouse is not None and tile_range is not None:
+                from chronon_spark.operators.tilestore import (
+                    TileStore,
+                    temporal_events_tiled_cached,
+                )
+
+                out, _ = temporal_events_tiled_cached(
+                    spark, gb, queries, events, TileStore(tile_warehouse, gb),
+                    tile_range[0], tile_range[1], passthrough=passthrough,
+                )
+                return out
             return temporal_events_tiled(spark, gb, queries, events, passthrough=passthrough)
         if mode == "split":
             gb_tiled, gb_raw = split_by_tileability(gb, events.schema)

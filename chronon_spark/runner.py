@@ -71,6 +71,7 @@ def run_join_backfill(
     end_ds: str,
     step_days: int = 30,
     salt_n: int = 8,
+    tile_warehouse=None,
 ) -> str:
     table = join.name
     sem = join.semantic_hash()
@@ -80,7 +81,7 @@ def run_join_backfill(
     holes = wh.unfilled(table, requested)
     for hole in holes:
         for step in hole.steps(step_days):
-            df = join_backfill(spark, join, step.start, step.end)
+            df = join_backfill(spark, join, step.start, step.end, tile_warehouse=tile_warehouse)
             wh.overwrite_partitions(
                 df,
                 table,

@@ -142,3 +142,45 @@ def test_semantic_change_rebuilds(spark, tmp_path):
         spark, gb2, q_df, ev_df, TileStore(wh, gb2), "2023-11-15", "2023-11-26"
     )
     assert len(built2) == 12  # full rebuild under the new hash
+
+
+def test_join_backfill_with_tile_cache(spark, tmp_path):
+    """join_backfill(tile_warehouse=...) equals the plain backfill and
+    reuses the persisted tiles on a second run."""
+    from chronon_spark.api.types import Join, JoinPart, Query
+    from chronon_spark.operators.join import join_backfill
+
+    ev_df, _, ev, _ = _mk(spark)
+    ev_df.withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    ).createOrReplaceTempView("tsj_events")
+    gb = GroupBy(
+        name="tsj_gb",
+        sources=(EventSource(table="tsj_events", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(5),)),
+            Aggregation("c", Operation.HISTOGRAM, windows=(Window(5),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    join = Join(
+        name="tsj_join",
+        left=EventSource(
+            table="tsj_events", query=Query(selects={"user": None}, time_column="ts")
+        ),
+        right_parts=(JoinPart(gb),),
+    )
+    lo, hi = "2023-11-21", "2023-11-26"
+    plain = join_backfill(spark, join, lo, hi)
+    wh = Warehouse(spark, str(tmp_path / "tiles"))
+    cached = join_backfill(spark, join, lo, hi, tile_warehouse=wh)
+    assert _norm(plain.collect()) == _norm(cached.collect())
+    # tiles persisted for the window lookback range
+    days = set(wh.lineage("tsj_gb__tiles5m"))
+    assert min(days) <= "2023-11-17" and max(days) == hi  # 5d window lookback
+    # second run: no new tile days
+    before = wh.lineage("tsj_gb__tiles5m")
+    cached2 = join_backfill(spark, join, lo, hi, tile_warehouse=wh)
+    assert _norm(cached2.collect()) == _norm(plain.collect())
+    assert set(wh.lineage("tsj_gb__tiles5m")) == set(before)
