@@ -63,6 +63,11 @@ def main() -> None:
         "--refresh-days", default="",
         help="with --incremental: comma list of IR days to invalidate (late data)",
     )
+    ap.add_argument(
+        "--tile-cache", action="store_true",
+        help="joins only: persist/reuse 5-min tiles for tileable temporal "
+        "parts (operators/tilestore.py)",
+    )
     args = ap.parse_args()
 
     from chronon_spark.api.types import GroupBy, Join
@@ -89,7 +94,10 @@ def main() -> None:
         else:
             table = run_group_by_backfill(spark, wh, conf, args.start, args.end, args.step_days)
     elif isinstance(conf, Join):
-        table = run_join_backfill(spark, wh, conf, args.start, args.end, args.step_days)
+        table = run_join_backfill(
+            spark, wh, conf, args.start, args.end, args.step_days,
+            tile_warehouse=wh if args.tile_cache else None,
+        )
     else:
         table = run_staging_query(spark, wh, conf, args.start, args.end, args.step_days)
     parts = wh.partitions(table)
