@@ -104,3 +104,33 @@ def test_backfill_cli_incremental(tmp_path):
     out2 = subprocess.run(args, capture_output=True, text=True, cwd=ROOT, env=env, timeout=300)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "ir days materialized this run: 0" in out2.stdout
+
+
+def test_backfill_cli_tile_cache(tmp_path):
+    """--tile-cache smoke on a temporal join config."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        "src = EventSource(table='/root/testdata/sf0.001/events.parquet',\n"
+        "  query=Query(selects={'user_id': None, 'value': None},\n"
+        "              time_column='unix_millis(cast(ts as timestamp))'))\n"
+        "gb = GroupBy(name='cli_tc_gb', sources=(src,), key_columns=('user_id',),\n"
+        "  aggregations=(Aggregation('value', Operation.SUM, windows=(Window(7),)),),\n"
+        "  accuracy=Accuracy.TEMPORAL)\n"
+        "j = Join(name='cli_tc_join', left=src, right_parts=(JoinPart(gb),))\n"
+    )
+    wh = tmp_path / "wh"
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "backfill.py"),
+            "--config", str(cfg), "--name", "cli_tc_join",
+            "--start", "2024-01-10", "--end", "2024-01-11",
+            "--warehouse", str(wh), "--tile-cache",
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done: cli_tc_join partitions [2024-01-10 .. 2024-01-11] (2)" in out.stdout
+    assert os.path.isdir(os.path.join(wh, "cli_tc_gb__tiles5m"))
