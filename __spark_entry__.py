@@ -938,7 +938,7 @@ spine AS (
 )
 SELECT s.user_id,
        strftime(DATE '1970-01-01' + to_days(CAST(s.od AS INT)), '%Y-%m-%d') AS ds,
-       count(e.value) AS value_count_7d,
+       NULLIF(count(e.value), 0) AS value_count_7d,
        round(sum(e.value), 6) AS value_sum_7d,
        round(avg(e.value), 6) AS value_avg_7d,
        round(min(e.value), 6) AS value_min_7d,

@@ -275,10 +275,15 @@ def _register(op: Operation, direct, ir, merge, finalize):
 
 _register(
     Operation.COUNT,
-    direct=lambda inp, p: F.expr(f"count({inp})"),
+    # zero-count finalizes to NULL: the reference's IR is never created
+    # when no non-null input arrives (ColumnAggregator update guard), so
+    # COUNT over an empty/all-null window is null, not 0 — matching this
+    # engine's temporal kernel (cross-path parity caught by the snapshot
+    # property fuzz)
+    direct=lambda inp, p: F.expr(f"nullif(count({inp}), 0)"),
     ir=lambda inp, p: F.expr(f"count({inp})"),
     merge=lambda ir, p: _wm(lambda w: F.sum(ir).over(w)),
-    finalize=lambda ir, p: F.col(ir),
+    finalize=lambda ir, p: F.expr(f"CASE WHEN {ir} > 0 THEN {ir} END"),
 )
 
 _register(
@@ -536,8 +541,11 @@ def _hist_map_finalize(ir: str, part: AggregationPart) -> Column:
 
 _register(
     Operation.HISTOGRAM,
-    direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized below via direct_finalize
-    ir=lambda inp, p: _hist_ir(inp),
+    # keys stringified on EVERY path (Map[String, Long] — the reference's
+    # Histogram IR and this engine's temporal/tiled/mutations paths;
+    # cross-accuracy schema parity caught by the snapshot property fuzz)
+    direct=lambda inp, p: F.expr(f"collect_list(CAST({inp} AS STRING))"),
+    ir=lambda inp, p: _hist_ir(f"CAST({inp} AS STRING)"),
     merge=lambda ir, p: _hist_map_merge(ir),
     finalize=lambda ir, p: _hist_map_finalize(ir, p),
 )
@@ -593,7 +601,7 @@ def _hist_map_finalize_capped(ir: str, part: AggregationPart) -> Column:
 
 _register(
     Operation.APPROX_HISTOGRAM_K,
-    direct=lambda inp, p: F.expr(f"collect_list({inp})"),  # finalized via direct_finalize
+    direct=lambda inp, p: F.expr(f"collect_list(CAST({inp} AS STRING))"),  # finalized via direct_finalize
     ir=_hist_ir_capped,
     merge=lambda ir, p: _hist_map_merge(ir),
     finalize=lambda ir, p: _hist_map_finalize_capped(ir, p),

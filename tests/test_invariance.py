@@ -167,3 +167,60 @@ def test_tiled_collection_partitioning_invariance(spark):
         assert (ra["user"], ra["ts"]) == (rb["user"], rb["ts"])
         for c in cols:
             assert allclose_feature(ra[c], rb[c]), (ra["user"], ra["ts"], c, ra[c], rb[c])
+
+
+SNAP_GB_AGGS = (
+    Aggregation("v", Operation.SUM, windows=(Window(3),)),
+    Aggregation("v", Operation.COUNT, windows=(None,)),
+    Aggregation("v", Operation.UNIQUE_COUNT, windows=(Window(4),)),  # delta path
+    Aggregation("v", Operation.HISTOGRAM, windows=(Window(3),)),
+    Aggregation("v", Operation.APPROX_PERCENTILE, arg_map={"percentiles": [0.5]},
+                windows=(Window(5),)),
+    Aggregation("v", Operation.LAST, windows=(Window(2),)),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    day_off=st.lists(st.integers(0, 8), min_size=1, max_size=30),
+    in_day=st.lists(st.integers(0, MS_DAY - 1), min_size=1, max_size=30),
+    vals=st.lists(st.integers(0, 6), min_size=1, max_size=30),
+    nulls=st.lists(st.booleans(), min_size=1, max_size=30),
+)
+def test_snapshot_property(spark, day_off, in_day, vals, nulls):
+    """Snapshot path vs the naive oracle on adversarial shapes: day gaps,
+    duplicate timestamps, null runs, single-event days — every path
+    (spec IRs, delta-DISTINCT, quantile samples) on one frame."""
+    import datetime as dt
+
+    from chronon_spark.operators.groupby import snapshot_events
+
+    n = min(len(day_off), len(in_day), len(vals), len(nulls))
+    base = 1_699_920_000_000  # 2023-11-14 00:00 UTC (day-aligned)
+    ts = np.array(
+        sorted(base + day_off[i] * MS_DAY + in_day[i] for i in range(n)),
+        dtype=np.int64,
+    )
+    v = [None if nulls[i] else float(vals[i]) for i in range(n)]
+    ev = pd.DataFrame({"k": "a", "ts": ts, "v": v})
+    df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
+    )
+    gb = GroupBy(
+        name="prop_snap", sources=(EventSource(table="x"),), key_columns=("k",),
+        aggregations=SNAP_GB_AGGS,
+    )
+    out = snapshot_events(spark, gb, df, "2023-11-14", "2023-11-20").collect()
+    if ev["ts"].min() > 1_699_920_000_000 + 6 * MS_DAY + MS_DAY - 1:
+        assert out == []  # every event lands after end_ds → empty backfill
+        return
+    assert out, "snapshot produced no rows"
+    ets = ev["ts"].to_numpy(np.int64)
+    evs = ev["v"].to_numpy(object)
+    for row in out:
+        d = dt.date.fromisoformat(row["ds"]) + dt.timedelta(days=1)
+        qt = int(dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp() * 1000)
+        for p in gb.unpacked():
+            got = row[p.output_column]
+            exp = naive_feature(p, ets, evs, qt)
+            assert allclose_feature(got, exp), (row["ds"], p.output_column, got, exp)
