@@ -201,3 +201,97 @@ def test_monoid_ops_ignore_deletes(spark, frames):
     r = rows[(1, t3 + 1)]
     assert r["rating_max"] == 5.0
     assert r["rating_unique_count"] == 3  # {4, 5, 2} inserted at some point
+
+
+def test_mutations_property(spark):
+    """Hypothesis fuzz of the two-time-axis entity kernel: random
+    snapshot state, mutation streams (update/insert/delete, boundary
+    mutation_ts == query ts), windowed + unbounded ops vs a direct
+    python replay oracle."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronon_spark.api.types import Window as W
+
+    MS_DAY_ = 86_400_000
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        n_mut=st.integers(1, 25),
+        n_snap=st.integers(0, 8),
+        seed=st.integers(0, 10_000),
+        boundary=st.booleans(),
+    )
+    def run(n_mut, n_snap, seed, boundary):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        D_ = "2023-11-20"
+        snap_rows = [
+            (int(rng.integers(1, 3)), float(rng.integers(1, 30)), "2023-11-19")
+            for _ in range(n_snap)
+        ]
+        snapshots = spark.createDataFrame(
+            snap_rows or [], "listing_id int, rating double, ds string"
+        ) if snap_rows else spark.createDataFrame([], "listing_id int, rating double, ds string")
+        rows = []
+        for _ in range(n_mut):
+            lid = int(rng.integers(1, 3))
+            mts = MID + int(rng.integers(0, MS_DAY_))
+            rts = MID - int(rng.integers(0, 6 * MS_DAY_))
+            rows.append(
+                (lid, float(rng.integers(1, 30)), mts, rts, bool(rng.random() < 0.35), D_)
+            )
+        mutations = spark.createDataFrame(
+            rows,
+            "listing_id int, rating double, mutation_ts long, ts long, is_before boolean, ds string",
+        )
+        qts = [MID + int(rng.integers(0, MS_DAY_)) for _ in range(12)]
+        if boundary:
+            qts.append(rows[0][2])  # query exactly AT a mutation_ts (exclusive)
+        queries = spark.createDataFrame(
+            [(int(rng.integers(1, 3)), qt, D_) for qt in qts],
+            "listing_id int, ts long, ds string",
+        ).distinct()
+        gb = _gb(
+            Aggregation("rating", Operation.SUM, windows=(W(4),)),
+            Aggregation("rating", Operation.COUNT, windows=(None,)),
+            Aggregation("rating", Operation.AVERAGE, windows=(W(4),)),
+        )
+        got = {
+            (r["listing_id"], r["ts"]): r
+            for r in temporal_entities(spark, gb, queries, snapshots, mutations).collect()
+        }
+        for (lid, qt, _) in queries.collect():
+            r = got[(lid, qt)]
+            for p in gb.unpacked():
+                if p.window is not None:
+                    w, hop = p.window.millis, p.hop_millis
+                    tail = ((qt - w) // hop) * hop
+                else:
+                    tail = -1 << 62
+                # snapshot rows carry the EOD state (row ts = snapshot day end)
+                sel = [
+                    (v, 1.0)
+                    for (l2, v, _ds) in snap_rows
+                    if l2 == lid and tail <= MID - 1 < qt
+                ] + [
+                    (v, -1.0 if b else 1.0)
+                    for (l2, v, mts, rts, b, _ds) in rows
+                    if l2 == lid and mts < qt and tail <= rts < qt
+                ]
+                n = sum(wgt for _, wgt in sel)
+                s = sum(v * wgt for v, wgt in sel)
+                if p.operation is Operation.COUNT:
+                    exp = int(n) if n > 0 else None
+                elif p.operation is Operation.SUM:
+                    exp = s if n > 0 else None
+                else:
+                    exp = s / n if n > 0 else None
+                got_v = r[p.output_column]
+                if exp is None:
+                    assert got_v is None, (p.output_column, got_v, exp)
+                else:
+                    assert got_v == pytest.approx(exp), (p.output_column, got_v, exp)
+
+    run()
