@@ -1729,8 +1729,20 @@ def temporal_events_tiled(
     events: DataFrame,
     passthrough: bool = False,
     tiles_override: DataFrame | None = None,
+    hot_keys: list[tuple] | None = None,
+    query_salt: int = 8,
 ) -> DataFrame:
-    """Tiled exact as-of aggregation (see module docstring)."""
+    """Tiled exact as-of aggregation (see module docstring).
+
+    ``hot_keys``: key tuples whose QUERY load should fan out across
+    ``query_salt`` kernel tasks. The as-of kernel is keyed per entity, so
+    one hot key (a viral url, a bot user) serializes onto one task no
+    matter how many cores exist; the reference can only EXCLUDE such keys
+    (skewKeys). Query salting keeps them: the hot key's queries split by
+    hash(ts) into ``query_salt`` buckets and its (already tile-compressed)
+    history replicates to each — S× more parallelism for S× replication
+    of the COMPRESSED rows only. Detection stays with the caller
+    (analyzer.hot_keys); results are bit-identical to unsalted."""
     keys = list(gb.key_columns)
     if not is_tileable(gb, events.schema):
         raise ValueError("GroupBy contains non-tileable parts; use temporal_events")
@@ -1844,10 +1856,37 @@ def temporal_events_tiled(
     from chronon_spark.operators.temporal import kernel_partitions
 
     p_n = kernel_partitions(spark)
+    co_keys = keys
+    if hot_keys:
+        is_hot = None
+        for kt in hot_keys:
+            m = None
+            for k, v in zip(keys, kt if isinstance(kt, (tuple, list)) else (kt,)):
+                c = F.col(k) == F.lit(v)
+                m = c if m is None else (m & c)
+            is_hot = m if is_hot is None else (is_hot | m)
+        qlite = qlite.withColumn(
+            "__qs",
+            F.when(is_hot, F.pmod(F.xxhash64(F.col(TS_COL)), F.lit(query_salt)))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        combined = combined.withColumn(
+            "__qs_arr",
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(query_salt - 1))).otherwise(
+                F.array(F.lit(0))
+            ),
+        )
+        combined = (
+            combined.withColumn("__qs_x", F.explode("__qs_arr"))
+            .withColumn("__qs", F.col("__qs_x").cast("int"))
+            .drop("__qs_arr", "__qs_x")
+        )
+        co_keys = keys + ["__qs"]
     feats = (
-        qlite.repartition(p_n, *keys)
-        .groupBy(*keys)
-        .cogroup(combined.repartition(p_n, *keys).groupBy(*keys))
+        qlite.repartition(p_n, *co_keys)
+        .groupBy(*co_keys)
+        .cogroup(combined.repartition(p_n, *co_keys).groupBy(*co_keys))
         .applyInPandas(kernel, schema=schema)
     )
     if passthrough:

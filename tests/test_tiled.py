@@ -241,3 +241,48 @@ def test_tiled_fuzz_vs_naive(spark):
                 assert allclose_feature(row[p.output_column], exp), (
                     seed, row["user"], row["ts"], p.output_column, row[p.output_column], exp,
                 )
+
+
+def test_hot_key_query_salting(spark):
+    """Query salting for hot keys: bit-identical results, and the hot
+    key's kernel work actually spreads across salt buckets."""
+    ev, q = _gen()
+    # make u0 hot: 10x its queries
+    import pandas as pd
+
+    hot_q = pd.concat(
+        [q] + [q[q.user == "u0"].assign(ts=lambda d: d.ts + i) for i in range(1, 11)],
+        ignore_index=True,
+    )
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(hot_q)
+    plain = temporal_events_tiled(spark, GB, q_df, ev_df)
+    salted = temporal_events_tiled(
+        spark, GB, q_df, ev_df, hot_keys=[("u0",)], query_salt=4
+    )
+
+    def norm(rows):
+        out = []
+        for r in sorted(rows, key=lambda r: (str(r["user"]), r["ts"])):
+            d = r.asDict()
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    d[k] = tuple(sorted(v.items()))
+                elif isinstance(v, list):
+                    d[k] = tuple(v)
+                elif isinstance(v, float) and v != v:
+                    d[k] = "nan"
+            out.append(tuple(d.items()))
+        return out
+
+    assert norm(plain.collect()) == norm(salted.collect())
+    # the hot key's queries spread over >1 salt bucket
+    from pyspark.sql import functions as F2
+
+    spread = (
+        q_df.filter("user = 'u0'")
+        .select(F2.pmod(F2.xxhash64("ts"), F2.lit(4)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1
