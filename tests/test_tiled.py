@@ -244,8 +244,8 @@ def test_tiled_fuzz_vs_naive(spark):
 
 
 def test_hot_key_query_salting(spark):
-    """Query salting for hot keys: bit-identical results, and the hot
-    key's kernel work actually spreads across salt buckets."""
+    """Hot-key time slicing: bit-identical results, and the hot key's
+    queries actually spread across time slices."""
     ev, q = _gen()
     # make u0 hot: 10x its queries
     import pandas as pd
@@ -257,8 +257,26 @@ def test_hot_key_query_salting(spark):
     ev_df = spark.createDataFrame(ev)
     q_df = spark.createDataFrame(hot_q)
     plain = temporal_events_tiled(spark, GB, q_df, ev_df)
+    from chronon_spark.api.types import Operation as Op
+
+    # GB has unbounded windows -> slicing must refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="windowed"):
+        temporal_events_tiled(spark, GB, q_df, ev_df, hot_keys=[("u0",)])
+    import dataclasses as _dc
+
+    gb_w = _dc.replace(
+        GB,
+        aggregations=tuple(
+            _dc.replace(a, windows=tuple(w for w in a.windows if w is not None) or a.windows)
+            for a in GB.aggregations
+            if any(w is not None for w in a.windows)
+        ),
+    )
+    plain = temporal_events_tiled(spark, gb_w, q_df, ev_df)
     salted = temporal_events_tiled(
-        spark, GB, q_df, ev_df, hot_keys=[("u0",)], query_salt=4
+        spark, gb_w, q_df, ev_df, hot_keys=[("u0",)], hot_slice_ms=6 * 3_600_000
     )
 
     def norm(rows):
@@ -276,12 +294,12 @@ def test_hot_key_query_salting(spark):
         return out
 
     assert norm(plain.collect()) == norm(salted.collect())
-    # the hot key's queries spread over >1 salt bucket
+    # the hot key's queries spread over >1 time slice
     from pyspark.sql import functions as F2
 
     spread = (
         q_df.filter("user = 'u0'")
-        .select(F2.pmod(F2.xxhash64("ts"), F2.lit(4)).alias("b"))
+        .select((F2.col("ts") / (6 * 3_600_000)).cast("long").alias("b"))
         .distinct()
         .count()
     )
