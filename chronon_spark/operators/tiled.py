@@ -1731,6 +1731,7 @@ def temporal_events_tiled(
     tiles_override: DataFrame | None = None,
     hot_keys: list[tuple] | None = None,
     hot_slice_ms: int | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Tiled exact as-of aggregation (see module docstring).
 
@@ -1863,6 +1864,19 @@ def temporal_events_tiled(
 
     p_n = kernel_partitions(spark)
     co_keys = keys
+    if hot_keys is None and hot_key_threshold and gb.max_window_millis is not None:
+        # opt-in detection: keys whose query count exceeds the threshold
+        # (one tiny aggregate over the slim query frame); auto mode simply
+        # skips when slicing is impossible (unbounded windows)
+        hot_rows = (
+            qlite.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > int(hot_key_threshold))
+            .select(*keys)
+            .limit(1000)
+            .collect()
+        )
+        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows] or None
     if hot_keys:
         max_w = gb.max_window_millis
         if max_w is None:

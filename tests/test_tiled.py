@@ -304,3 +304,37 @@ def test_hot_key_query_salting(spark):
         .count()
     )
     assert spread > 1
+
+
+def test_hot_key_auto_detection(spark):
+    """hot_key_threshold auto-detects heavy-query keys and slices them;
+    results stay bit-identical; unbounded configs silently skip."""
+    import dataclasses as _dc
+
+    import pandas as pd
+
+    ev, q = _gen()
+    hot_q = pd.concat(
+        [q] + [q[q.user == "u0"].assign(ts=lambda d: d.ts + i) for i in range(1, 6)],
+        ignore_index=True,
+    )
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(hot_q)
+    gb_w = _dc.replace(
+        GB,
+        aggregations=tuple(
+            _dc.replace(a, windows=tuple(w for w in a.windows if w is not None) or a.windows)
+            for a in GB.aggregations
+            if any(w is not None for w in a.windows)
+        ),
+    )
+    plain = temporal_events_tiled(spark, gb_w, q_df, ev_df)
+    auto = temporal_events_tiled(
+        spark, gb_w, q_df, ev_df, hot_key_threshold=100, hot_slice_ms=6 * 3_600_000
+    )
+    a = sorted((str(r["user"]), r["ts"]) for r in plain.collect())
+    b = sorted((str(r["user"]), r["ts"]) for r in auto.collect())
+    assert a == b
+    # unbounded GB + auto threshold: no error, plain results
+    out = temporal_events_tiled(spark, GB, q_df, ev_df, hot_key_threshold=100)
+    assert out.count() == len(hot_q)
