@@ -355,6 +355,36 @@ def q_model_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_log_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogFlattenerJob analogue: events rendered as a raw serving log
+    (JSON key/value payloads + schema hash, one corrupt payload per 97
+    rows, one unregistered hash per 89) flattened through the schema
+    registry — union schema, JVM-side decode, drop semantics."""
+    from chronon_spark.operators.logflatten import flatten_log_table
+
+    ev = _events(spark, sf_dir)
+    raw = ev.select(
+        F.to_json(F.struct("user_id")).alias("key_json"),
+        F.when(
+            F.expr("event_id % 97 = 0"), F.lit("NOT JSON")
+        ).otherwise(F.to_json(F.struct("value", "event_type"))).alias("value_json"),
+        F.col("ts").alias("ts_millis"),
+        F.col("ds"),
+        F.when(F.expr("event_id % 89 = 0"), F.lit("v9"))
+        .otherwise(F.lit("v1"))
+        .alias("schema_hash"),
+    )
+    flat, _ = flatten_log_table(
+        spark, raw,
+        {"v1": ("user_id bigint", "value double, event_type string")},
+        with_stats=False,
+    )
+    return flat.select(
+        "schema_hash", "ts_millis", "user_id",
+        F.round("value", 6).alias("value"), "event_type",
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine HISTOGRAM op (map IR) rendered as a sorted string for
     dialect-portable comparison."""
@@ -803,6 +833,8 @@ def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_diff_pcts"),
         "event_type_mismatch",
         "event_type_right_null",
+        F.round("event_type_edit_distance", 6).alias("event_type_edit_distance"),
+        F.round("event_type_edit_distance_norm", 6).alias("event_type_edit_distance_norm"),
     )
 
 
@@ -879,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_bruteforce": q_similarity_bruteforce,
         "model_transform": q_model_transform,
+        "log_flatten": q_log_flatten,
         "histogram": q_histogram,
         "approx_histogram": q_approx_histogram,
         "topk_percentiles": q_topk_percentiles,
@@ -922,6 +955,17 @@ def oracle_sql() -> dict[str, str]:
     )
     model_w = "[" + ", ".join(repr(float(x)) for x in _model_weights()) + "]"
     return {
+        "log_flatten": """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tms, value, event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds
+  FROM events
+)
+SELECT 'v1' AS schema_hash, tms AS ts_millis, user_id,
+       round(value, 6) AS value, event_type
+FROM ev
+WHERE event_id % 97 != 0 AND event_id % 89 != 0
+""",
         "model_transform": f"""
 SELECT vec_id,
        round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]), {model_w}::DOUBLE[]) + 0.25))), 6) AS score
@@ -1211,7 +1255,9 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        array_to_string(list_transform(quantile_cont(CAST(vl - vr AS DOUBLE), [0.05, 0.25, 0.5, 0.75, 0.95]),
                                       x -> printf('%.6f', x)), ',') AS value_diff_pcts,
        CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL AND tl != tr THEN 1 ELSE 0 END) AS BIGINT) AS event_type_mismatch,
-       CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_right_null
+       CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_right_null,
+       round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN CAST(levenshtein(tl, tr) AS DOUBLE) END), 6) AS event_type_edit_distance,
+       round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
 FROM j
 """,
         "temporal_entities": """
