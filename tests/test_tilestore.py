@@ -184,3 +184,30 @@ def test_join_backfill_with_tile_cache(spark, tmp_path):
     cached2 = join_backfill(spark, join, lo, hi, tile_warehouse=wh)
     assert _norm(cached2.collect()) == _norm(plain.collect())
     assert set(wh.lineage("tsj_gb__tiles5m")) == set(before)
+
+
+def test_tile_cache_composes_with_hot_slicing(spark, tmp_path):
+    """tiles_override (TileStore) and hot-key time slicing compose:
+    cached + sliced == direct."""
+    import dataclasses as _dc
+
+    ev_df, q_df, *_ = _mk(spark)
+    gb_w = _dc.replace(
+        GB,
+        name="ts_gb_w",
+        aggregations=tuple(
+            _dc.replace(a, windows=tuple(w for w in a.windows if w is not None) or a.windows)
+            for a in GB.aggregations
+            if any(w is not None for w in a.windows)
+        ),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = TileStore(wh, gb_w)
+    store.materialize(spark, ev_df, "2023-11-15", "2023-11-26")
+    tiles = store.read("2023-11-15", "2023-11-26")
+    direct = temporal_events_tiled(spark, gb_w, q_df, ev_df)
+    both = temporal_events_tiled(
+        spark, gb_w, q_df, ev_df, tiles_override=tiles,
+        hot_keys=[("u0",)], hot_slice_ms=12 * 3_600_000,
+    )
+    assert _norm(direct.collect()) == _norm(both.collect())
