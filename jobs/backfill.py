@@ -68,6 +68,11 @@ def main() -> None:
         help="joins only: persist/reuse 5-min tiles for tileable temporal "
         "parts (operators/tilestore.py)",
     )
+    ap.add_argument(
+        "--materialize-tiles", action="store_true",
+        help="temporal GroupBys only: warm the 5-min tile cache for "
+        "[start, end] without running a backfill",
+    )
     args = ap.parse_args()
 
     from chronon_spark.api.types import GroupBy, Join
@@ -79,6 +84,21 @@ def main() -> None:
     spark = build_session(app_name=f"backfill:{args.name}")
     wh = Warehouse(spark, args.warehouse)
     conf = find_config(load_config_module(args.config), args.name)
+    if isinstance(conf, GroupBy) and args.materialize_tiles:
+        from pyspark.sql import functions as F
+
+        from chronon_spark.operators.tilestore import TileStore
+        from chronon_spark.sources.scan import render_source, union_sources
+
+        events = union_sources(
+            [render_source(spark, s_, conf, query_start=args.start, query_end=args.end)
+             for s_ in conf.sources]
+        ).filter(F.col("ds").between(args.start, args.end))
+        built = TileStore(wh, conf).materialize(spark, events, args.start, args.end)
+        print(f"tile days materialized this run: {len(built)}")
+        print(f"done: {conf.name}__tiles5m")
+        spark.stop()
+        return
     if isinstance(conf, GroupBy):
         if args.incremental:
             from chronon_spark.operators.incremental import (

@@ -134,3 +134,32 @@ def test_backfill_cli_tile_cache(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "done: cli_tc_join partitions [2024-01-10 .. 2024-01-11] (2)" in out.stdout
     assert os.path.isdir(os.path.join(wh, "cli_tc_gb__tiles5m"))
+
+
+def test_backfill_cli_materialize_tiles(tmp_path):
+    """--materialize-tiles warms the tile cache without a backfill."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        "src = EventSource(table='/root/testdata/sf0.001/events.parquet',\n"
+        "  query=Query(selects={'user_id': None, 'value': None},\n"
+        "              time_column='unix_millis(cast(ts as timestamp))'))\n"
+        "gb = GroupBy(name='cli_mt_gb', sources=(src,), key_columns=('user_id',),\n"
+        "  aggregations=(Aggregation('value', Operation.SUM, windows=(Window(7),)),),\n"
+        "  accuracy=Accuracy.TEMPORAL)\n"
+    )
+    wh = tmp_path / "wh"
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "backfill.py"),
+            "--config", str(cfg), "--name", "cli_mt_gb",
+            "--start", "2024-01-10", "--end", "2024-01-12",
+            "--warehouse", str(wh), "--materialize-tiles",
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tile days materialized this run: 3" in out.stdout
+    assert os.path.isdir(os.path.join(wh, "cli_mt_gb__tiles5m"))
