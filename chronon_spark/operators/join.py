@@ -262,6 +262,7 @@ def compute_join_part(
     small_mode: bool = True,
     left_is_small: bool | None = None,
     tile_warehouse=None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix.
@@ -334,6 +335,7 @@ def compute_join_part(
             spark, gb, queries, right_df,
             tile_warehouse=tile_warehouse if tile_range else None,
             tile_range=tile_range,
+            hot_key_threshold=hot_key_threshold,
         )
         out_keyed = _rename_keys(feats, right_keys, left_keys)
         join_cols = [ROW_UID]
@@ -374,6 +376,7 @@ def join_backfill(
     part_warehouse=None,
     part_parallelism: int = 4,
     tile_warehouse=None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Full Join backfill over [start_ds, end_ds] of the left source.
 
@@ -438,6 +441,7 @@ def join_backfill(
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
+                hot_key_threshold=hot_key_threshold,
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -458,6 +462,7 @@ def join_backfill(
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
+                hot_key_threshold=hot_key_threshold,
             )
             out = coalesced_join(out, feats, join_cols, "left")
 

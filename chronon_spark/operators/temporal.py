@@ -459,11 +459,16 @@ def temporal_events(
     passthrough: bool = False,
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``,
     with GroupBy ``derivations`` applied to the output (selectExpr over
     feature columns — spark/GroupBy.scala:763-774 applies them to ALL
     GroupBy output regardless of accuracy).
+
+    ``hot_key_threshold``: keys whose query count exceeds it get
+    tile-aligned time slicing in the tiled kernel (skew MITIGATION, not
+    exclusion — operators/tiled.py).
 
     ``tile_warehouse`` + ``tile_range``: route tileable work through the
     persisted TileStore (operators/tilestore.py) — 5-min tiles for
@@ -479,6 +484,7 @@ def temporal_events(
             out = temporal_events(
                 spark, gb_base, queries, events, mode=mode, passthrough=passthrough,
                 tile_warehouse=tile_warehouse, tile_range=tile_range,
+                hot_key_threshold=hot_key_threshold,
             )
         else:
             out = queries
@@ -487,6 +493,7 @@ def temporal_events(
         out = _temporal_events_impl(
             spark, gb, queries, events, mode=mode, passthrough=passthrough,
             tile_warehouse=tile_warehouse, tile_range=tile_range,
+            hot_key_threshold=hot_key_threshold,
         )
     if gb.derivations:
         feature_names = {p.output_column for p in gb.unpacked()}
@@ -576,6 +583,7 @@ def _temporal_events_impl(
     passthrough: bool = False,
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
@@ -617,7 +625,10 @@ def _temporal_events_impl(
                     tile_range[0], tile_range[1], passthrough=passthrough,
                 )
                 return out
-            return temporal_events_tiled(spark, gb, queries, events, passthrough=passthrough)
+            return temporal_events_tiled(
+                spark, gb, queries, events, passthrough=passthrough,
+                hot_key_threshold=hot_key_threshold,
+            )
         if mode == "split":
             gb_tiled, gb_raw = split_by_tileability(gb, events.schema)
             if gb_tiled is not None and gb_raw is not None:

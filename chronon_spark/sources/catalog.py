@@ -73,9 +73,17 @@ class ParquetDirFormat(TableFormat):
             if d.startswith(f"{PARTITION_COL}=") and "=" in d
         )
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema``: schema-evolution-on-append for the parquet
+        fallback (the Iceberg format evolves schemas natively;
+        TableUtils.scala:546-600) — partitions written before a column
+        existed read it as null. Off by default: merging scans every
+        file footer."""
         p = self._path(table)
-        return self.spark.read.option("basePath", p).parquet(p)
+        r = self.spark.read.option("basePath", p)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(p)
 
     def insert_overwrite(self, df: DataFrame, table: str) -> None:
         df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(

@@ -65,7 +65,12 @@ class Warehouse:
         return unfilled_ranges(self.partitions(table), requested)
 
     # ----------------------------------------------------------------- read
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        if merge_schema:
+            try:
+                return self.fmt.read(table, merge_schema=True)
+            except TypeError:  # formats with native schema evolution
+                pass
         return self.fmt.read(table)
 
     # ---------------------------------------------------------------- write

@@ -65,3 +65,30 @@ def test_iceberg_delta_guarded(spark):
             continue
         with pytest.raises(RuntimeError, match="catalog plugin"):
             fmt.partitions("nope")
+
+
+def test_parquet_schema_evolution_on_append(spark, tmp_path):
+    """A column added in a later partition reads as null for earlier
+    partitions under merge_schema (the parquet-dir analogue of Iceberg
+    schema evolution on append)."""
+    import pandas as pd
+
+    from chronon_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.insert_partitions(
+        spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1.0], "ds": ["2024-01-01"]})),
+        "evo",
+    )
+    wh.insert_partitions(
+        spark.createDataFrame(
+            pd.DataFrame({"k": ["b"], "v": [2.0], "w": [9.0], "ds": ["2024-01-02"]})
+        ),
+        "evo",
+    )
+    merged = wh.read("evo", merge_schema=True)
+    assert "w" in merged.columns
+    rows = {r["ds"]: r for r in merged.collect()}
+    assert rows["2024-01-01"]["w"] is None and rows["2024-01-02"]["w"] == 9.0
+    # default read stays cheap (no footer merge) and still returns rows
+    assert wh.read("evo").count() == 2

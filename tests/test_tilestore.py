@@ -211,3 +211,33 @@ def test_tile_cache_composes_with_hot_slicing(spark, tmp_path):
         hot_keys=[("u0",)], hot_slice_ms=12 * 3_600_000,
     )
     assert _norm(direct.collect()) == _norm(both.collect())
+
+
+def test_join_backfill_hot_key_threshold(spark, tmp_path):
+    """join_backfill(hot_key_threshold=...) auto-slices heavy keys and
+    matches the plain backfill."""
+    from chronon_spark.api.types import Join, JoinPart, Query
+    from chronon_spark.operators.join import join_backfill
+
+    ev_df, _, ev, _ = _mk(spark)
+    ev_df.withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    ).createOrReplaceTempView("tsh_events")
+    gb = GroupBy(
+        name="tsh_gb",
+        sources=(EventSource(table="tsh_events", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(Window(5),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    join = Join(
+        name="tsh_join",
+        left=EventSource(
+            table="tsh_events", query=Query(selects={"user": None}, time_column="ts")
+        ),
+        right_parts=(JoinPart(gb),),
+    )
+    lo, hi = "2023-11-21", "2023-11-26"
+    plain = join_backfill(spark, join, lo, hi)
+    sliced = join_backfill(spark, join, lo, hi, hot_key_threshold=10)
+    assert _norm(plain.collect()) == _norm(sliced.collect())
