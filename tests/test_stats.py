@@ -252,3 +252,28 @@ def test_compare_edit_distance(spark):
     # rows with both present: (kitten,sitting)=3, (abc,abc)=0 → avg 1.5
     assert r["t_edit_distance"] == pytest.approx(1.5)
     assert r["t_edit_distance_norm"] == pytest.approx((3 / 7 + 0.0) / 2)
+
+
+def test_drift_cli(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "ds": ["2024-01-01"] * 500 + ["2024-01-02"] * 500,
+            "v": np.concatenate([rng.normal(0, 1, 500), rng.normal(3, 1, 500)]),
+        }
+    )
+    df.to_parquet(tmp_path / "t.parquet")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "stats.py"), "drift",
+            "--table", str(tmp_path / "t.parquet"), "--col", "v", "--bins", "16",
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][0])
+    assert m["ds"] == "2024-01-02" and m["psi"] > 0.25
