@@ -385,6 +385,18 @@ def q_log_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel (quality -> language -> exact dedup) over
+    the documents table — the chained training-data pipeline, one scan +
+    one 16-byte-key dedup shuffle."""
+    from chronon_spark.operators.curation import curate_corpus
+
+    curated, _ = curate_corpus(
+        _docs(spark, sf_dir), min_tokens=20, max_punct_ratio=0.2, langs=("en", "de")
+    )
+    return curated.select("doc_id", "lang_pred", "n_tokens")
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine HISTOGRAM op (map IR) rendered as a sorted string for
     dialect-portable comparison."""
@@ -912,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "model_transform": q_model_transform,
         "log_flatten": q_log_flatten,
+        "corpus_curation": q_corpus_curation,
         "histogram": q_histogram,
         "approx_histogram": q_approx_histogram,
         "topk_percentiles": q_topk_percentiles,
@@ -955,6 +968,31 @@ def oracle_sql() -> dict[str, str]:
     )
     model_w = "[" + ", ".join(repr(float(x)) for x in _model_weights()) + "]"
     return {
+        "corpus_curation": f"""
+WITH feat AS (
+  SELECT doc_id, text, len({toks}) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         {lang_scores}
+  FROM documents
+), langd AS (
+  SELECT *, CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+  FROM feat
+), surv AS (
+  SELECT doc_id, lang_pred, n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM langd
+  WHERE n_tokens >= 20 AND punct_ratio <= 0.2 AND lang_pred IN ('en', 'de')
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM surv
+)
+SELECT doc_id, lang_pred, CAST(n_tokens AS BIGINT) AS n_tokens FROM ranked WHERE rn = 1
+""",
         "log_flatten": """
 WITH ev AS (
   SELECT event_id, user_id, epoch_ms(ts) AS tms, value, event_type,

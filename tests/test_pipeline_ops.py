@@ -170,3 +170,34 @@ def test_multimodal_real_bmp_ppm_decode(spark):
     exp_ppm = np.bincount(ppx % 8, minlength=8)
     assert list(feats[1]) == [int(x) for x in exp_bmp]
     assert list(feats[2]) == [int(x) for x in exp_ppm]
+
+
+def test_curate_corpus_funnel(spark):
+    """Curation funnel: stage counts are monotone, dedup keeps the first
+    doc per normalized text, filters behave."""
+    import pandas as pd
+
+    from chronon_spark.operators.curation import curate_corpus
+
+    good = "the cat and the dog went to the house and it was good " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                good,                      # passes, kept
+                good + " ",                # exact dup after normalize → dropped
+                "short text",              # fails min_tokens
+                ("le chat " * 30) + "les des est une dans que pour pas",  # french
+                good + " unique tail here",  # passes, kept
+            ],
+        }
+    )
+    curated, funnel = curate_corpus(
+        spark.createDataFrame(docs), min_tokens=20, max_punct_ratio=0.2, langs=("en",)
+    )
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [1, 5]
+    f = funnel.first()
+    assert f["n_input"] == 5
+    assert f["n_input"] >= f["n_quality"] >= f["n_lang"] >= f["n_curated"]
+    assert f["n_lang"] == 3 and f["n_curated"] == 2
