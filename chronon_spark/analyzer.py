@@ -47,6 +47,36 @@ def validate_group_by(gb: GroupBy, df: DataFrame) -> list[str]:
     return problems
 
 
+def validate_join(join) -> list[str]:
+    """Config-level Join validation (Analyzer.scala's join checks +
+    the footguns users actually hit): key mappings must target real
+    GroupBy keys, part prefixes must not collide into duplicate output
+    columns, bootstrap key columns must be declared."""
+    problems: list[str] = []
+    seen_outputs: dict[str, str] = {}
+    for part in join.right_parts:
+        gb = part.group_by
+        for left_col, right_key in (part.key_mapping or {}).items():
+            if right_key not in gb.key_columns:
+                problems.append(
+                    f"part '{part.full_prefix}': key_mapping targets "
+                    f"'{right_key}' which is not a key of GroupBy '{gb.name}' "
+                    f"(keys: {list(gb.key_columns)})"
+                )
+        for p in gb.unpacked():
+            out = f"{part.full_prefix}_{p.output_column}"
+            if out in seen_outputs:
+                problems.append(
+                    f"duplicate output column '{out}' from parts "
+                    f"'{seen_outputs[out]}' and '{part.full_prefix}' — set a prefix"
+                )
+            seen_outputs[out] = part.full_prefix
+    for bp in join.bootstrap_parts:
+        if not bp.key_columns:
+            problems.append(f"bootstrap table '{bp.table}' declares no key columns")
+    return problems
+
+
 def hot_keys(df: DataFrame, keys: list[str], top: int = 20, min_share: float = 0.01) -> DataFrame:
     """Approximate heavy hitters over the key tuple: value, count and share
     of total rows. Keys above ~1% of the table are salting candidates."""

@@ -163,3 +163,43 @@ def test_backfill_cli_materialize_tiles(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "tile days materialized this run: 3" in out.stdout
     assert os.path.isdir(os.path.join(wh, "cli_mt_gb__tiles5m"))
+
+
+def test_validate_join():
+    from chronon_spark.analyzer import validate_join
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        BootstrapPart,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Window,
+    )
+
+    gb = GroupBy(
+        name="vgb",
+        sources=(EventSource(table="t"),),
+        key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(Window(7),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    ok = Join(name="vj", left=EventSource(table="l"), right_parts=(JoinPart(gb),))
+    assert validate_join(ok) == []
+
+    bad = Join(
+        name="vj2",
+        left=EventSource(table="l"),
+        right_parts=(
+            JoinPart(gb, key_mapping={"uid": "nope"}),   # bad mapping target
+            JoinPart(gb),                                 # duplicate outputs
+            JoinPart(gb),
+        ),
+        bootstrap_parts=(BootstrapPart(table="b", key_columns=()),),
+    )
+    problems = validate_join(bad)
+    assert any("key_mapping targets 'nope'" in p for p in problems)
+    assert any("duplicate output column" in p for p in problems)
+    assert any("no key columns" in p for p in problems)
