@@ -89,3 +89,24 @@ def test_export_metadata(tmp_path):
 
     out = export_metadata([JOIN, Broken()], str(tmp_path / "md2"))
     assert len(out) == 2
+
+
+def test_export_cli(tmp_path):
+    import subprocess
+    import sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # metadata verb: pure config walk, no Spark
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "export.py"), "metadata",
+            "--config", os.path.join(ROOT, "examples", "webtext_configs.py"),
+            "--out", str(tmp_path / "md"),
+        ],
+        capture_output=True, text=True, cwd=ROOT, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    names = sorted(os.path.basename(p) for p in out.stdout.split())
+    assert "url_features.json" in names and "url_activity.json" in names
+    md = json.load(open(tmp_path / "md" / "url_features.json"))
+    assert md["entity"] == "join" and md["parts"]
