@@ -147,3 +147,53 @@ def test_streaming_tile_frame_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed"):
         streaming_tile_frame(gb_bad, stream)
+
+
+def test_append_mode_watermark_closes_tiles(spark, tmp_path):
+    """Append-mode production shape: watermark-closed windows emit
+    exactly once as COMPLETE tiles; rows later than the watermark are
+    dropped (the documented late-data contract — refresh via the
+    TileStore invalidation hook, same as batch)."""
+    import time
+
+    MS5 = 5 * 60_000
+    base = (T0 // MS5) * MS5
+    gb = GroupBy(
+        name="lam_wm",
+        sources=(EventSource(table="x"),),
+        key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(Window(1),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    src = tmp_path / "wm_in"
+    src.mkdir()
+    # batch 1: two tiles' worth of events + a high-watermark row far ahead
+    b1 = pd.DataFrame(
+        {
+            "user": ["a", "a", "a", "a"],
+            "ts": [base + 10, base + 20, base + MS5 + 10, base + 10 * MS5],
+            "v": [1.0, 2.0, 4.0, 8.0],
+            "c": ["x"] * 4,
+        }
+    )
+    spark.createDataFrame(b1, schema=SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    tiles = streaming_tile_frame(gb, stream, watermark="0 seconds")
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("lam_wm_tiles")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r for r in spark.table("lam_wm_tiles").collect()}
+    # watermark advanced to base+10*MS5: the first two tiles are CLOSED and
+    # emitted with complete sums; the watermark-carrier tile is still open
+    assert got[base]["__t_v_s1"] == 3.0
+    assert got[base + MS5]["__t_v_s1"] == 4.0
+    assert base + 10 * MS5 not in got  # open window not emitted in append mode
