@@ -72,11 +72,21 @@ class TileStore:
         built: list[str] = []
         for hole in chunk_holes(missing):
             for step in hole.steps(step_days):
+                # ts-day containment keeps every tile inside this step's
+                # partitions (the write lists step.days()); the additional
+                # ds predicate is what reaches the parquet PARTITION PRUNER
+                # — without it each step re-scans the whole source (engine-
+                # rendered frames guarantee ds == date(ts), so it drops
+                # nothing)
                 day_events = events.filter(
-                    F.date_format(F.timestamp_millis(F.col(TS_COL)), "yyyy-MM-dd").between(
-                        step.start, step.end
-                    )
+                    F.date_format(
+                        F.timestamp_millis(F.col(TS_COL)), "yyyy-MM-dd"
+                    ).between(step.start, step.end)
                 )
+                if "ds" in events.columns:
+                    day_events = day_events.filter(
+                        F.col("ds").between(step.start, step.end)
+                    )
                 tiles = build_tile_frame(self.gb, day_events).withColumn(
                     "ds",
                     F.date_format(F.timestamp_millis(F.col(TS_COL)), "yyyy-MM-dd"),
