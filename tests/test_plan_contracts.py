@@ -213,3 +213,70 @@ def test_incremental_phase2_reads_cache_only(spark, tmp_path):
         assert any("plan_inc_gb__occ__v" in f for f in files)
         bad = [f for f in files if "raw_events.parquet" in f]
         assert not bad, f"phase 2 touched raw events: {bad[:3]}"
+
+
+def test_tilestore_materialize_partition_pruning(spark, tmp_path):
+    """Tile materialization must prune the source scan to the step's ds
+    partitions (visible as PartitionFilters on the FileScan)."""
+    import numpy as np
+
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.tilestore import TileStore
+    from chronon_spark.sources.warehouse import Warehouse
+
+    MS_DAY = 86_400_000
+    T0 = 1_700_006_400_000
+    rng = np.random.default_rng(2)
+    n = 200
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, 3, n)],
+            "ts": (T0 + rng.integers(0, 8 * MS_DAY, n)).astype(np.int64),
+            "v": rng.integers(1, 9, n).astype(float),
+        }
+    )
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    ).write.partitionBy("ds").parquet(src)
+    events = spark.read.option("basePath", src).parquet(src)
+    gb = GroupBy(
+        name="prune_gb", sources=(EventSource(table=src),), key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(Window(3),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = TileStore(wh, gb)
+    built = store.materialize(spark, events, "2023-11-16", "2023-11-17")
+    assert built == ["2023-11-16", "2023-11-17"]
+    # the built tiles read back only the two days' files
+    files = wh.read(store.table).inputFiles()
+    assert files and all("ds=2023-11-1" in f for f in files)
+    # and a fresh single-day materialization plans with ds partition
+    # filters reaching the scan
+    captured = []
+    import chronon_spark.operators.tilestore as _ts
+
+    orig_ref = _ts.build_tile_frame
+
+    def spy(gb_, events_):
+        captured.append(events_._jdf.queryExecution().executedPlan().toString())
+        return orig_ref(gb_, events_)
+
+    _ts.build_tile_frame = spy
+    try:
+        store.materialize(spark, events, "2023-11-16", "2023-11-18")
+    finally:
+        _ts.build_tile_frame = orig_ref
+    assert captured, "no tile build captured"
+    plan = captured[0]
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, "no PartitionFilters on the tile-build scan"
+    assert "2023-11-18" in pf[1][:400]
