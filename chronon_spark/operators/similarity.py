@@ -188,6 +188,104 @@ def lsh_top_k(
     )
 
 
+def _seeded_centroids(corpus, corpus_id, corpus_vec, n_cells, seed):
+    """Deterministic pseudo-random centroid sample: order by a seeded hash
+    of the id (an unordered limit() would be plan/parallelism-dependent)."""
+    return [
+        [float(x) for x in row["cv"]]
+        for row in (
+            corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+            .orderBy(F.abs(F.xxhash64(F.col("cid") + F.lit(seed))), F.col("cid"))
+            .limit(n_cells)
+            .collect()
+        )
+    ]
+
+
+def _nearest_cells_col(spark, cent_vecs, vec: str, top: int):
+    """Array of the ``top`` nearest cell ids (ascending L2 distance, ties
+    by cell id) for the vector expression ``vec``. Literal SQL for small
+    dims; broadcast-matrix pandas_udf above the cutoff (plan stays O(1)
+    in dim × n_cells)."""
+    cents = list(enumerate(cent_vecs))
+    dim = len(cent_vecs[0]) if cent_vecs else 0
+    if dim <= VECTORIZED_DIM_CUTOFF:
+        dists = []
+        for i, cv in cents:
+            coefs = ", ".join(f"{x:.6f}D" for x in cv)
+            d = (
+                f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+                f"0.0D, (s, v) -> s + v)"
+            )
+            dists.append(f"named_struct('d', {d}, 'c', {i})")
+        arr = f"array_sort(array({', '.join(dists)}))"
+        return F.expr(f"transform(slice({arr}, 1, {top}), s -> s.c)")
+
+    cmat = np.asarray([cv for _, cv in cents], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        m = bc.value
+        cn2 = (m * m).sum(axis=1)
+        out = [None] * len(v)
+        idx = [i for i, x in enumerate(v) if x is not None and len(x) == m.shape[1]]
+        if idx:
+            x = np.asarray([np.asarray(v.iloc[i], dtype=np.float64) for i in idx])
+            # |x-c|^2 = |x|^2 - 2 x·c + |c|^2; |x|^2 constant per row ->
+            # ranking needs only -2 x·c + |c|^2
+            d2 = -2.0 * (x @ m.T) + cn2
+            order = np.argsort(d2, axis=1, kind="stable")[:, :top]
+            for row_i, o in zip(idx, order):
+                out[row_i] = [int(j) for j in o]
+        return pd.Series(out)
+
+    return cells(F.col(vec))
+
+
+def ivf_train(
+    corpus,
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 23,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Lloyd k-means for IVF coarse quantization (the real FAISS-style
+    training the seeded sample approximates): assignment is one
+    distributed pass per iteration (the same nearest-cell kernel the
+    index uses), centroid recompute is a per-(cell, position) mean — the
+    only driver-side data is the n_cells × dim centroid matrix. Empty
+    cells keep their previous centroid. Deterministic for a fixed
+    corpus."""
+    spark = corpus.sparkSession
+    cents = _seeded_centroids(corpus, corpus_id, vec_col, n_cells, seed)
+    if not cents:
+        return cents
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_nearest_cells_col(spark, cents, vec_col, 1), 1).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct('p', pos, 'v', m)))"
+                    ", s -> s.v)"
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = list(cents)
+        for row in means:
+            new[row["cell"]] = [float(x) for x in row["cv"]]
+        cents = new
+    return cents
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,62 +297,24 @@ def ivf_top_k(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    centroids: list | None = None,
 ) -> DataFrame:
-    """IVF-flat: coarse-quantize the corpus to n_cells centroids (sampled
-    corpus vectors as centroids — one cheap pass instead of full k-means),
-    assign each vector to its nearest cell, probe the n_probe nearest
-    cells per query. Scan cost ≈ n_probe/n_cells of brute force."""
+    """IVF-flat: coarse-quantize the corpus to n_cells centroids, assign
+    each vector to its nearest cell, probe the n_probe nearest cells per
+    query. Scan cost ≈ n_probe/n_cells of brute force. ``centroids``:
+    pass `ivf_train` output for real k-means cells; the default is the
+    deterministic sampled-centroid shortcut."""
     # deterministic pseudo-random centroid sample: order by a seeded hash
     # of the id (an unordered limit() would be plan/parallelism-dependent)
-    cents = [
-        (i, [float(x) for x in row["cv"]])
-        for i, row in enumerate(
-            corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-            .orderBy(F.abs(F.xxhash64(F.col("cid") + F.lit(seed))), F.col("cid"))
-            .limit(n_cells)
-            .collect()
-        )
-    ]
-
-    dim = len(cents[0][1]) if cents else 0
+    cents = (
+        [list(c) for c in centroids]
+        if centroids is not None
+        else _seeded_centroids(corpus, corpus_id, corpus_vec, n_cells, seed)
+    )
     spark = corpus.sparkSession
 
     def nearest_cells_col(vec: str, top: int):
-        """Array of the ``top`` nearest cell ids (ascending distance, ties
-        by cell id). Literal SQL for small dims; broadcast-matrix
-        pandas_udf above the cutoff (plan stays O(1) in dim × n_cells)."""
-        if dim <= VECTORIZED_DIM_CUTOFF:
-            dists = []
-            for i, cv in cents:
-                coefs = ", ".join(f"{x:.6f}D" for x in cv)
-                d = (
-                    f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
-                    f"0.0D, (s, v) -> s + v)"
-                )
-                dists.append(f"named_struct('d', {d}, 'c', {i})")
-            arr = f"array_sort(array({', '.join(dists)}))"
-            return F.expr(f"transform(slice({arr}, 1, {top}), s -> s.c)")
-
-        cmat = np.asarray([cv for _, cv in cents], dtype=np.float64)
-        bc = spark.sparkContext.broadcast(cmat)
-
-        @pandas_udf(T.ArrayType(T.IntegerType()))
-        def cells(v: pd.Series) -> pd.Series:
-            m = bc.value
-            cn2 = (m * m).sum(axis=1)
-            out = [None] * len(v)
-            idx = [i for i, x in enumerate(v) if x is not None and len(x) == m.shape[1]]
-            if idx:
-                x = np.asarray([np.asarray(v.iloc[i], dtype=np.float64) for i in idx])
-                # |x-c|^2 = |x|^2 - 2 x·c + |c|^2; |x|^2 constant per row →
-                # ranking needs only -2 x·c + |c|^2
-                d2 = -2.0 * (x @ m.T) + cn2
-                order = np.argsort(d2, axis=1, kind="stable")[:, :top]
-                for row_i, o in zip(idx, order):
-                    out[row_i] = [int(j) for j in o]
-            return pd.Series(out)
-
-        return cells(F.col(vec))
+        return _nearest_cells_col(spark, cents, vec, top)
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),

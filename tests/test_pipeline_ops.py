@@ -201,3 +201,37 @@ def test_curate_corpus_funnel(spark):
     assert f["n_input"] == 5
     assert f["n_input"] >= f["n_quality"] >= f["n_lang"] >= f["n_curated"]
     assert f["n_lang"] == 3 and f["n_curated"] == 2
+
+
+def test_ivf_train_kmeans(spark, emb):
+    """Lloyd training: deterministic, centroids move toward cluster means,
+    trained recall@10 vs brute force is at least as good as the sampled
+    shortcut, and the index accepts trained centroids."""
+    from chronon_spark.operators.similarity import ivf_train
+
+    c1 = ivf_train(emb, n_cells=8, iters=2)
+    c2 = ivf_train(emb, n_cells=8, iters=2)
+    assert c1 == c2  # deterministic
+    assert len(c1) == 8 and all(len(v) == len(c1[0]) for v in c1)
+    c0 = ivf_train(emb, n_cells=8, iters=0)  # = the sampled shortcut
+    assert c1 != c0  # training actually moved centroids
+
+    qs = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, qs, k=10).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_top_k(emb, qs, k=10, n_cells=8, n_probe=2,
+                               centroids=centroids).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_sampled, r_trained = recall(c0), recall(c1)
+    assert r_trained >= r_sampled - 0.05  # never meaningfully worse
+    assert r_trained >= 0.5
