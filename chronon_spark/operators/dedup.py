@@ -128,20 +128,41 @@ def minhash_signature_udf(n_hashes: int = 64, seed: int = 7):
     return sig
 
 
+def tune_bands(n_hashes: int, threshold: float) -> int:
+    """Pick the band count whose S-curve midpoint (1/b)^(1/r) sits
+    closest to the target jaccard threshold (MMDS §3.4.3): more bands →
+    catches lower similarities (more candidates), fewer bands → tighter.
+    Only divisors of n_hashes are valid band counts."""
+    best, best_err = 1, float("inf")
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        err = abs(mid - threshold)
+        if err < best_err:
+            best, best_err = b, err
+    return best
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 5,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate PAIRS (id_a < id_b) with estimated jaccard ≥ threshold.
 
     banding: signature split into ``bands`` rows of n/bands; docs sharing
     any band bucket are candidates; candidates verified by the minhash
-    jaccard estimate (fraction of equal signature slots)."""
+    jaccard estimate (fraction of equal signature slots). ``bands=None``
+    auto-tunes the band count so the S-curve midpoint matches the
+    threshold (tune_bands)."""
+    if bands is None:
+        bands = tune_bands(n_hashes, jaccard_threshold)
     rows_per_band = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes)
     sig = (

@@ -235,3 +235,16 @@ def test_ivf_train_kmeans(spark, emb):
     r_sampled, r_trained = recall(c0), recall(c1)
     assert r_trained >= r_sampled - 0.05  # never meaningfully worse
     assert r_trained >= 0.5
+
+
+def test_tune_bands():
+    from chronon_spark.operators.dedup import tune_bands
+
+    # high threshold → few bands (tight); low threshold → many bands
+    hi, lo = tune_bands(64, 0.9), tune_bands(64, 0.3)
+    assert hi < lo
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b = tune_bands(64, thr)
+        assert 64 % b == 0
+        mid = (1.0 / b) ** (b / 64.0)
+        assert abs(mid - thr) < 0.2  # S-curve midpoint lands near target
