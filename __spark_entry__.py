@@ -800,7 +800,10 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.stats import column_summary
 
     ev = _events(spark, sf_dir).select("ds", "value", "event_type")
-    s = column_summary(ev, keys=())
+    # exact mode: the engine default is bounded-memory percentile_approx
+    # (the reference's KLL contract); exact is the documented test/oracle
+    # mode matching DuckDB quantile_cont bit-for-bit
+    s = column_summary(ev, keys=(), percentile_mode="exact")
     return s.select(
         "ds",
         "total_count",
@@ -832,7 +835,7 @@ def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    _, metrics = compare_tables(left, right, ["event_id"])
+    _, metrics = compare_tables(left, right, ["event_id"], percentile_mode="exact")
     return metrics.select(
         "total",
         "value_both_null",

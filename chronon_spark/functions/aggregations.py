@@ -442,11 +442,28 @@ def _pct_scan(ir: str, p_val: float) -> str:
     )
 
 
+def _pct_direct(inp: str, p: AggregationPart) -> Column:
+    """Unwindowed/direct APPROX_PERCENTILE — bounded-memory by default.
+
+    Default is Spark's ``percentile_approx`` (Greenwald-Khanna summary,
+    O(accuracy) aggregation buffer per group): the reference's own
+    contract for this op is a KLL sketch (SimpleAggregators.scala:762-802),
+    i.e. approximate with bounded memory — exact ``percentile`` buffers
+    every group value and is a scale-killer on large groups.
+    ``arg_map={'exact': True}`` keeps the exact interpolated percentile as
+    a test/oracle mode (matches numpy/DuckDB quantile_cont);
+    ``arg_map['sql_accuracy']`` tunes the GK error (1/accuracy rank error).
+    """
+    ps = ", ".join(str(x) for x in _percentiles(p))
+    if p.arg_map.get("exact"):
+        return F.expr(f"percentile({inp}, array({ps}))")
+    acc = int(p.arg_map.get("sql_accuracy", 10000))
+    return F.expr(f"CAST(percentile_approx({inp}, array({ps}), {acc}) AS array<double>)")
+
+
 _register(
     Operation.APPROX_PERCENTILE,
-    direct=lambda inp, p: F.expr(
-        f"percentile({inp}, array({', '.join(str(x) for x in _percentiles(p))}))"
-    ),
+    direct=_pct_direct,
     ir=_pct_ir,
     merge=lambda ir, p: _pct_merge(ir),
     finalize=lambda ir, p: F.expr(

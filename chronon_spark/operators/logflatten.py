@@ -142,5 +142,9 @@ def log_flattener_job(
             )
             flat, _ = flatten_log_table(spark, raw, schemas, with_stats=False)
             warehouse.insert_partitions(flat, output_table)
+            # mark every day of the processed range complete — a day with
+            # zero flattenable rows writes no physical partition, and
+            # without a sidecar it would re-scan on every resume
+            warehouse.record_days(output_table, rng.days(), {"kind": "log_flatten"})
             written.extend(rng.days())
     return written

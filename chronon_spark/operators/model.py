@@ -136,8 +136,15 @@ def model_transform_batch(
                 (F.col("ds") >= rng.start) & (F.col("ds") <= rng.end)
             )
             out = backend.transform(spark, df)
-            if out is None:  # backend wrote its own output
-                continue
-            warehouse.insert_partitions(out, output_table)
+            if out is not None:
+                warehouse.insert_partitions(out, output_table)
+            # record the whole processed range — covers empty-output days
+            # AND the external-backend branch (which writes its own data
+            # but must still mark the range complete for resume)
+            warehouse.record_days(
+                output_table,
+                rng.days(),
+                {"kind": "model_transform", "backend": getattr(backend, "name", type(backend).__name__)},
+            )
             written.extend(rng.days())
     return written

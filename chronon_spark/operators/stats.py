@@ -17,9 +17,15 @@ Re-expresses the reference's stats module on DataFrame primitives:
   count). Returns BOTH the row-level comparison frame (the reference's
   ``*_comparison`` view) and the one-row metrics frame.
 
-Deviations, documented: percentiles use Spark's exact ``percentile``
-(linear interpolation — matches numpy/DuckDB quantile_cont) instead of a
-KLL sketch byte format (datasketches wheel unavailable — BENCH §limits).
+Percentile modes: the family defaults to ``percentile_mode="approx"`` —
+Spark's ``percentile_approx`` (Greenwald-Khanna summary, O(accuracy)
+aggregation buffer per group), which is the same bounded-memory contract
+as the reference's KLL sketches (StatsCompute.scala percentile handling);
+per-ds groups over a 100-TB table never buffer raw values.
+``percentile_mode="exact"`` keeps Spark's exact ``percentile`` (linear
+interpolation — matches numpy/DuckDB quantile_cont) as a test/oracle
+mode. KLL *byte* parity stays blocked (datasketches wheel unavailable —
+BENCH §limits).
 String columns get the stats/EditDistance.scala metric via JVM-native
 ``levenshtein`` (absolute + max-length-normalized averages); ARRAY
 columns keep length-based metrics only (a sequence DP edit distance is a
@@ -50,9 +56,25 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, T.NumericType)
 
 
-def _pct_array(col_expr: str, ps) -> Column:
+# percentile modes: "approx" (default — bounded memory, GK summary) vs
+# "exact" (test/oracle mode — buffers every group value; do NOT use on
+# per-ds groups at scale)
+PCT_APPROX = "approx"
+PCT_EXACT = "exact"
+# GK rank error = 1/accuracy; 10000 ⇒ 0.01% rank error, a few-hundred-KB
+# aggregation buffer per group regardless of group size
+DEFAULT_PCT_ACCURACY = 10000
+
+
+def _pct_array(
+    col_expr: str, ps, mode: str = PCT_APPROX, accuracy: int = DEFAULT_PCT_ACCURACY
+) -> Column:
     arr = ", ".join(str(p) for p in ps)
-    return F.expr(f"percentile({col_expr}, array({arr}))")
+    if mode == PCT_EXACT:
+        return F.expr(f"percentile({col_expr}, array({arr}))")
+    return F.expr(
+        f"CAST(percentile_approx({col_expr}, array({arr}), {int(accuracy)}) AS array<double>)"
+    )
 
 
 def column_summary(
@@ -60,6 +82,7 @@ def column_summary(
     keys: list[str] | tuple[str, ...] = (),
     ds_col: str = "ds",
     percentiles=SUMMARY_PERCENTILES,
+    percentile_mode: str = PCT_APPROX,
 ) -> DataFrame:
     """Per-``ds`` (or global, when no ds column) summary row: total count,
     per-column null count + null rate, numeric percentiles.
@@ -76,9 +99,9 @@ def column_summary(
         )
         if _is_numeric(f.dataType):
             aggs.append(
-                _pct_array(f"CAST({f.name} AS DOUBLE)", percentiles).alias(
-                    f"{f.name}__percentiles"
-                )
+                _pct_array(
+                    f"CAST({f.name} AS DOUBLE)", percentiles, mode=percentile_mode
+                ).alias(f"{f.name}__percentiles")
             )
     out = df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
     for f in value_cols:
@@ -89,11 +112,59 @@ def column_summary(
     return out
 
 
+def summary_job(
+    spark,
+    warehouse,
+    input_table: str,
+    output_table: str,
+    keys: list[str] | tuple[str, ...] = (),
+    start_ds: str | None = None,
+    end_ds: str | None = None,
+    step_days: int = 30,
+    percentiles=SUMMARY_PERCENTILES,
+    percentile_mode: str = PCT_APPROX,
+) -> list[str]:
+    """Incremental SummaryJob (spark/stats/SummaryJob.scala dailyRun):
+    walk the UNFILLED output partitions only — each run summarizes just
+    the days not yet in ``output_table`` and appends them with dynamic
+    partition overwrite + lineage, exactly like every other range-walked
+    job in the repo. A daily cron re-run therefore summarizes one new day,
+    not the whole history. Returns the ds values written.
+
+    ``start_ds``/``end_ds`` default to the input table's partition span.
+    Scale shape: per step range, ONE groupBy(ds) with map-side partial
+    aggregation and bounded-memory GK percentiles (percentile_mode
+    default), reading only that range's input partitions (ds pushdown)."""
+    from chronon_spark.plans.ranges import PartitionRange
+
+    in_parts = warehouse.partitions(input_table)
+    if not in_parts:
+        return []
+    start_ds = start_ds or min(in_parts)
+    end_ds = end_ds or max(in_parts)
+    written: list[str] = []
+    for hole in warehouse.unfilled(output_table, PartitionRange(start_ds, end_ds)):
+        for rng in hole.steps(step_days):
+            df = warehouse.read(input_table).filter(
+                (F.col("ds") >= rng.start) & (F.col("ds") <= rng.end)
+            )
+            out = column_summary(
+                df, keys=keys, percentiles=percentiles, percentile_mode=percentile_mode
+            )
+            warehouse.insert_partitions(out, output_table)
+            # days with no input rows produce no summary row; sidecars keep
+            # them from re-reading as unfilled on the next cron run
+            warehouse.record_days(output_table, rng.days(), {"kind": "summary"})
+            written.extend(rng.days())
+    return written
+
+
 def compare_tables(
     left: DataFrame,
     right: DataFrame,
     keys: list[str],
     mapping: dict[str, str] | None = None,
+    percentile_mode: str = PCT_APPROX,
 ) -> tuple[DataFrame, DataFrame]:
     """Row-level comparison + aggregate metrics of two frames sharing keys.
 
@@ -141,9 +212,11 @@ def compare_tables(
             )
             aggs += [
                 F.avg(smape).alias(f"{c}_smape"),
-                _pct_array(f"CAST({c}_left - {c}_right AS DOUBLE)", COMPARE_PERCENTILES).alias(
-                    f"{c}_left_minus_right_pct"
-                ),
+                _pct_array(
+                    f"CAST({c}_left - {c}_right AS DOUBLE)",
+                    COMPARE_PERCENTILES,
+                    mode=percentile_mode,
+                ).alias(f"{c}_left_minus_right_pct"),
             ]
         if isinstance(dt, T.StringType):
             # EditDistance.scala metric for strings — JVM-native
@@ -163,12 +236,12 @@ def compare_tables(
             ]
         if isinstance(dt, T.ArrayType):
             aggs += [
-                _pct_array(f"CAST(size({c}_left) AS DOUBLE)", COMPARE_PERCENTILES).alias(
-                    f"{c}_left_length_pct"
-                ),
-                _pct_array(f"CAST(size({c}_right) AS DOUBLE)", COMPARE_PERCENTILES).alias(
-                    f"{c}_right_length_pct"
-                ),
+                _pct_array(
+                    f"CAST(size({c}_left) AS DOUBLE)", COMPARE_PERCENTILES, mode=percentile_mode
+                ).alias(f"{c}_left_length_pct"),
+                _pct_array(
+                    f"CAST(size({c}_right) AS DOUBLE)", COMPARE_PERCENTILES, mode=percentile_mode
+                ).alias(f"{c}_right_length_pct"),
                 F.sum(
                     (lc.isNotNull() & rc.isNotNull() & (F.size(lc) != F.size(rc))).cast("long")
                 ).alias(f"{c}_mismatch_length"),
@@ -222,6 +295,7 @@ def psi(
     col: str,
     bins: int = 128,
     eps: float = 1e-6,
+    percentile_mode: str = PCT_APPROX,
 ) -> float:
     """Population Stability Index between two frames' distributions of
     ``col`` — StatsGenerator.PSIKllSketch semantics
@@ -230,17 +304,18 @@ def psi(
     against zero bins, PSI = Σ (p−q)·ln(p/q). Rules of thumb: <0.10
     little shift, 0.10-0.25 moderate, >0.25 action required.
 
-    Exact-rank variant (deviation, documented): the reference reads bin
-    masses off KLL sketches; absent the datasketches wheel the split
-    points come from Spark's exact ``percentile`` and bin masses from
-    one counting pass per side — same definition, no sketch error."""
+    The reference reads bin masses off KLL sketches; the default
+    ``percentile_mode="approx"`` matches that bounded-memory contract via
+    ``percentile_approx`` (split points GK-approximate, bin masses exact
+    from one counting pass per side); ``"exact"`` uses Spark's exact
+    ``percentile`` as a test/oracle mode."""
     import numpy as np
 
-    grid = ", ".join(str((i + 1) / (bins + 1)) for i in range(bins))
+    grid = [(i + 1) / (bins + 1) for i in range(bins)]
     edges = set()
     for df in (reference, comparison):
         q = df.agg(
-            F.expr(f"percentile(CAST({col} AS DOUBLE), array({grid}))").alias("q")
+            _pct_array(f"CAST({col} AS DOUBLE)", grid, mode=percentile_mode).alias("q")
         ).first()["q"]
         if q is None:
             return None
@@ -262,6 +337,7 @@ def drift_series(
     ds_col: str = "ds",
     bins: int = 32,
     eps: float = 1e-6,
+    percentile_mode: str = PCT_APPROX,
 ) -> DataFrame:
     """Day-over-day drift: PSI of ``col`` between each ds and the
     previous ds (the SummaryJob temporal-drift read on summary
@@ -270,11 +346,11 @@ def drift_series(
     (tiny: days × bins values). Returns (ds, psi vs previous ds)."""
     import numpy as np
 
-    grid = ", ".join(str((i + 1) / (bins + 1)) for i in range(bins))
+    grid = [(i + 1) / (bins + 1) for i in range(bins)]
     rows = (
         df.filter(F.col(col).isNotNull())
         .groupBy(ds_col)
-        .agg(F.expr(f"percentile(CAST({col} AS DOUBLE), array({grid}))").alias("q"))
+        .agg(_pct_array(f"CAST({col} AS DOUBLE)", grid, mode=percentile_mode).alias("q"))
         .orderBy(ds_col)
         .collect()
     )
@@ -300,6 +376,7 @@ def consistency_job(
     join,
     logged: DataFrame,
     sample_percent: float = 100.0,
+    percentile_mode: str = PCT_APPROX,
 ) -> tuple[DataFrame, DataFrame]:
     """Online-offline consistency — the ConsistencyJob analogue
     (spark/stats/ConsistencyJob.scala:35-150) and the last member of the
@@ -345,11 +422,24 @@ def consistency_job(
         )
         logged = logged.filter(bucket < int(round(sample_percent * 100)))
     uid = "__log_uid"
+    # persist: uid assignment must be computed once (monotonically_increasing_id
+    # is plan-nondeterministic); eagerly materialize, then the comparison and
+    # metrics frames both read the cached rows. Unpersisted after the single
+    # metrics action below — comparison is returned re-reading the source.
     logged = logged.withColumn(uid, F.monotonically_increasing_id()).persist()
-    offline = enrich_batch(spark, join, logged.select(uid, *left_keys, "ts"))
-    comparison, metrics = compare_tables(
-        logged.select(uid, *left_keys, "ts", *feature_cols),
-        offline.select(uid, *left_keys, "ts", *feature_cols),
-        keys=[uid, *left_keys, "ts"],
-    )
-    return comparison.drop(uid), metrics
+    try:
+        offline = enrich_batch(spark, join, logged.select(uid, *left_keys, "ts"))
+        comparison, metrics_df = compare_tables(
+            logged.select(uid, *left_keys, "ts", *feature_cols),
+            offline.select(uid, *left_keys, "ts", *feature_cols),
+            keys=[uid, *left_keys, "ts"],
+            percentile_mode=percentile_mode,
+        )
+        # materialize both outputs while the cache is live: metrics collapses
+        # to one row; the comparison frame localCheckpoints so the returned
+        # plan no longer depends on the soon-unpersisted cache
+        comparison = comparison.drop(uid).localCheckpoint(eager=True)
+        metrics = spark.createDataFrame(metrics_df.collect(), metrics_df.schema)
+    finally:
+        logged.unpersist()
+    return comparison, metrics

@@ -61,8 +61,33 @@ class Warehouse:
         Iceberg this reads the ``<t>.partitions`` metadata table)."""
         return self.fmt.partitions(table)
 
+    def filled_days(self, table: str) -> set[str]:
+        """Days considered complete: a physical ds= partition OR a lineage
+        sidecar. The sidecar covers legitimately-EMPTY output days (zero
+        rows flattened/scored that day) — without it every empty day would
+        read as unfilled forever and be re-scanned on each resume."""
+        return set(self.partitions(table)) | set(self.lineage(table))
+
     def unfilled(self, table: str, requested: PartitionRange) -> list[PartitionRange]:
-        return unfilled_ranges(self.partitions(table), requested)
+        return unfilled_ranges(self.filled_days(table), requested)
+
+    def record_days(
+        self, table: str, days: list[str], lineage: dict | None = None
+    ) -> None:
+        """Write lineage sidecars for ``days`` that have none yet (row_count
+        0) — marks processed-but-empty days complete for the resume
+        contract. Counterpart of invalidate_partitions."""
+        ldir = self._lineage_dir(table)
+        os.makedirs(ldir, exist_ok=True)
+        for ds in days:
+            p = os.path.join(ldir, f"{ds}.json")
+            if os.path.exists(p):
+                continue
+            with open(p, "w") as f:
+                json.dump(
+                    {"ds": ds, "row_count": 0, "written_at": time.time(), **(lineage or {})},
+                    f,
+                )
 
     # ----------------------------------------------------------------- read
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:

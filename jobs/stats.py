@@ -36,6 +36,18 @@ def main() -> None:
     s.add_argument("--table", required=True)
     s.add_argument("--keys", default="")
     s.add_argument("--out", default=None)
+    # incremental mode (SummaryJob.dailyRun): with --warehouse, walk only
+    # the UNFILLED partitions of --output-table and append them (resume /
+    # daily-cron contract); without it, the one-shot path-mode summary
+    s.add_argument("--warehouse", default=None, help="warehouse root for incremental mode")
+    s.add_argument("--output-table", default=None)
+    s.add_argument("--start", default=None)
+    s.add_argument("--end", default=None)
+    s.add_argument("--step-days", type=int, default=30)
+    s.add_argument(
+        "--percentile-mode", default="approx", choices=("approx", "exact"),
+        help="approx = bounded-memory GK (default); exact buffers raw values (test/oracle only)",
+    )
     c = sub.add_parser("compare")
     c.add_argument("--left", required=True)
     c.add_argument("--right", required=True)
@@ -65,7 +77,28 @@ def main() -> None:
     spark = build_session(app_name=f"stats:{args.verb}")
     if args.verb == "summary":
         keys = [k for k in args.keys.split(",") if k]
-        out = column_summary(_read(spark, args.table), keys=keys)
+        if args.warehouse:
+            from chronon_spark.operators.stats import summary_job
+            from chronon_spark.sources.warehouse import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            written = summary_job(
+                spark,
+                wh,
+                input_table=args.table,
+                output_table=args.output_table or f"{args.table}_summary",
+                keys=keys,
+                start_ds=args.start,
+                end_ds=args.end,
+                step_days=args.step_days,
+                percentile_mode=args.percentile_mode,
+            )
+            print(f"summary partitions written: {len(written)}")
+            spark.stop()
+            return
+        out = column_summary(
+            _read(spark, args.table), keys=keys, percentile_mode=args.percentile_mode
+        )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(f"summary written: {args.out}")

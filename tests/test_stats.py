@@ -277,3 +277,65 @@ def test_drift_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     m = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][0])
     assert m["ds"] == "2024-01-02" and m["psi"] > 0.25
+
+
+def test_percentile_modes(spark):
+    """Default (approx) percentiles are bounded-memory percentile_approx —
+    within GK rank tolerance of the exact mode, same array<double> schema."""
+    import numpy as np
+
+    vals = [float(x) for x in np.random.default_rng(7).normal(50, 10, 2000)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"ds": ["2024-01-01"] * 2000, "k": ["a"] * 2000, "v": vals})
+    )
+    approx = column_summary(df, keys=("k",)).first()
+    exact = column_summary(df, keys=("k",), percentile_mode="exact").first()
+    a_schema = column_summary(df, keys=("k",)).schema["v__percentiles"].dataType.simpleString()
+    e_schema = (
+        column_summary(df, keys=("k",), percentile_mode="exact")
+        .schema["v__percentiles"]
+        .dataType.simpleString()
+    )
+    assert a_schema == e_schema == "array<double>"
+    # accuracy=10000 ⇒ rank error ≤ n/10000 < 1 rank on 2000 values: the
+    # approx answer must sit within one order-statistic of the exact one
+    svals = sorted(vals)
+    for a, e in zip(approx["v__percentiles"], exact["v__percentiles"]):
+        lo = min(svals, key=lambda x: abs(x - e))
+        assert abs(a - e) <= (svals[min(svals.index(lo) + 2, 1999)] - svals[max(svals.index(lo) - 2, 0)]) + 1e-9
+    # the plan must NOT contain the exact percentile aggregate (the
+    # unbounded-buffer scale-killer) in default mode
+    plan = column_summary(df, keys=("k",))._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan
+
+
+def test_summary_job_incremental(spark, tmp_path):
+    """summary_job walks UNFILLED output partitions only (SummaryJob
+    dailyRun contract): first run fills, re-run writes nothing, a new
+    input day fills just that day; input-gap days get empty-day sidecars
+    so they never re-read as unfilled."""
+    from chronon_spark.operators.stats import summary_job
+    from chronon_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # input: days 01, 02, 04 — day 03 is a genuine input gap
+    rows = []
+    for ds, n in (("2024-01-01", 5), ("2024-01-02", 3), ("2024-01-04", 4)):
+        rows += [{"ds": ds, "k": f"u{i}", "v": float(i)} for i in range(n)]
+    wh.insert_partitions(spark.createDataFrame(pd.DataFrame(rows)), "ev")
+
+    w1 = summary_job(spark, wh, "ev", "ev_summary", keys=("k",))
+    assert w1 == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    out = {r["ds"]: r for r in wh.read("ev_summary").collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-04"}
+    assert out["2024-01-01"]["total_count"] == 5
+    # the empty gap day is lineage-complete (row_count 0), not a hole
+    assert wh.lineage("ev_summary")["2024-01-03"]["row_count"] == 0
+
+    assert summary_job(spark, wh, "ev", "ev_summary", keys=("k",)) == []  # resume: no-op
+
+    day5 = [{"ds": "2024-01-05", "k": f"u{i}", "v": 9.0} for i in range(2)]
+    wh.insert_partitions(spark.createDataFrame(pd.DataFrame(day5)), "ev")
+    w3 = summary_job(spark, wh, "ev", "ev_summary", keys=("k",))
+    assert w3 == ["2024-01-05"]
+    assert wh.read("ev_summary").filter("ds='2024-01-05'").first()["total_count"] == 2
