@@ -129,9 +129,17 @@ class _SparseTable:
 class _EventCol:
     """Per-input-column precomputation shared across parts/windows."""
 
-    def __init__(self, series: pd.Series, numeric: bool, integral: bool = False):
+    def __init__(
+        self,
+        series: pd.Series,
+        numeric: bool,
+        integral: bool = False,
+        ts: "np.ndarray | None" = None,
+    ):
         self.numeric = numeric
         self.integral = integral
+        self._ts = ts
+        self._tie_compact = None
         if numeric:
             vals = pd.to_numeric(series, errors="coerce").to_numpy(dtype=np.float64)
             self.mask = ~np.isnan(vals)
@@ -164,6 +172,30 @@ class _EventCol:
         self._tmin = None
         self._tmax = None
         self._sorted_compact_cache = None
+
+    @property
+    def tie_compact(self) -> np.ndarray:
+        """Compact values with equal-ts runs re-ordered ascending by value
+        — the tiled kernel's (ts, value) struct-sort tie-break, shared so
+        FIRST/LAST/FIRST_K/LAST_K pick the SAME element on exact-tie
+        timestamps in both execution paths (the order the gate oracle
+        asserts). Window bounds always fall on ts-run boundaries, so the
+        reorder is invisible to every other op. Falls back to input order
+        when the constructor got no ts array."""
+        if self._ts is None:
+            return self.compact
+        if self._tie_compact is None:
+            vals = self.compact
+            if self.numeric:
+                key = vals
+            else:
+                # non-numeric gather columns: order by string form (Spark's
+                # UTF8 ordering agrees with Python's for the practical
+                # string/categorical cases; compact is already non-null)
+                key = np.array([str(v) for v in vals], dtype=object)
+            order = np.lexsort((key, self._ts[self.nn_idx]))
+            self._tie_compact = vals[order]
+        return self._tie_compact
 
     def count_in(self, lo, hi):
         return (self.pcount[hi] - self.pcount[lo]).astype(np.int64)
@@ -258,7 +290,14 @@ def _compute_part(
     clo, chi = col.compact_range(lo, hi)
     k = int(part.arg_map.get("k", 1))
     out = np.empty(len(lo), dtype=object)
-    compact = col.compact
+    # ordered gathers share the tiled kernel's (ts, value) tie-break;
+    # order-insensitive ops keep the cheaper input-order compact
+    compact = (
+        col.tie_compact
+        if part.operation
+        in (Operation.FIRST, Operation.LAST, Operation.FIRST_K, Operation.LAST_K)
+        else col.compact
+    )
 
     if op in (Operation.FIRST, Operation.LAST):
         # vectorized gather: first/last non-null value in range
@@ -373,9 +412,14 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
         def event_col(name: str, frame: pd.DataFrame = None) -> _EventCol:
             if frame is None:
                 if name not in cols:
-                    cols[name] = _EventCol(edf[name], numeric_cols[name], integral_cols[name])
+                    cols[name] = _EventCol(
+                        edf[name], numeric_cols[name], integral_cols[name], ts=ev_ts
+                    )
                 return cols[name]
-            return _EventCol(frame[name], numeric_cols[name], integral_cols[name])
+            fts = (
+                frame[TS_COL].to_numpy(dtype=np.int64) if TS_COL in frame.columns else None
+            )
+            return _EventCol(frame[name], numeric_cols[name], integral_cols[name], ts=fts)
 
         def hll_eval(frame: pd.DataFrame, name: str, lo: np.ndarray, hi: np.ndarray):
             """APPROX_UNIQUE_COUNT via the shared HLL register sketch:
@@ -437,7 +481,7 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
                     else:
                         scol = _EventCol(
                             sub[p.input_column], numeric_cols[p.input_column],
-                            integral_cols[p.input_column],
+                            integral_cols[p.input_column], ts=sub_ts,
                         )
                         raw_vals = _compute_part(stripped, scol, sub_lo, sub_head)
                     vals = _cast_feature(raw_vals, stripped, input_types[p.input_column])
@@ -460,15 +504,21 @@ def temporal_events(
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
     hot_key_threshold: int | None = None,
+    hot_keys: "list[tuple] | None" = None,
+    hot_slice_ms: int | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``,
     with GroupBy ``derivations`` applied to the output (selectExpr over
     feature columns — spark/GroupBy.scala:763-774 applies them to ALL
     GroupBy output regardless of accuracy).
 
-    ``hot_key_threshold``: keys whose query count exceeds it get
-    tile-aligned time slicing in the tiled kernel (skew MITIGATION, not
-    exclusion — operators/tiled.py).
+    ``hot_key_threshold``: keys whose query count exceeds it get time
+    slicing in BOTH kernels (skew MITIGATION, not exclusion): tile-aligned
+    slices with tile-compressed history in the tiled kernel
+    (operators/tiled.py), bounded raw-event replication across slices in
+    the raw kernel. ``hot_keys``/``hot_slice_ms`` pin the key set and
+    slice width explicitly (detection skipped). Requires every aggregation
+    windowed.
 
     ``tile_warehouse`` + ``tile_range``: route tileable work through the
     persisted TileStore (operators/tilestore.py) — 5-min tiles for
@@ -484,7 +534,8 @@ def temporal_events(
             out = temporal_events(
                 spark, gb_base, queries, events, mode=mode, passthrough=passthrough,
                 tile_warehouse=tile_warehouse, tile_range=tile_range,
-                hot_key_threshold=hot_key_threshold,
+                hot_key_threshold=hot_key_threshold, hot_keys=hot_keys,
+                hot_slice_ms=hot_slice_ms,
             )
         else:
             out = queries
@@ -493,7 +544,8 @@ def temporal_events(
         out = _temporal_events_impl(
             spark, gb, queries, events, mode=mode, passthrough=passthrough,
             tile_warehouse=tile_warehouse, tile_range=tile_range,
-            hot_key_threshold=hot_key_threshold,
+            hot_key_threshold=hot_key_threshold, hot_keys=hot_keys,
+            hot_slice_ms=hot_slice_ms,
         )
     if gb.derivations:
         feature_names = {p.output_column for p in gb.unpacked()}
@@ -584,6 +636,8 @@ def _temporal_events_impl(
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
     hot_key_threshold: int | None = None,
+    hot_keys: "list[tuple] | None" = None,
+    hot_slice_ms: int | None = None,
 ) -> DataFrame:
     """Point-in-time aggregates of ``events`` at each query row's ``ts``.
 
@@ -627,7 +681,8 @@ def _temporal_events_impl(
                 return out
             return temporal_events_tiled(
                 spark, gb, queries, events, passthrough=passthrough,
-                hot_key_threshold=hot_key_threshold,
+                hot_key_threshold=hot_key_threshold, hot_keys=hot_keys,
+                hot_slice_ms=hot_slice_ms,
             )
         if mode == "split":
             gb_tiled, gb_raw = split_by_tileability(gb, events.schema)
@@ -690,15 +745,68 @@ def _temporal_events_impl(
         [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in parts]
     )
     kernel = make_temporal_kernel(gb, ev_schema, slim_cols)
+    # ---- hot-key time slicing, raw-kernel edition: the dense-query regime
+    # (features at every event of a crawl-storm url) is exactly where the
+    # raw kernel wins on plan shape but serializes the hot key onto one
+    # task. Same slice algebra as the tiled kernel (operators/tiled.py),
+    # minus tile compression: the hot key's queries partition into
+    # contiguous slice_ms slices, and its RAW events replicate to the
+    # ≤(1 + w_eff/slice) slices whose sawtooth windows can reach them —
+    # bounded replication of ONE key's events across many tasks instead of
+    # one task owning everything. Requires every aggregation windowed (an
+    # unbounded op needs the full event prefix in every slice). Results
+    # are bit-identical: the kernel computes exact per-query window bounds,
+    # so superset events in a slice are simply outside [lo, hi).
+    co_keys = keys
+    if hot_keys is None and hot_key_threshold and gb.max_window_millis is not None:
+        hot_keys = detect_hot_keys(qlite.select(*keys), keys, hot_key_threshold)
+    if hot_keys:
+        max_w = gb.max_window_millis
+        if max_w is None:
+            raise ValueError(
+                "hot-key time slicing requires every aggregation windowed — "
+                "an unbounded op needs the full event prefix in every slice"
+            )
+        slice_ms = int(hot_slice_ms or max(max_w // 4, 300_000))
+        # sawtooth heads round down by up to one hop (≤ 1d) below qt − w
+        w_eff = max_w + 86_400_000
+
+        def _is_hot(frame_keys=keys):
+            m = None
+            for kt in hot_keys:
+                c = None
+                for k, v in zip(frame_keys, kt if isinstance(kt, (tuple, list)) else (kt,)):
+                    e = F.col(k) == F.lit(v)
+                    c = e if c is None else (c & e)
+                m = c if m is None else (m | c)
+            return m
+
+        qlite = qlite.withColumn(
+            "__qs",
+            F.when(_is_hot(), (F.col(TS_COL) / slice_ms).cast("long"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        lo_s = (F.col(TS_COL) / slice_ms).cast("long")
+        hi_s = ((F.col(TS_COL) + F.lit(w_eff)) / slice_ms).cast("long")
+        events = events.withColumn(
+            "__qs",
+            F.explode(
+                F.when(~_is_hot(), F.array(F.lit(0).cast("long"))).otherwise(
+                    F.sequence(lo_s, hi_s)
+                )
+            ),
+        )
+        co_keys = keys + ["__qs"]
     # explicit keys-hash repartition with a pinned partition count: the
     # kernel stage is CPU-bound, and AQE's byte-targeted coalescing would
     # otherwise shrink it to a handful of tasks (16MB of slim rows ≈ 10
     # partitions on a 32-core box — a 3x parallelism loss measured)
     p_n = kernel_partitions(spark)
     feats = (
-        qlite.repartition(p_n, *keys)
-        .groupBy(*keys)
-        .cogroup(events.repartition(p_n, *keys).groupBy(*keys))
+        qlite.repartition(p_n, *co_keys)
+        .groupBy(*co_keys)
+        .cogroup(events.repartition(p_n, *co_keys).groupBy(*co_keys))
         .applyInPandas(kernel, schema=schema)
     )
     if passthrough:
@@ -710,6 +818,41 @@ def _temporal_events_impl(
             feats = feats.unionByName(pad)
         return feats
     return queries.join(feats, slim_cols, "left")
+
+
+HOT_KEY_DETECT_CAP = 1000
+
+
+def detect_hot_keys(
+    qlite: DataFrame,
+    keys: list[str],
+    threshold: int,
+    cap: int = HOT_KEY_DETECT_CAP,
+) -> "list[tuple] | None":
+    """Keys whose query count exceeds ``threshold`` — one tiny aggregate
+    over the slim query frame, hottest-first so a truncated detection
+    keeps the keys that matter most. Truncation at ``cap`` is LOGGED (no
+    silent caps): keys beyond it stay unsliced and fall back to
+    one-task-per-key."""
+    rows = (
+        qlite.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > int(threshold))
+        .orderBy(F.col("count").desc())
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        import logging
+
+        logging.getLogger("chronon_spark").warning(
+            "hot-key detection truncated at cap=%d (threshold=%d): the %d "
+            "hottest keys get time slicing, further hot keys stay unsliced "
+            "— raise the cap via detect_hot_keys(cap=...) if this matters",
+            cap, int(threshold), cap,
+        )
+        rows = rows[:cap]
+    return [tuple(r[k] for k in keys) for r in rows] or None
 
 
 def kernel_partitions(spark: SparkSession) -> int:

@@ -1866,17 +1866,12 @@ def temporal_events_tiled(
     co_keys = keys
     if hot_keys is None and hot_key_threshold and gb.max_window_millis is not None:
         # opt-in detection: keys whose query count exceeds the threshold
-        # (one tiny aggregate over the slim query frame); auto mode simply
-        # skips when slicing is impossible (unbounded windows)
-        hot_rows = (
-            qlite.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > int(hot_key_threshold))
-            .select(*keys)
-            .limit(1000)
-            .collect()
-        )
-        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows] or None
+        # (one tiny aggregate over the slim query frame), hottest-first and
+        # cap-logged (temporal.detect_hot_keys); auto mode simply skips
+        # when slicing is impossible (unbounded windows)
+        from chronon_spark.operators.temporal import detect_hot_keys
+
+        hot_keys = detect_hot_keys(qlite.select(*keys), keys, hot_key_threshold)
     if hot_keys:
         max_w = gb.max_window_millis
         if max_w is None:
