@@ -853,6 +853,70 @@ def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-offline consistency (operators/stats.consistency_job — the
+    ConsistencyJob analogue): the 'served' log is the offline truth for
+    every 13th event's (user, ts) with a deterministic +1 perturbation on
+    every 10th event_id; the job recomputes offline point-in-time features
+    from the logged keys alone and diffs via the CompareMetrics machinery."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.stats import consistency_job
+    from chronon_spark.streaming.enrich import enrich_batch
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    gb = GroupBy(
+        name="cons_gb",
+        sources=(EventSource(table="events", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    join = Join(
+        name="cons_join", left=EventSource(table="unused"), right_parts=(JoinPart(gb),)
+    )
+    q = ev.filter("event_id % 13 = 0").select("event_id", "user_id", "ts")
+    truth = enrich_batch(spark, join, q)
+    sum_col = next(c for c in truth.columns if c.endswith("value_sum_7d"))
+    cnt_col = next(c for c in truth.columns if c.endswith("value_count"))
+    logged = truth.select(
+        "user_id",
+        "ts",
+        F.expr(
+            f"CASE WHEN event_id % 10 = 0 THEN {sum_col} + 1 ELSE {sum_col} END"
+        ).alias(sum_col),
+        F.col(cnt_col),
+    )
+    _, metrics = consistency_job(spark, join, logged, percentile_mode="exact")
+    return metrics.select(
+        "total",
+        F.col(f"{sum_col}_mismatch").alias("sum7_mismatch"),
+        F.col(f"{sum_col}_both_null").alias("sum7_both_null"),
+        F.col(f"{sum_col}_left_null").alias("sum7_left_null"),
+        F.col(f"{sum_col}_right_null").alias("sum7_right_null"),
+        F.round(f"{sum_col}_smape", 6).alias("sum7_smape"),
+        F.expr(
+            f"concat_ws(',', transform({sum_col}_left_minus_right_pct, x -> format_string('%.6f', x)))"
+        ).alias("sum7_diff_pcts"),
+        F.col(f"{cnt_col}_mismatch").alias("cnt_mismatch"),
+        F.col(f"{cnt_col}_both_null").alias("cnt_both_null"),
+    )
+
+
 def q_temporal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal entities with mutations: each event inserts its value and
     deletes the user's previous value (same day). Mutations at exactly
@@ -948,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": q_vector_stats,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
+        "consistency": q_consistency,
         "temporal_entities": q_temporal_entities,
     }
 
@@ -1299,6 +1364,33 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        CAST(sum(CASE WHEN tl IS NOT NULL AND tr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_right_null,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN CAST(levenshtein(tl, tr) AS DOUBLE) END), 6) AS event_type_edit_distance,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
+FROM j
+""",
+        "consistency": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events),
+q AS (SELECT event_id, user_id, tms FROM ev WHERE event_id % 13 = 0),
+off AS (
+  SELECT q.event_id,
+         sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) AS sum7,
+         NULLIF(count(CASE WHEN e.tms < q.tms THEN e.value END), 0) AS cnt
+  FROM q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.event_id
+),
+j AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN sum7 + 1 ELSE sum7 END AS sl, sum7 AS sr,
+         cnt AS cl, cnt AS cr
+  FROM off
+)
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN sl IS NOT NULL AND sr IS NOT NULL AND sl != sr THEN 1 ELSE 0 END) AS BIGINT) AS sum7_mismatch,
+       CAST(sum(CASE WHEN sl IS NULL AND sr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum7_both_null,
+       CAST(sum(CASE WHEN sl IS NULL AND sr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum7_left_null,
+       CAST(sum(CASE WHEN sl IS NOT NULL AND sr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum7_right_null,
+       round(avg(CASE WHEN abs(sl) + abs(sr) != 0 THEN abs(sl - sr) * 2.0 / (abs(sl) + abs(sr)) ELSE 0.0 END), 6) AS sum7_smape,
+       array_to_string(list_transform(quantile_cont(CAST(sl - sr AS DOUBLE), [0.05, 0.25, 0.5, 0.75, 0.95]),
+                                      x -> printf('%.6f', x)), ',') AS sum7_diff_pcts,
+       CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL AND cl != cr THEN 1 ELSE 0 END) AS BIGINT) AS cnt_mismatch,
+       CAST(sum(CASE WHEN cl IS NULL AND cr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnt_both_null
 FROM j
 """,
         "temporal_entities": """

@@ -25,11 +25,18 @@ from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, _let_sql
 
 
 def pos_map_to_array(map_expr: str) -> str:
-    """Map[str(position) → value] ⇒ dense array sized to max(position)+1,
-    missing positions null — the result-list contract of the reference's
-    ElementWiseAggregator (result list initialized with nulls to tensor
-    size). Used to finalize config-level element_wise aggregations that
-    ride the bucket machinery with ``__pos`` as the bucket."""
+    """Map[str(position) → value] ⇒ dense array sized to max(PRESENT
+    position)+1, missing interior positions null. Used to finalize
+    config-level element_wise aggregations that ride the bucket machinery
+    with ``__pos`` as the bucket.
+
+    Documented deviation from the reference's ElementWiseAggregator
+    (which null-initializes the result list to the full tensor size,
+    ColumnAggregator.scala): TRAILING positions whose aggregate finalizes
+    to NULL (e.g. an all-null last element) are dropped rather than
+    null-padded — the bucket machinery only records positions that
+    produced a value, and the input tensor size is not threaded through.
+    Interior nulls are preserved."""
     body = (
         "CASE WHEN __m IS NOT NULL AND size(__m) > 0 THEN "
         "transform(sequence(0, array_max(transform(map_keys(__m), k -> CAST(k AS INT)))), "

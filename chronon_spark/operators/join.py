@@ -54,6 +54,21 @@ from chronon_spark.sources.scan import (
 ROW_UID = "__row_uid"
 BS_HIT = "__bs_hit_"
 
+# frames persisted by join_backfill whose lifetime must extend past the
+# (lazy) return value — released by release_backfill_caches()
+_ACTIVE_CACHES: list = []
+
+
+def release_backfill_caches() -> None:
+    """Unpersist every frame join_backfill cached. Call once the backfill
+    output has been MATERIALIZED (written/collected) — the runner does per
+    step; unpersisting earlier would re-execute the left plan 2×/part."""
+    while _ACTIVE_CACHES:
+        try:
+            _ACTIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def bootstrap_fold(left: DataFrame, join: Join, spark: SparkSession) -> tuple[DataFrame, list[set]]:
     """Fold bootstrap tables onto the left with per-row match markers.
@@ -405,8 +420,13 @@ def join_backfill(
     # persist the folded left: every part probes/collects keys against it
     # and the final fold re-reads it — without a persist the whole left
     # plan (scan + bootstrap joins) re-executes 2×/part (the reference
-    # caches leftDf, spark/JoinBase.scala:423-466)
+    # caches leftDf, spark/JoinBase.scala:423-466). Registered for release:
+    # the returned frame is lazy, so the cache must outlive this function —
+    # callers (the runner, per step) release it after materializing via
+    # release_backfill_caches(), keeping long multi-step backfills from
+    # accumulating dead cached frames in executor storage.
     left = left.persist()
+    _ACTIVE_CACHES.append(left)
     # ONE small-mode probe per backfill, shared across parts
     left_is_small = _probe_left_small(left) if join.right_parts else False
 
@@ -433,8 +453,14 @@ def join_backfill(
         ltable = f"{join.name}__left"
         if part_warehouse.unfilled(ltable, requested):
             part_warehouse.insert_partitions(left, ltable, lineage={"config": join.name})
+        # the disk copy replaces the cache from here on — release eagerly
+        # (only this call's cache, not an outer chained backfill's)
+        cached_left = left
         left = part_warehouse.read(ltable)
         out = left
+        if cached_left in _ACTIVE_CACHES:
+            _ACTIVE_CACHES.remove(cached_left)
+        cached_left.unpersist()
 
         def materialize(part: JoinPart):
             table = f"{join.name}__{part.full_prefix}"

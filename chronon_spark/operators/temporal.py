@@ -244,6 +244,8 @@ def _compute_part(
     part: AggregationPart, col: _EventCol, lo: np.ndarray, hi: np.ndarray
 ) -> np.ndarray:
     """Aggregate one unpacked part over per-query event-index ranges [lo, hi)."""
+    if len(col.mask) == 0:  # sliced groups can be query-only (no events in reach)
+        return _obj([None] * len(lo), np.zeros(len(lo), dtype=bool))
     op = part.operation
     cnt = col.count_in(lo, hi)
     has = cnt > 0
@@ -355,6 +357,152 @@ def _compute_part(
     return out
 
 
+def _nn(v):
+    """Baseline scalar normalizer: Spark nulls surface as None or NaN."""
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+def _merge_unbounded(
+    part: AggregationPart, col: _EventCol, lo: np.ndarray, hi: np.ndarray, base: dict
+) -> np.ndarray:
+    """Unbounded part under hot-key slicing: value at qt = events in
+    [slice_start, qt) merged with the baseline IR over everything before
+    slice_start (_build_baselines). Merge rules are the ops' own IR
+    algebra — identical results to the full-prefix computation."""
+    op = part.operation
+    nq = len(lo)
+    empty = len(col.mask) == 0
+    cnt = np.zeros(nq, dtype=np.int64) if empty else col.count_in(lo, hi)
+    bn_raw = _nn(base.get("n"))
+    bn = 0 if bn_raw is None else int(bn_raw)
+    k = int(part.arg_map.get("k", 1))
+
+    if op is Operation.COUNT:
+        total = cnt + bn
+        return _obj([int(x) for x in total], total > 0)
+    if op is Operation.SUM:
+        bs = _nn(base.get("s1"))
+        has = (cnt > 0) | (bs is not None)
+        if col.integral and not empty:
+            s = col._ipsum[hi] - col._ipsum[lo] + (0 if bs is None else int(bs))
+            return _obj([int(x) for x in s], has)
+        within = np.zeros(nq) if empty else col.psum[hi] - col.psum[lo]
+        if col.integral:  # integral column, no within events
+            s = within + (0 if bs is None else int(bs))
+            return _obj([int(x) for x in s], has)
+        s = within + (0.0 if bs is None else float(bs))
+        return _obj([float(x) for x in s], has)
+    if op is Operation.AVERAGE:
+        bs = float(_nn(base.get("s1")) or 0.0)
+        total = cnt + bn
+        within = np.zeros(nq) if empty else col.psum[hi] - col.psum[lo]
+        s = within + bs
+        return _obj(
+            [s[i] / total[i] if total[i] else None for i in range(nq)], total > 0
+        )
+    if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+        b1 = float(_nn(base.get("s1")) or 0.0)
+        b2 = float(_nn(base.get("s2")) or 0.0)
+        b3 = float(_nn(base.get("s3")) or 0.0)
+        b4 = float(_nn(base.get("s4")) or 0.0)
+        n = (cnt + bn).astype(np.float64)
+        if empty:
+            s1 = np.full(nq, b1)
+            s2 = np.full(nq, b2)
+            s3 = np.full(nq, b3)
+            s4 = np.full(nq, b4)
+        else:
+            p2, p3, p4 = col.pmoments
+            s1 = col.psum[hi] - col.psum[lo] + b1
+            s2 = p2[hi] - p2[lo] + b2
+            s3 = p3[hi] - p3[lo] + b3
+            s4 = p4[hi] - p4[lo] + b4
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m1 = s1 / n
+            m2 = s2 / n - m1**2
+            m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1**3
+            m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1**2 * s2 / n - 3 * m1**4
+        has = n > 0
+        if op is Operation.VARIANCE:
+            return _obj([float(v) for v in np.maximum(m2, 0.0)], has)
+        if op is Operation.SKEW:
+            out = np.where(
+                (n < 3) | (m2 <= 0), np.nan, m3 / np.power(np.maximum(m2, 1e-300), 1.5)
+            )
+            return _obj([float(v) for v in out], has)
+        out = np.where((n < 4) | (m2 <= 0), np.nan, m4 / np.maximum(m2, 1e-300) ** 2 - 3.0)
+        return _obj([float(v) for v in out], has)
+    if op in (Operation.MIN, Operation.MAX) and col.numeric:
+        bm = _nn(base.get("mn" if op is Operation.MIN else "mx"))
+        fill = np.inf if op is Operation.MIN else -np.inf
+        within = np.full(nq, fill) if empty else (
+            col.tmin().query(lo, hi) if op is Operation.MIN else col.tmax().query(lo, hi)
+        )
+        if bm is not None:
+            within = (
+                np.minimum(within, float(bm))
+                if op is Operation.MIN
+                else np.maximum(within, float(bm))
+            )
+        return _obj([float(x) for x in within], np.isfinite(within))
+
+    # gather family: compact-range merges with baseline lists/picks
+    if empty:
+        clo = chi = np.zeros(nq, dtype=np.int64)
+        compact = np.empty(0, dtype=object)
+    else:
+        clo, chi = col.compact_range(lo, hi)
+        compact = (
+            col.tie_compact
+            if op in (Operation.FIRST, Operation.LAST, Operation.FIRST_K, Operation.LAST_K)
+            else col.compact
+        )
+    out = np.empty(nq, dtype=object)
+    b_fst = _nn(base.get("fst"))
+    b_lst = _nn(base.get("lst"))
+    b_list = base.get(
+        {
+            Operation.FIRST_K: "fstk",
+            Operation.LAST_K: "lstk",
+            Operation.TOP_K: "topk",
+            Operation.BOTTOM_K: "botk",
+        }.get(op)
+    )
+    b_list = [] if b_list is None else list(b_list)
+    for i in range(nq):
+        a, b = clo[i], chi[i]
+        sl = compact[a:b]
+        if op is Operation.FIRST:
+            out[i] = b_fst if b_fst is not None else (sl[0] if b > a else None)
+        elif op is Operation.LAST:
+            out[i] = sl[-1] if b > a else b_lst
+        elif op is Operation.MIN:
+            cands = list(sl) + ([] if _nn(base.get("mn")) is None else [base["mn"]])
+            out[i] = min(cands) if cands else None
+        elif op is Operation.MAX:
+            cands = list(sl) + ([] if _nn(base.get("mx")) is None else [base["mx"]])
+            out[i] = max(cands) if cands else None
+        elif op is Operation.FIRST_K:
+            m = (b_list + list(sl))[:k]
+            out[i] = m or None
+        elif op is Operation.LAST_K:
+            m = (list(sl[-k:][::-1]) + b_list)[:k]
+            out[i] = m or None
+        elif op is Operation.TOP_K:
+            m = sorted(list(sl) + b_list, reverse=True)[:k]
+            out[i] = m or None
+        elif op is Operation.BOTTOM_K:
+            m = sorted(list(sl) + b_list)[:k]
+            out[i] = m or None
+        else:
+            raise ValueError(f"unsupported unbounded-sliced op {op}")
+    return out
+
+
 def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.DataType):
     """Coerce python values to the declared Spark type.
 
@@ -382,7 +530,17 @@ def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.Dat
     return out_vals
 
 
-def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: list[str]):
+def make_temporal_kernel(
+    gb: GroupBy,
+    events_schema: T.StructType,
+    query_cols: list[str],
+    baseline_cols: "dict[int, dict[str, str]] | None" = None,
+):
+    """``baseline_cols``: hot-key slicing support — {index within the
+    unbounded-part subsequence of unpacked(): {state: qdf column}}. When a
+    query group carries a non-null ``__slice_lo``, unbounded parts compute
+    [slice_start, qt) locally and merge the group's baseline IR columns
+    (_merge_unbounded) instead of needing the full event prefix."""
     parts = gb.unpacked()
     numeric_cols = {
         f.name: isinstance(f.dataType, (T.NumericType, T.BooleanType)) for f in events_schema.fields
@@ -397,7 +555,11 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
             for p in parts:
                 out[p.output_column] = pd.Series([], dtype=object)
             return out
-        if len(edf) == 0:
+        slice_lo = None
+        if baseline_cols is not None and "__slice_lo" in qdf.columns:
+            v = qdf["__slice_lo"].iloc[0]
+            slice_lo = None if pd.isna(v) else int(v)
+        if len(edf) == 0 and slice_lo is None:
             for p in parts:
                 out[p.output_column] = None
             return out
@@ -443,8 +605,27 @@ def make_temporal_kernel(gb: GroupBy, events_schema: T.StructType, query_cols: l
                 out[i] = hll_estimate(regs)
             return out
 
+        ub_i = -1
         for p in parts:
             if p.window is None:
+                ub_i += 1
+                if slice_lo is not None and baseline_cols and ub_i in baseline_cols:
+                    # sliced hot group: local range is [slice_start, qt),
+                    # everything earlier comes from the baseline IR row
+                    lo = np.full(
+                        nq, np.searchsorted(ev_ts, slice_lo, side="left"), dtype=np.int64
+                    )
+                    base = {
+                        st: (
+                            qdf[cname].iloc[0]
+                            if cname in qdf.columns
+                            else None
+                        )
+                        for st, cname in baseline_cols[ub_i].items()
+                    }
+                    vals = _merge_unbounded(p, event_col(p.input_column), lo, head, base)
+                    out[p.output_column] = _cast_feature(vals, p, input_types[p.input_column])
+                    continue
                 lo = np.zeros(nq, dtype=np.int64)
             else:
                 w, hop = p.window.millis, p.hop_millis
@@ -744,7 +925,6 @@ def _temporal_events_impl(
     schema = T.StructType(
         [qlite.schema[c] for c in slim_cols] + [output_field(p, ev_schema) for p in parts]
     )
-    kernel = make_temporal_kernel(gb, ev_schema, slim_cols)
     # ---- hot-key time slicing, raw-kernel edition: the dense-query regime
     # (features at every event of a crawl-storm url) is exactly where the
     # raw kernel wins on plan shape but serializes the hot key onto one
@@ -753,23 +933,33 @@ def _temporal_events_impl(
     # contiguous slice_ms slices, and its RAW events replicate to the
     # ≤(1 + w_eff/slice) slices whose sawtooth windows can reach them —
     # bounded replication of ONE key's events across many tasks instead of
-    # one task owning everything. Requires every aggregation windowed (an
-    # unbounded op needs the full event prefix in every slice). Results
-    # are bit-identical: the kernel computes exact per-query window bounds,
-    # so superset events in a slice are simply outside [lo, hi).
+    # one task owning everything. UNBOUNDED parts slice too when their
+    # prefix state is a small mergeable IR (_BASELINE_OPS): each (hot key,
+    # query slice) gets a baseline IR row covering every earlier event
+    # (_build_baselines) and the kernel merges it with the slice-local
+    # range (_merge_unbounded). Set-like unbounded state (unique counts,
+    # histograms, percentiles) stays unsliceable. Results are bit-identical
+    # either way: the kernel computes exact per-query bounds, so superset
+    # events in a slice are simply outside [lo, hi).
     co_keys = keys
-    if hot_keys is None and hot_key_threshold and gb.max_window_millis is not None:
+    baseline_cols = None
+    cls = slice_classification(gb)
+    if hot_keys is None and hot_key_threshold and cls is not None:
         hot_keys = detect_hot_keys(qlite.select(*keys), keys, hot_key_threshold)
     if hot_keys:
-        max_w = gb.max_window_millis
-        if max_w is None:
+        if cls is None:
             raise ValueError(
-                "hot-key time slicing requires every aggregation windowed — "
-                "an unbounded op needs the full event prefix in every slice"
+                "hot-key time slicing requires windowed or algebraic-unbounded "
+                "aggregations — set-like unbounded state (UNIQUE_COUNT, "
+                "HISTOGRAM, APPROX_PERCENTILE/UNIQUE, bucketed unbounded) "
+                "needs the full event prefix in every slice"
             )
-        slice_ms = int(hot_slice_ms or max(max_w // 4, 300_000))
-        # sawtooth heads round down by up to one hop (≤ 1d) below qt − w
-        w_eff = max_w + 86_400_000
+        max_w, ub_parts = cls
+        # all-unbounded configs have no window reach; default to day slices
+        slice_ms = int(hot_slice_ms or (max(max_w // 4, 300_000) if max_w else 86_400_000))
+        # sawtooth heads round down by up to one hop (≤ 1d) below qt − w;
+        # pure-baseline configs replicate nothing beyond the home slice
+        w_eff = (max_w + 86_400_000) if max_w else 0
 
         def _is_hot(frame_keys=keys):
             m = None
@@ -781,12 +971,20 @@ def _temporal_events_impl(
                 m = c if m is None else (m | c)
             return m
 
+        if ub_parts:
+            base_q, baseline_cols = _build_baselines(
+                events, qlite, keys, ub_parts, slice_ms, _is_hot(), ev_schema
+            )
         qlite = qlite.withColumn(
             "__qs",
             F.when(_is_hot(), (F.col(TS_COL) / slice_ms).cast("long"))
             .otherwise(F.lit(0))
             .cast("long"),
         )
+        if ub_parts:
+            qlite = qlite.join(base_q, keys + ["__qs"], "left").withColumn(
+                "__slice_lo", F.when(_is_hot(), F.col("__qs") * F.lit(slice_ms))
+            )
         lo_s = (F.col(TS_COL) / slice_ms).cast("long")
         hi_s = ((F.col(TS_COL) + F.lit(w_eff)) / slice_ms).cast("long")
         events = events.withColumn(
@@ -798,6 +996,7 @@ def _temporal_events_impl(
             ),
         )
         co_keys = keys + ["__qs"]
+    kernel = make_temporal_kernel(gb, ev_schema, slim_cols, baseline_cols=baseline_cols)
     # explicit keys-hash repartition with a pinned partition count: the
     # kernel stage is CPU-bound, and AQE's byte-targeted coalescing would
     # otherwise shrink it to a handful of tasks (16MB of slim rows ≈ 10
@@ -818,6 +1017,202 @@ def _temporal_events_impl(
             feats = feats.unionByName(pad)
         return feats
     return queries.join(feats, slim_cols, "left")
+
+
+# unbounded ops whose full-prefix state is a SMALL mergeable IR (count,
+# sums, extrema, (ts,value) picks, k-capped lists) — sliceable via
+# per-slice baseline IRs. Set-like unbounded state (UNIQUE_COUNT's value
+# set, HISTOGRAM's value→count map, APPROX_PERCENTILE's raw values) is
+# unbounded per key and stays unsliceable.
+_BASELINE_OPS = {
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.MIN,
+    Operation.MAX,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+    Operation.FIRST,
+    Operation.LAST,
+    Operation.FIRST_K,
+    Operation.LAST_K,
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+}
+
+
+def slice_classification(gb: GroupBy) -> "tuple[int, list[AggregationPart]] | None":
+    """(max windowed millis, unbounded-but-baseline-able parts), or None
+    when some part is neither windowed nor baseline-able (set-like
+    unbounded state, or bucketed unbounded — the per-bucket baseline map
+    is itself unbounded)."""
+    max_w = 0
+    ub: list[AggregationPart] = []
+    for p in gb.unpacked():
+        if p.window is None:
+            if p.operation not in _BASELINE_OPS or p.bucket is not None:
+                return None
+            ub.append(p)
+        else:
+            max_w = max(max_w, p.window.millis)
+    return max_w, ub
+
+
+def _baseline_states(p: AggregationPart, integral: bool) -> list[str]:
+    op = p.operation
+    k = int(p.arg_map.get("k", 1))
+    return {
+        Operation.COUNT: ["n"],
+        Operation.SUM: ["s1i" if integral else "s1"],
+        Operation.AVERAGE: ["n", "s1"],
+        Operation.MIN: ["mn"],
+        Operation.MAX: ["mx"],
+        Operation.VARIANCE: ["n", "s1", "s2"],
+        Operation.SKEW: ["n", "s1", "s2", "s3"],
+        Operation.KURTOSIS: ["n", "s1", "s2", "s3", "s4"],
+        Operation.FIRST: ["fst"],
+        Operation.LAST: ["lst"],
+        Operation.FIRST_K: [f"fstk{k}"],
+        Operation.LAST_K: [f"lstk{k}"],
+        Operation.TOP_K: [f"topk{k}"],
+        Operation.BOTTOM_K: [f"botk{k}"],
+    }[op]
+
+
+def _build_baselines(
+    events: DataFrame,
+    qlite: DataFrame,
+    keys: list[str],
+    ub_parts: "list[AggregationPart]",
+    slice_ms: int,
+    is_hot,
+    ev_schema: T.StructType,
+):
+    """Per-(hot key, query slice) baseline IRs for unbounded algebraic
+    parts: everything a query needs about events BEFORE its slice,
+    compressed to one slim row.
+
+    Shape: (1) one groupBy over the hot keys' events per EVENT slice —
+    map-side combinable partial IRs; (2) an inclusive running merge across
+    a key's slices (a window over #slices rows per key — tiny by
+    construction); (3) an as-of mapping to the distinct QUERY slices so
+    gap slices read the latest earlier state. Returns (frame keyed by
+    keys+__qs, {part_index: {state: column}}).
+    """
+    from pyspark.sql.window import Window as W
+
+    integral = {f.name: isinstance(f.dataType, _INTEGRAL) for f in ev_schema.fields}
+    # state → (per-slice partial agg, running merge over the slice window)
+    slice_aggs: dict[str, Column] = {}
+    cum_exprs: dict[str, "callable"] = {}
+    col_map: dict[int, dict[str, str]] = {}
+    for i, p in enumerate(ub_parts):
+        c = p.input_column
+        ci = f"__b_{c}"
+        mapping = {}
+        for st in _baseline_states(p, integral.get(c, False)):
+            name = f"{ci}_{st}"
+            # canonical state key the kernel reads: k-lists drop the k
+            # suffix, integral s1 folds into s1, fst/lst mean the VALUE
+            # (struct flattened below)
+            if st.startswith(("fstk", "lstk", "topk", "botk")):
+                skey = st[:4]
+            elif st == "s1i":
+                skey = "s1"
+            else:
+                skey = st
+            mapping[skey] = name
+            if name in slice_aggs:
+                continue
+            struct = f"CASE WHEN {c} IS NOT NULL THEN named_struct('t', {TS_COL}, 'v', {c}) END"
+            if st == "n":
+                slice_aggs[name] = F.expr(f"count({c})")
+                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
+            elif st == "s1i":
+                slice_aggs[name] = F.expr(f"sum({c})")
+                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
+            elif st in ("s1", "s2", "s3", "s4"):
+                pw = int(st[1])
+                prod = " * ".join([f"CAST({c} AS DOUBLE)"] * pw)
+                slice_aggs[name] = F.expr(f"sum({prod})")
+                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
+            elif st == "mn":
+                slice_aggs[name] = F.expr(f"min({c})")
+                cum_exprs[name] = lambda w, n=name: F.min(n).over(w)
+            elif st == "mx":
+                slice_aggs[name] = F.expr(f"max({c})")
+                cum_exprs[name] = lambda w, n=name: F.max(n).over(w)
+            elif st == "fst":
+                slice_aggs[name] = F.expr(f"min({struct})")
+                cum_exprs[name] = lambda w, n=name: F.min(n).over(w)
+            elif st == "lst":
+                slice_aggs[name] = F.expr(f"max({struct})")
+                cum_exprs[name] = lambda w, n=name: F.max(n).over(w)
+            else:
+                kk = int(st[4:])
+                if st.startswith("fstk"):
+                    slice_aggs[name] = F.expr(
+                        f"transform(slice(array_sort(collect_list({struct})), 1, {kk}), x -> x.v)"
+                    )
+                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
+                        F.flatten(F.collect_list(n).over(w)), 1, kk
+                    )
+                elif st.startswith("lstk"):
+                    slice_aggs[name] = F.expr(
+                        f"transform(slice(reverse(array_sort(collect_list({struct}))), 1, {kk}), x -> x.v)"
+                    )
+                    # latest slice first; each slice list already newest-first
+                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
+                        F.flatten(F.reverse(F.collect_list(n).over(w))), 1, kk
+                    )
+                elif st.startswith("topk"):
+                    slice_aggs[name] = F.expr(
+                        f"slice(reverse(array_sort(collect_list({c}))), 1, {kk})"
+                    )
+                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
+                        F.reverse(F.array_sort(F.flatten(F.collect_list(n).over(w)))), 1, kk
+                    )
+                else:  # botk
+                    slice_aggs[name] = F.expr(f"slice(array_sort(collect_list({c})), 1, {kk})")
+                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
+                        F.array_sort(F.flatten(F.collect_list(n).over(w))), 1, kk
+                    )
+        col_map[i] = mapping
+
+    hot_ev = events.filter(is_hot)
+    per_slice = (
+        hot_ev.withColumn("__es", (F.col(TS_COL) / slice_ms).cast("long"))
+        .groupBy(*keys, "__es")
+        .agg(*[sa.alias(n) for n, sa in slice_aggs.items()])
+    )
+    w = W.partitionBy(*keys).orderBy("__es").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_slice.select(
+        *keys, "__es", *[cum_exprs[n](w).alias(n) for n in slice_aggs]
+    )
+    # flatten (t, v) structs to value scalars (ties across the slice
+    # boundary are impossible — the boundary separates ts strictly)
+    flat_cols = []
+    for n in slice_aggs:
+        if n.endswith("_fst") or n.endswith("_lst"):
+            flat_cols.append(F.col(f"{n}.v").alias(n))
+        else:
+            flat_cols.append(F.col(n))
+    cum = cum.select(*keys, "__es", *flat_cols)
+
+    # as-of mapping: each distinct hot QUERY slice reads the cumulative
+    # state at the greatest event slice strictly before it
+    qslices = (
+        qlite.filter(is_hot)
+        .select(*keys, (F.col(TS_COL) / slice_ms).cast("long").alias("__qs"))
+        .distinct()
+    )
+    j = qslices.join(cum.select(*keys, "__es"), keys, "inner").filter(
+        F.col("__es") < F.col("__qs")
+    )
+    best = j.groupBy(*keys, "__qs").agg(F.max("__es").alias("__es"))
+    base_q = best.join(cum, keys + ["__es"], "inner").drop("__es")
+    return base_q, col_map
 
 
 HOT_KEY_DETECT_CAP = 1000

@@ -27,10 +27,11 @@ k-selections + head), and per-tile sorted value arrays
 path when every part qualifies, else the exact raw kernel.
 
 Tie semantics: events sharing an exact timestamp are ordered by
-(ts, value) inside tiles — deterministic across layouts. The reference
-leaves equal-ts order unspecified (partition iteration order), so
-FIRST/LAST/K-list selections among exact-tie events may differ from the
-raw kernel's input-order pick; every other aggregate is tie-insensitive.
+(ts, value) inside tiles — deterministic across layouts. The raw kernel
+shares the same tie-break for its ordered gathers (temporal._EventCol
+.tie_compact), so FIRST/LAST/FIRST_K/LAST_K pick the SAME element on
+both paths; the reference leaves equal-ts order unspecified (partition
+iteration order). Every other aggregate is tie-insensitive.
 """
 
 from __future__ import annotations

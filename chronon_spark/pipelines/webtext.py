@@ -59,6 +59,7 @@ def backfill_features(
     spark: SparkSession,
     pages: DataFrame,
     queries: DataFrame | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Feature vectors at each query (url, ts); queries default to the
     pages themselves (feature vector at every crawl event).
@@ -123,8 +124,13 @@ def backfill_features(
     # mode="raw": queries sit at EVERY event, so every 5-min tile contains
     # a query head and tiling degenerates to raw + tile overhead (measured
     # 3x slower); the tiled path wins for sparse/backfill query patterns.
+    # hot_key_threshold: a crawl-storm url (one key owning a huge share of
+    # queries) time-slices across tasks instead of serializing — the
+    # unbounded COUNT/LAST parts ride per-slice baseline IRs
+    # (temporal._build_baselines), the windowed parts bounded replication
     feats = temporal_events(
-        spark, WEBTEXT_GROUPBY, left, events, mode="raw", passthrough=(queries is None)
+        spark, WEBTEXT_GROUPBY, left, events, mode="raw",
+        passthrough=(queries is None), hot_key_threshold=hot_key_threshold,
     )
     if payload is not None:
         # the single wide-column shuffle of the whole pipeline

@@ -82,10 +82,17 @@ def run_join_backfill(
     for hole in holes:
         for step in hole.steps(step_days):
             df = join_backfill(spark, join, step.start, step.end, tile_warehouse=tile_warehouse)
-            wh.overwrite_partitions(
-                df,
-                table,
-                step.days(),
-                lineage={"semantic_hash": sem, "config": join.name},
-            )
+            try:
+                wh.overwrite_partitions(
+                    df,
+                    table,
+                    step.days(),
+                    lineage={"semantic_hash": sem, "config": join.name},
+                )
+            finally:
+                # per-step cache release: a year-long backfill must not
+                # accumulate each step's persisted left in executor storage
+                from chronon_spark.operators.join import release_backfill_caches
+
+                release_backfill_caches()
     return table

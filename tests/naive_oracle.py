@@ -24,6 +24,32 @@ def naive_feature(
 ):
     """Compute one feature value for one query timestamp, or a dict per
     bucket when part.bucket is set (buckets = event bucket values)."""
+    if part.operation in (
+        Operation.FIRST,
+        Operation.LAST,
+        Operation.FIRST_K,
+        Operation.LAST_K,
+    ):
+        # both engine kernels order exact-tie timestamps by (ts, value) —
+        # the documented deterministic tie-break (tiled.py docstring); the
+        # reference leaves tie order unspecified, so the oracle asserts
+        # the documented order
+        if ev_vals.dtype == object:
+            try:  # numbers boxed as objects still tie-order numerically
+                key = np.array(
+                    [-np.inf if (v is None or v != v) else float(v) for v in ev_vals],
+                    dtype=np.float64,
+                )
+            except (TypeError, ValueError):
+                key = np.array(
+                    ["" if (v is None or v != v) else str(v) for v in ev_vals], dtype=object
+                )
+        else:
+            key = np.nan_to_num(ev_vals.astype(np.float64), nan=-np.inf)
+        order = np.lexsort((key, ev_ts))
+        ev_ts, ev_vals = ev_ts[order], ev_vals[order]
+        if buckets is not None:
+            buckets = buckets[order]
     if part.window is None:
         in_win = ev_ts < qt
     else:

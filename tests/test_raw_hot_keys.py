@@ -135,19 +135,90 @@ def test_raw_hot_key_auto_detection(spark):
     )
     assert _norm(plain.collect()) == _norm(auto.collect())
 
-    gb_unbounded = dataclasses.replace(
+    # set-like unbounded state cannot slice: explicit hot_keys refuse,
+    # auto threshold silently skips
+    gb_setlike = dataclasses.replace(
         GB_W,
-        aggregations=(Aggregation("price", Operation.SUM, windows=(None,)),),
+        aggregations=(Aggregation("cat", Operation.UNIQUE_COUNT, windows=(None,)),),
     )
-    with pytest.raises(ValueError, match="windowed"):
+    with pytest.raises(ValueError, match="unbounded"):
         temporal_events(
-            spark, gb_unbounded, q_df, ev_df, mode="raw", hot_keys=[("u1",)]
+            spark, gb_setlike, q_df, ev_df, mode="raw", hot_keys=[("u1",)]
         )
-    # auto threshold on unbounded: silently skips, plain results
     out = temporal_events(
-        spark, gb_unbounded, q_df, ev_df, mode="raw", hot_key_threshold=100
+        spark, gb_setlike, q_df, ev_df, mode="raw", hot_key_threshold=100
     )
     assert out.count() == len(hot_q)
+
+
+# every baseline-able op, unbounded AND mixed with windowed parts — the
+# flagship's shape (unbounded COUNT/LAST + windowed COUNT/AVERAGE)
+AGGS_UB = (
+    Aggregation("price", Operation.COUNT, windows=(None, Window(7))),
+    Aggregation("price", Operation.SUM, windows=(None,)),
+    Aggregation("price", Operation.AVERAGE, windows=(None,)),
+    Aggregation("price", Operation.MIN, windows=(None,)),
+    Aggregation("price", Operation.MAX, windows=(None,)),
+    Aggregation("price", Operation.VARIANCE, windows=(None,)),
+    Aggregation("price", Operation.SKEW, windows=(None,)),
+    Aggregation("price", Operation.KURTOSIS, windows=(None,)),
+    Aggregation("price", Operation.FIRST, windows=(None,)),
+    Aggregation("price", Operation.LAST, windows=(None,)),
+    Aggregation("cat", Operation.LAST, windows=(None,)),
+    Aggregation("price", Operation.FIRST_K, windows=(None,), arg_map={"k": 3}),
+    Aggregation("price", Operation.LAST_K, windows=(None,), arg_map={"k": 3}),
+    Aggregation("price", Operation.TOP_K, windows=(None,), arg_map={"k": 4}),
+    Aggregation("price", Operation.BOTTOM_K, windows=(None,), arg_map={"k": 4}),
+    Aggregation("cat", Operation.MIN, windows=(None,)),  # non-numeric extrema
+    Aggregation("text_i", Operation.SUM, windows=(None,)),  # integral int64 sums
+)
+
+GB_UB = GroupBy(
+    name="raw_hot_ub", sources=(EventSource(table="ev"),), key_columns=("user",),
+    aggregations=AGGS_UB,
+)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_unbounded_baseline_slicing_bit_identical(spark, seed):
+    """Unbounded algebraic ops slice via per-slice baseline IRs: sliced
+    results identical to the full-prefix computation, nulls and
+    non-numeric columns included (closes the flagship dense-query hole —
+    its GroupBy is unbounded COUNT/LAST + windowed parts)."""
+    ev, q = _gen(seed=seed)
+    ev["text_i"] = np.where(
+        np.arange(len(ev)) % 7 == 0, None, np.arange(len(ev)) * 1_000_000_007
+    )
+    hot_q = pd.concat(
+        [q] + [q[q.user == "u0"].assign(ts=lambda d: d.ts + i) for i in range(1, 9)],
+        ignore_index=True,
+    )
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(hot_q)
+    plain = temporal_events(spark, GB_UB, q_df, ev_df, mode="raw")
+    sliced = temporal_events(
+        spark, GB_UB, q_df, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=4 * MS_DAY,
+    )
+    assert _norm(plain.collect()) == _norm(sliced.collect())
+    # a query slice with zero in-reach events still answers from baseline:
+    # query far beyond the last event
+    far_q = spark.createDataFrame(
+        pd.DataFrame([{"user": "u0", "ts": int(ev.ts.max()) + 40 * MS_DAY}])
+    )
+    pf = temporal_events(spark, GB_UB, far_q, ev_df, mode="raw").first()
+    sf = temporal_events(
+        spark, GB_UB, far_q, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=4 * MS_DAY,
+    ).first()
+    for p in GB_UB.unpacked():
+        c = p.output_column
+        pv, sv = pf[c], sf[c]
+        if isinstance(pv, float) and pv != pv:
+            assert isinstance(sv, float) and sv != sv, (c, pv, sv)
+        else:
+            assert pv == sv, (c, pv, sv)
+    assert pf[GB_UB.unpacked()[0].output_column] is not None  # unbounded count present
 
 
 def test_tie_break_parity_raw_vs_tiled(spark):

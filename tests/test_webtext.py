@@ -122,3 +122,25 @@ def test_same_ms_duplicate_crawls(spark):
     got = sorted((r["url"], r["ts"], r["text"]) for r in out.select("url", "ts", "text").collect())
     assert got == sorted((u, t, x) for u, t, x in rows)
     assert "__th" not in out.columns
+
+
+def test_flagship_hot_key_slicing_identical(spark, pages):
+    """backfill_features(hot_key_threshold=...) — the crawl-storm-url
+    mitigation — returns byte-identical feature vectors: the unbounded
+    COUNT/LAST parts merge per-slice baseline IRs, windowed parts get
+    bounded event replication (temporal.py raw-kernel slicing)."""
+    import pandas as pd
+
+    plain = backfill_features(spark, pages)
+    sliced = backfill_features(spark, pages, hot_key_threshold=30)
+
+    def canon(df):
+        pdf = df.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        for c in pdf.columns:
+            if pdf[c].dtype == object:
+                pdf[c] = pdf[c].map(lambda v: str(sorted(v.items())) if isinstance(v, dict) else str(v))
+        return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(plain), canon(sliced)
+    assert a.equals(b)
