@@ -902,6 +902,11 @@ def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(cnt_col),
     )
     _, metrics = consistency_job(spark, join, logged, percentile_mode="exact")
+    # metrics is a driver-local frame (collected inside consistency_job) —
+    # safe to drop the enrichment caches this query registered
+    from chronon_spark.operators.join import release_backfill_caches
+
+    release_backfill_caches()
     return metrics.select(
         "total",
         F.col(f"{sum_col}_mismatch").alias("sum7_mismatch"),

@@ -36,7 +36,14 @@ def enrich_batch(spark: SparkSession, join: Join, left: DataFrame) -> DataFrame:
     b = left.agg(F.min("ds").alias("a"), F.max("ds").alias("b")).first()
     if b["a"] is None:
         return left
+    # cache registered with the join module's release list: the returned
+    # frame is lazy, so the runner/stream loop releases after materializing
+    # (release_backfill_caches) — repeated micro-batches must not
+    # accumulate dead cached frames
+    from chronon_spark.operators.join import _ACTIVE_CACHES
+
     left = left.withColumn(ROW_UID, F.monotonically_increasing_id()).persist()
+    _ACTIVE_CACHES.append(left)
     out = left
     for part in join.right_parts:
         feats, join_cols = compute_join_part(spark, left, part, b["a"], b["b"])
@@ -58,7 +65,14 @@ def enrich_stream(
     Returns the StreamingQuery (caller awaits/stops)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        sink(enrich_batch(spark, join, batch_df), batch_id)
+        from chronon_spark.operators.join import release_backfill_caches
+
+        try:
+            sink(enrich_batch(spark, join, batch_df), batch_id)
+        finally:
+            # the sink has materialized the enriched frame — drop this
+            # micro-batch's cached left before the next batch arrives
+            release_backfill_caches()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
