@@ -524,9 +524,14 @@ def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.Dat
     if isinstance(plain, T.ArrayType) and isinstance(
         plain.elementType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     ):
-        return np.array(
-            [[int(x) for x in v] if v is not None else None for v in out_vals], dtype=object
-        )
+        # element-wise fill: np.array(list-of-lists, dtype=object) silently
+        # builds a 2-D array when every list has the SAME length (the dense
+        # k-list regime — every query's window holds ≥ k events), and
+        # pandas then rejects the column assignment
+        res = np.empty(len(out_vals), dtype=object)
+        for i, v in enumerate(out_vals):
+            res[i] = [int(x) for x in v] if v is not None else None
+        return res
     return out_vals
 
 

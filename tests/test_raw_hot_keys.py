@@ -259,3 +259,31 @@ def test_tie_break_parity_raw_vs_tiled(spark):
     assert raw[by_op[Operation.LAST]] == 4.0  # single event at latest ts
     assert raw[by_op[Operation.FIRST_K]] == [2.0, 5.0, 9.0]
     assert raw[by_op[Operation.LAST_K]] == [4.0, 7.0, 1.0]
+
+
+def test_dense_uniform_klist_no_2d_collapse(spark):
+    """Every query window holding exactly >= k events makes every k-list
+    uniform length — np.array(list-of-equal-lists) silently builds a 2-D
+    array and pandas rejects the kernel column assignment (found by the
+    hot-key bench at 60k dense queries; _cast_feature now fills
+    element-wise)."""
+    gb = GroupBy(
+        name="dense", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.LAST_K, windows=(Window(7),), arg_map={"k": 2}),
+            Aggregation("v", Operation.TOP_K, windows=(Window(7),), arg_map={"k": 2}),
+        ),
+    )
+    # 50 events 1h apart, integer column -> array<long> output; queries at
+    # events 10.. so every window has >= 2 events (uniform k-lists)
+    ev = pd.DataFrame(
+        {"user": "u0", "ts": T0 + np.arange(50) * 3_600_000, "v": np.arange(50)}
+    )
+    q = pd.DataFrame({"user": "u0", "ts": (T0 + np.arange(10, 50) * 3_600_000 + 1)})
+    out = temporal_events(
+        spark, gb, spark.createDataFrame(q), spark.createDataFrame(ev), mode="raw"
+    ).collect()
+    assert len(out) == 40
+    row = {r["ts"]: r for r in out}[int(T0 + 20 * 3_600_000 + 1)]
+    assert row[gb.unpacked()[0].output_column] == [20, 19]
+    assert row[gb.unpacked()[1].output_column] == [20, 19]
