@@ -86,25 +86,50 @@ def main() -> None:
     # raw-CPU ceiling for the same 4x thread scaling (virtualized cores
     # rarely deliver 4x; see BENCH/BASELINE.md §1). Skip with BENCH_SCALING=0.
     if os.environ.get("BENCH_SCALING", "1") != "0":
+        import sys
+        import time as _time
+
         import tools.bench_scaling as bs
 
+        # the shared box sees co-tenant load spikes every ~15-20 min; a
+        # scaling run that lands in one reads 2-3x slow (the r3 artifact
+        # did — its own hw controls prove it). Wait briefly for a calm
+        # window (bounded; skipped when already calm or BENCH_WAIT_CALM=0).
+        waited = 0.0
+        max_wait = float(os.environ.get("BENCH_WAIT_CALM", "240"))
+        while waited < max_wait:
+            try:
+                load1 = float(open("/proc/loadavg").read().split()[0])
+            except OSError:
+                break
+            if load1 < 2.0:
+                break
+            print(f"[bench] load {load1:.1f} — waiting for calm window", file=sys.stderr)
+            _time.sleep(20)
+            waited += 20
         # 4M rows: small enough to finish in ~1 min, large enough that
         # compute dominates stage overheads (1M showed only task-startup)
         n_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
         bs.materialize(n_rows)
+        # hw ceiling bracketed BEFORE and AFTER: a collapsed post-ceiling
+        # flags that ambient load closed in mid-run (attribution, not spin)
+        hw_pre = bs._hw_control()
         r8 = bs.run(8, repeats=2)
         r32 = bs.run(32, repeats=2)
         hw = bs._hw_control()
         speedup = r32["rows_per_sec"] / r8["rows_per_sec"]
+        ceiling = (hw_pre["ceiling"] + hw["ceiling"]) / 2.0
         out["scaling"] = {
             "job": "webtext point-in-time backfill, same materialized input",
             "input_rows": n_rows,
+            "calm_wait_s": round(waited, 1),
             "local8": r8,
             "local32": r32,
             "speedup_8_to_32": round(speedup, 3),
             "efficiency_4x": round(speedup / 4.0, 3),
+            "hw_ceiling_control_pre": hw_pre,
             "hw_ceiling_control": hw,
-            "efficiency_vs_hw_ceiling": round(speedup / hw["ceiling"], 3),
+            "efficiency_vs_hw_ceiling": round(speedup / ceiling, 3),
         }
 
     print(json.dumps(out))
