@@ -43,3 +43,15 @@ def test_example_ooc_pipeline(spark):
     # count column logged faithfully; average corrupted on ts%13==0 rows
     assert m["ooc_url_counts_text_len_count_7d_mismatch"] == 0
     assert m["ooc_url_counts_text_len_average_7d_mismatch"] == 7  # deterministic fixture
+
+
+def test_example_ops_pipeline(spark, tmp_path):
+    """Round-4 ops composition: hot-key-mitigated backfill, incremental
+    summaries (rerun = no-op), StreamingStats-wrapped sink."""
+    from examples.ops_pipeline import run_example
+
+    out = run_example(spark, str(tmp_path / "wh"))
+    assert out["feature_rows"] > 0
+    assert out["summary_days_first_run"] > 0
+    assert out["summary_days_rerun"] == 0
+    assert "Wrote 500 records" in out["stream_status"]
