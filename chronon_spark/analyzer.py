@@ -94,6 +94,49 @@ def hot_keys(df: DataFrame, keys: list[str], top: int = 20, min_share: float = 0
     return counts
 
 
+def skew_advice(gb: GroupBy, df: DataFrame, min_share: float = 0.01) -> list[str]:
+    """Skew-mitigation advisory — the Analyzer.scala hot-key report
+    upgraded from "exclude these keys" to "here is the mitigation that
+    KEEPS them": for each detected heavy hitter, reports whether hot-key
+    time slicing applies to this GroupBy (all parts windowed, or
+    unbounded parts algebraic → per-slice baseline IRs,
+    operators/temporal.slice_classification), or — when the config holds
+    set-like unbounded state that cannot slice — which aggregations to
+    window or exclude via skew_keys."""
+    from chronon_spark.operators.temporal import slice_classification
+
+    hk = hot_keys(df, list(gb.key_columns), min_share=min_share).collect()
+    if not hk:
+        return []
+    desc = ", ".join(
+        f"{r['__key'].replace(chr(1), '|')} ({r['share']:.1%})" for r in hk[:5]
+    )
+    cls = slice_classification(gb)
+    if cls is not None:
+        _, ub = cls
+        how = (
+            "windowed time slices"
+            if not ub
+            else f"windowed time slices + baseline IRs for {len(ub)} unbounded algebraic part(s)"
+        )
+        return [
+            f"hot keys: {desc} — time slicing applies ({how}); pass "
+            "hot_key_threshold=... to temporal_events/join_backfill/"
+            "backfill_features (skew MITIGATION — keys kept, outputs bit-identical)"
+        ]
+    blockers = [
+        p.output_column
+        for p in gb.unpacked()
+        if p.window is None
+    ]
+    return [
+        f"hot keys: {desc} — time slicing NOT available (set-like or "
+        f"bucketed unbounded state in {blockers}); window those "
+        "aggregations, or exclude the keys via skew_keys (the reference's "
+        "only recourse)"
+    ]
+
+
 def uniqueness_audit(df: DataFrame, keys: list[str], ts_col: str = "ts") -> dict:
     """Duplicate (keys, ts) analysis for a join left
     (JoinBase.scala:352-372)."""

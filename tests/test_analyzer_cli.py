@@ -203,3 +203,48 @@ def test_validate_join():
     assert any("key_mapping targets 'nope'" in p for p in problems)
     assert any("duplicate output column" in p for p in problems)
     assert any("no key columns" in p for p in problems)
+
+
+def test_skew_advice(spark):
+    """skew_advice names the applicable mitigation: time slicing when the
+    GroupBy is sliceable (incl. algebraic unbounded via baseline IRs),
+    window-or-exclude when set-like unbounded state blocks it."""
+    import pandas as pd
+
+    from chronon_spark.analyzer import skew_advice
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Window
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": ["hot"] * 80 + [f"u{i}" for i in range(20)],
+                "ts": list(range(100)),
+                "v": [1.0] * 100,
+            }
+        )
+    )
+    gb_ok = GroupBy(
+        name="a", sources=(EventSource(table="t"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(7), None)),
+            Aggregation("v", Operation.LAST, windows=(None,)),
+        ),
+    )
+    advice = skew_advice(gb_ok, df)
+    assert len(advice) == 1 and "time slicing applies" in advice[0]
+    assert "baseline IRs for 2 unbounded" in advice[0]
+    assert "hot (80.0%)" in advice[0]
+
+    gb_blocked = GroupBy(
+        name="b", sources=(EventSource(table="t"),), key_columns=("user",),
+        aggregations=(Aggregation("v", Operation.UNIQUE_COUNT, windows=(None,)),),
+    )
+    advice = skew_advice(gb_blocked, df)
+    assert len(advice) == 1 and "NOT available" in advice[0]
+    assert "v_unique_count" in advice[0]
+
+    # no heavy hitters -> no advice
+    flat = spark.createDataFrame(
+        pd.DataFrame({"user": [f"u{i}" for i in range(200)], "ts": range(200), "v": [1.0] * 200})
+    )
+    assert skew_advice(gb_ok, flat) == []
