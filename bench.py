@@ -62,11 +62,33 @@ def run_suite(master: str, sf_dir: str, shuffle: int) -> tuple[dict[str, float],
     return timings, flagship_rows
 
 
+def _wait_calm(max_wait_s: float, thresh: float = 2.0) -> float:
+    """Bounded wait for a calm 1-min loadavg on the shared box — co-tenant
+    spikes every ~15-20 min read 2-3x slow; measuring inside one wastes
+    the artifact. Returns seconds waited."""
+    import sys
+    import time as _time
+
+    waited = 0.0
+    while waited < max_wait_s:
+        try:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            break
+        if load1 < thresh:
+            break
+        print(f"[bench] load {load1:.1f} — waiting for calm window", file=sys.stderr)
+        _time.sleep(20)
+        waited += 20
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    _wait_calm(float(os.environ.get("BENCH_WAIT_CALM", "240")))
     timings, flagship_rows = run_suite(f"local[{cpus}]", sf_dir, int(cpus))
     total = round(sum(timings.values()), 3)
     out = {
@@ -86,27 +108,11 @@ def main() -> None:
     # raw-CPU ceiling for the same 4x thread scaling (virtualized cores
     # rarely deliver 4x; see BENCH/BASELINE.md §1). Skip with BENCH_SCALING=0.
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        import sys
-        import time as _time
-
         import tools.bench_scaling as bs
 
-        # the shared box sees co-tenant load spikes every ~15-20 min; a
-        # scaling run that lands in one reads 2-3x slow (the r3 artifact
-        # did — its own hw controls prove it). Wait briefly for a calm
-        # window (bounded; skipped when already calm or BENCH_WAIT_CALM=0).
-        waited = 0.0
-        max_wait = float(os.environ.get("BENCH_WAIT_CALM", "240"))
-        while waited < max_wait:
-            try:
-                load1 = float(open("/proc/loadavg").read().split()[0])
-            except OSError:
-                break
-            if load1 < 2.0:
-                break
-            print(f"[bench] load {load1:.1f} — waiting for calm window", file=sys.stderr)
-            _time.sleep(20)
-            waited += 20
+        # re-check calm before the scaling pair (the headline suite above
+        # takes minutes — the window can close mid-run)
+        waited = _wait_calm(float(os.environ.get("BENCH_WAIT_CALM", "240")) / 2)
         # 4M rows: small enough to finish in ~1 min, large enough that
         # compute dominates stage overheads (1M showed only task-startup)
         n_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))

@@ -176,6 +176,64 @@ def image_features(
     return df.mapInPandas(gen, out_schema)
 
 
+def image_resize(
+    df: DataFrame,
+    binary_col: str = "html",
+    width: int = 32,
+    height: int = 32,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resize for the codec-free formats (P6/P5 PPM/PGM
+    and 24-bit BMP), re-encoded as binary PPM/PGM bytes — REAL pixel math
+    in pure numpy (no image library needed), Arrow-batched via
+    ``mapInPandas``. Undecodable formats (JPEG/PNG — codecs absent in
+    this container) and malformed bytes yield NULL. BMP input rows come
+    bottom-up; the output raster is emitted top-down like PPM expects.
+
+    100-TB shape: map-side only — no shuffle, no driver collection; one
+    pass over the binary column, output bounded at width×height×channels
+    per row regardless of input size."""
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.BinaryType())])
+
+    def _resize_one(b: bytes) -> bytes | None:
+        try:
+            meta = _decode_image_bytes(b, fake=False)
+            px = _decode_pixels(b)
+        except (NotImplementedError, ValueError, IndexError):
+            return None
+        if px is None or meta is None:
+            return None
+        w, h, ch = meta["width"], meta["height"], meta["channels"]
+        if w <= 0 or h <= 0 or len(px) < w * h * ch:
+            return None
+        img = px[: w * h * ch].reshape(h, w, ch)
+        if meta["format"] == "bmp":
+            img = img[::-1]  # bottom-up rows → top-down
+        ys = (np.arange(height) * h // height).clip(0, h - 1)
+        xs = (np.arange(width) * w // width).clip(0, w - 1)
+        out = img[ys][:, xs]
+        if ch >= 3:
+            if meta["format"] == "bmp":  # BGR → RGB for the PPM raster
+                out = out[:, :, [2, 1, 0]]
+            magic, ch_out = b"P6", 3
+            out = out[:, :, :3]
+        else:
+            magic, ch_out = b"P5", 1
+        header = b"%s\n%d %d\n255\n" % (magic, width, height)
+        return header + out.astype(np.uint8).tobytes()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                _resize_one(bytes(b)) if b is not None else None for b in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     binary_col: str = "html",
