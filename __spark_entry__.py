@@ -600,6 +600,28 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators/multimodal.frame_sample):
+    1 binary row → ≤max_frames stride-offset frame rows. Byte math only,
+    so DuckDB reproduces it exactly over the same ASCII text bytes
+    (generate_series + substring + md5)."""
+    from chronon_spark.operators.multimodal import frame_sample
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("blob", F.encode("text", "utf-8"))
+        .select("doc_id", "blob")
+    )
+    out = frame_sample(d, "blob", every_n_bytes=64, max_frames=4)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
 FLAGSHIP_PAGES_PATH = os.path.join(_ROOT, ".oracle_data", "webtext_pages_20k")
 
 
@@ -816,6 +838,29 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT (bounded-memory) stats path under the gate: percentiles
+    via percentile_approx (GK summary — the engine's production mode).
+    With per-ds groups ≤ the GK accuracy the summary holds every value and
+    the answer is the exact DISCRETE order statistic, which DuckDB's
+    quantile_disc reproduces bit-for-bit (empirically 150/150 points at
+    sf0.01); above that scale the same query degrades gracefully to
+    ε-rank-error — the reference's own KLL contract."""
+    _utc(spark)
+    from chronon_spark.operators.stats import column_summary
+
+    ev = _events(spark, sf_dir).select("ds", "value")
+    s = column_summary(ev, keys=())  # default percentile_mode="approx"
+    return s.select(
+        "ds",
+        "total_count",
+        F.col("value__null_count").alias("value_nulls"),
+        F.expr(
+            "concat_ws(',', transform(value__percentiles, x -> format_string('%.6f', x)))"
+        ).alias("value_pcts"),
+    )
+
+
 def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table diff metrics (operators/stats.compare_tables — the
     CompareJob/CompareMetrics family) of events vs a deterministically
@@ -1009,12 +1054,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "multimodal": q_multimodal,
+        "frame_sample": q_frame_sample,
         "webtext_flagship": q_webtext_flagship,
         "approx_unique": q_approx_unique,
         "map_column_agg": q_map_column_agg,
         "elementwise_mean": q_elementwise_mean,
         "elementwise_windowed": q_elementwise_windowed,
         "vector_stats": q_vector_stats,
+        "stats_summary_approx": q_stats_summary_approx,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
         "consistency": q_consistency,
@@ -1335,6 +1382,26 @@ GROUP BY q.event_id
 SELECT label, round(avg(CAST(v AS DOUBLE)), 6) AS elem_avg
 FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
 GROUP BY label
+""",
+        "frame_sample": """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, LEAST(CAST(floor(length(text) / 64) AS BIGINT), 3) + 1)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+       CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len
+FROM f
+""",
+        "stats_summary_approx": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       array_to_string(list_transform(quantile_disc(CAST(value AS DOUBLE), [0.05, 0.25, 0.5, 0.75, 0.95]),
+                                      x -> printf('%.6f', x)), ',') AS value_pcts
+FROM events GROUP BY 1
 """,
         "stats_summary": """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
