@@ -287,3 +287,51 @@ def test_dense_uniform_klist_no_2d_collapse(spark):
     row = {r["ts"]: r for r in out}[int(T0 + 20 * 3_600_000 + 1)]
     assert row[gb.unpacked()[0].output_column] == [20, 19]
     assert row[gb.unpacked()[1].output_column] == [20, 19]
+
+
+def test_slicing_fuzz(spark):
+    """Hypothesis fuzz: random event/query shapes (ts collisions, nulls,
+    single-event keys, day gaps) — sliced ≡ plain on a mixed
+    windowed+unbounded GroupBy, across random slice widths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    gb = GroupBy(
+        name="fuzz", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("price", Operation.SUM, windows=(Window(3), None)),
+            Aggregation("price", Operation.COUNT, windows=(None,)),
+            Aggregation("price", Operation.LAST, windows=(None,)),
+            Aggregation("price", Operation.LAST_K, windows=(Window(5),), arg_map={"k": 2}),
+            Aggregation("price", Operation.MIN, windows=(None,)),
+        ),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        day_off=st.lists(st.integers(0, 9), min_size=2, max_size=25),
+        in_day=st.lists(st.integers(0, MS_DAY - 1), min_size=2, max_size=25),
+        vals=st.lists(st.integers(0, 5), min_size=2, max_size=25),
+        nulls=st.lists(st.booleans(), min_size=2, max_size=25),
+        q_off=st.lists(st.integers(0, 11 * MS_DAY), min_size=1, max_size=15),
+        slice_days=st.sampled_from([1, 2, 4]),
+    )
+    def case(day_off, in_day, vals, nulls, q_off, slice_days):
+        n = min(len(day_off), len(in_day), len(vals), len(nulls))
+        ev = pd.DataFrame(
+            {
+                "user": ["u0"] * n,
+                "ts": [T0 + day_off[i] * MS_DAY + in_day[i] for i in range(n)],
+                "price": [None if nulls[i] else float(vals[i]) for i in range(n)],
+            }
+        )
+        q = pd.DataFrame({"user": ["u0"] * len(q_off), "ts": [T0 + o for o in q_off]})
+        ev_df, q_df = spark.createDataFrame(ev), spark.createDataFrame(q)
+        plain = temporal_events(spark, gb, q_df, ev_df, mode="raw")
+        sliced = temporal_events(
+            spark, gb, q_df, ev_df, mode="raw",
+            hot_keys=[("u0",)], hot_slice_ms=slice_days * MS_DAY,
+        )
+        assert _norm(plain.collect()) == _norm(sliced.collect())
+
+    case()
