@@ -861,6 +861,28 @@ def q_stats_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI drift (operators/stats.drift_series — the
+    SummaryJob temporal-drift read), fully oracle-adjudicated: the whole
+    PSI pipeline (per-ds quantile grid → union split points → inverse-
+    quantile ranks → pmf → zero-bin regularization → Σ(p−q)·ln(p/q)) is
+    replicated in DuckDB SQL. Float-bit discipline: bins=15 gives a
+    dyadic grid ((i+1)/16) and the integer-floored input makes the exact
+    quantile interpolation arithmetic EXACT in float64, so both engines
+    produce bit-identical grids; every downstream formula is written with
+    the same operation order on both sides (stats.pmf_from_quantiles
+    docstring)."""
+    _utc(spark)
+    from chronon_spark.operators.stats import drift_series
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("ds", F.expr("CAST(floor(value) AS BIGINT)").alias("vi"))
+    )
+    out = drift_series(spark, ev, "vi", bins=15, percentile_mode="exact")
+    return out.select("ds", F.round("psi", 6).alias("psi"))
+
+
 def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table diff metrics (operators/stats.compare_tables — the
     CompareJob/CompareMetrics family) of events vs a deterministically
@@ -1064,9 +1086,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary_approx": q_stats_summary_approx,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
+        "drift": q_drift,
         "consistency": q_consistency,
         "temporal_entities": q_temporal_entities,
     }
+
+
+
+def _drift_oracle_sql() -> str:
+    """DuckDB replica of drift_series(bins=15, exact) over the integer-
+    floored value column — see q_drift for the float-bit discipline."""
+    grid = ", ".join(repr((i + 1) / 16) for i in range(15))
+
+    def rank(arr: str) -> str:
+        j = f"len(list_filter({arr}, v -> v <= s1))"
+        return (
+            f"CASE WHEN s1 <= {arr}[1] THEN 0.0 "
+            f"WHEN s1 >= {arr}[15] THEN 1.0 "
+            f"WHEN {arr}[{j}] = s1 THEN ({j} - 1) / 14.0 "
+            f"ELSE (({j} - 1) + (s1 - {arr}[{j}]) / ({arr}[{j} + 1] - {arr}[{j}])) / 14.0 END"
+        )
+
+    def pmf(r: str) -> str:
+        return (
+            f"list_transform(range(1, len({r}) + 2), i -> "
+            f"CASE WHEN i = 1 THEN {r}[1] "
+            f"WHEN i = len({r}) + 1 THEN 1.0 - {r}[len({r})] "
+            f"ELSE {r}[i] - {r}[i - 1] END)"
+        )
+
+    def reg(x: str) -> str:
+        z = f"len(list_filter({x}, v -> v = 0))"
+        return (
+            f"CASE WHEN {z} = 0 THEN {x} ELSE list_transform({x}, v -> "
+            f"CASE WHEN v = 0 THEN (1e-06 * (len({x}) - {z})) / greatest({z}, 1) "
+            f"ELSE v - 1e-06 END) END"
+        )
+
+    return f"""
+WITH g AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+         quantile_cont(CAST(CAST(floor(value) AS BIGINT) AS DOUBLE), [{grid}]) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+w AS (SELECT ds, q, lag(q) OVER (ORDER BY ds) AS qp FROM g),
+s AS (
+  SELECT ds, q, qp, list_sort(list_distinct(qp || q)) AS sp
+  FROM w WHERE qp IS NOT NULL
+),
+r AS (
+  SELECT ds,
+         list_transform(sp, s1 -> {rank('qp')}) AS rp,
+         list_transform(sp, s1 -> {rank('q')}) AS rc
+  FROM s
+),
+m AS (SELECT ds, {pmf('rp')} AS pp, {pmf('rc')} AS qq FROM r),
+z AS (SELECT ds, {reg('pp')} AS p2, {reg('qq')} AS q2 FROM m)
+SELECT ds, round(list_sum(list_transform(range(1, len(p2) + 1),
+              i -> (p2[i] - q2[i]) * ln(p2[i] / q2[i]))), 6) AS psi
+FROM z
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1438,6 +1517,7 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
 FROM j
 """,
+        "drift": _drift_oracle_sql(),
         "consistency": f"""
 WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events),
 q AS (SELECT event_id, user_id, tms FROM ev WHERE event_id % 13 = 0),

@@ -356,9 +356,26 @@ def drift_series(
     )
 
     def pmf_from_quantiles(qs, split):
-        # mass between split points = Δrank, rank via interpolation on the
-        # inverse quantile function (the sketch getPMF analogue)
-        ranks = np.interp(split, qs, np.linspace(0, 1, len(qs)))
+        # mass between split points = Δrank, rank via linear interpolation
+        # on the inverse quantile function (the sketch getPMF analogue).
+        # Deliberately written with FIXED operation order — ((j-1) +
+        # frac)/ (B-1), division not reciprocal-multiply — so the DuckDB
+        # gate oracle reproduces every float bit (numerically identical to
+        # np.interp incl. duplicate-quantile ties, which resolve to the
+        # last occurrence).
+        B = len(qs)
+        j = np.searchsorted(qs, split, side="right")  # count of q <= s
+        ranks = np.empty(len(split))
+        for i, s in enumerate(split):
+            jj = j[i]
+            if s <= qs[0]:
+                ranks[i] = 0.0
+            elif s >= qs[-1]:
+                ranks[i] = 1.0
+            elif qs[jj - 1] == s:
+                ranks[i] = (jj - 1) / (B - 1)
+            else:
+                ranks[i] = ((jj - 1) + (s - qs[jj - 1]) / (qs[jj] - qs[jj - 1])) / (B - 1)
         return np.diff(np.concatenate([[0.0], ranks, [1.0]]))
 
     out = []
