@@ -861,6 +861,96 @@ def q_stats_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery date-macro rendering (operators/staging.
+    render_staging_sql): {{ start_date }}/{{ end_date }}/{{ latest_date }}
+    substituted into arbitrary Spark SQL — the oracle recomputes the same
+    dates in SQL."""
+    _utc(spark)
+    import datetime as _dt
+
+    from chronon_spark.operators.staging import render_staging_sql
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_sq")
+    lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
+    start = (_dt.date.fromisoformat(lo) + _dt.timedelta(days=5)).isoformat()
+    sql = (
+        "SELECT ds, event_type, CAST(count(*) AS LONG) AS n, "
+        "round(sum(value), 6) AS sv, '{{ latest_date }}' AS latest "
+        "FROM events_sq WHERE ds BETWEEN '{{ start_date }}' AND '{{ end_date }}' "
+        "AND event_type IS NOT NULL GROUP BY ds, event_type"
+    )
+    rendered = render_staging_sql(spark, sql, start, hi, hi)
+    return spark.sql(rendered)
+
+
+def q_union_skew_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source UNION + skew-key exclusion (sources/scan.union_sources
+    + skew_filter): two selects-projected sources unioned column-aligned,
+    hot keys dropped before aggregation."""
+    _utc(spark)
+    from chronon_spark.sources.scan import skew_filter, union_sources
+
+    ev = _events(spark, sf_dir)
+    a = ev.filter("value > 50").select("user_id", "value", F.lit("hi").alias("src"))
+    b = ev.filter("value <= 50 OR value IS NULL").select(
+        "user_id", "value", F.lit("lo").alias("src")
+    )
+    u = union_sources([a, b])
+    u = skew_filter(u, {"user_id": (1, 2, 3)})
+    return u.groupBy("user_id", "src").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+    )
+
+
+def q_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy derivations (selectExpr over feature columns, spark/
+    GroupBy.scala:763-774) on the temporal path: base features plus a
+    derived ratio column."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.temporal import temporal_events
+
+    ev = _events(spark, sf_dir)
+    gb = GroupBy(
+        name="deriv",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value", Operation.COUNT, windows=(None,)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+        # exact-arithmetic derivations: the sum is integral cents, so
+        # round() sits far from any half-boundary and the integer floor
+        # division is exact float64 — deterministic across engines AND
+        # across float summation orders (a plain round(ratio, 6) sits ON
+        # the boundary for cent values / small counts)
+        derivations={
+            "*": None,
+            "sum_cents": "CAST(round(value_sum_7d * 100) AS LONG)",
+            "cents_per_event": "CAST(floor(CAST(round(value_sum_7d * 100) AS LONG) / value_count) AS LONG)",
+        },
+    )
+    q = ev.select("event_id", "user_id", "ts")
+    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "value"))
+    return out.select(
+        "event_id",
+        F.round("value_sum_7d", 6).alias("value_sum_7d"),
+        F.col("value_count").alias("value_count"),
+        "sum_cents",
+        "cents_per_event",
+    )
+
+
 def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day PSI drift (operators/stats.drift_series — the
     SummaryJob temporal-drift read), fully oracle-adjudicated: the whole
@@ -1086,6 +1176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary_approx": q_stats_summary_approx,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
+        "staging_query": q_staging_query,
+        "union_skew_scan": q_union_skew_scan,
+        "derivations": q_derivations,
         "drift": q_drift,
         "consistency": q_consistency,
         "temporal_entities": q_temporal_entities,
@@ -1516,6 +1609,41 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN CAST(levenshtein(tl, tr) AS DOUBLE) END), 6) AS event_type_edit_distance,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
 FROM j
+""",
+        "staging_query": """
+WITH b AS (SELECT strftime(min(CAST(ts AS DATE)) + INTERVAL 5 DAY, '%Y-%m-%d') AS lo,
+                  strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS hi
+           FROM events)
+SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS ds, e.event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 6) AS sv, b.hi AS latest
+FROM events e, b
+WHERE strftime(CAST(e.ts AS DATE), '%Y-%m-%d') BETWEEN b.lo AND b.hi
+  AND e.event_type IS NOT NULL
+GROUP BY 1, 2, b.hi
+""",
+        "union_skew_scan": """
+WITH u AS (
+  SELECT user_id, value, 'hi' AS src FROM events WHERE value > 50
+  UNION ALL
+  SELECT user_id, value, 'lo' AS src FROM events WHERE value <= 50 OR value IS NULL
+)
+SELECT user_id, src, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+FROM u WHERE user_id NOT IN (1, 2, 3)
+GROUP BY 1, 2
+""",
+        "derivations": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events),
+f AS (
+  SELECT q.event_id,
+         sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) AS raw_sum,
+         NULLIF(count(CASE WHEN e.tms < q.tms THEN e.value END), 0) AS value_count
+  FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.event_id
+)
+SELECT event_id, round(raw_sum, 6) AS value_sum_7d, value_count,
+       CAST(round(raw_sum * 100) AS BIGINT) AS sum_cents,
+       CAST(floor(CAST(round(raw_sum * 100) AS BIGINT) / value_count) AS BIGINT) AS cents_per_event
+FROM f
 """,
         "drift": _drift_oracle_sql(),
         "consistency": f"""
