@@ -861,6 +861,146 @@ def q_stats_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities snapshot join (operators/join entity path +
+    operators/groupby.snapshot_entities): a daily-snapshot dimension
+    (per-user×ds max value, derived from events) joined onto each event at
+    the SAME ds (spark/JoinBase.scala:320-328 semantics)."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Aggregation,
+        EntitySource,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+    )
+    from chronon_spark.operators.join import join_backfill
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    dim = ev.groupBy("user_id", "ds").agg(F.max("value").alias("score"))
+    dim.createOrReplaceTempView("dim_entities")
+    gb = GroupBy(
+        name="ent",
+        sources=(
+            EntitySource(
+                snapshot_table="dim_entities",
+                query=Query(selects={"user_id": None, "score": None}),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("score", Operation.MAX, windows=(None,)),),
+    )
+    join = Join(
+        name="entj",
+        left=EventSource(
+            table="events",
+            query=Query(
+                selects={"event_id": None, "user_id": None, "ds": None},
+                time_column="ts",
+            ),
+        ),
+        right_parts=(JoinPart(gb),),
+    )
+    lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
+    out = join_backfill(spark, join, lo, hi)
+    return out.select("event_id", F.round("ent_score_max", 6).alias("ent_score_max"))
+
+
+def q_cumulative_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-source scan (sources/scan.render_source,
+    spark/GroupBy.scala:578-583): a cumulative table's LATEST partition
+    holds full history, so the scan reads only ds = max(ds)."""
+    _utc(spark)
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import render_source
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    src = EventSource(
+        table="events",
+        query=Query(selects={"event_type": None, "value": None}, time_column="ts"),
+        is_cumulative=True,
+    )
+    df = render_source(spark, src)
+    return (
+        df.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+    )
+
+
+def q_bootstrap_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap seeding + forward-looking label join in one backfill
+    (operators/join.bootstrap_fold + operators/labels.attach_labels):
+    precomputed values for every user_id % 5 == 0 row win the coalesce
+    against the computed 7d sum, and each row carries its future label —
+    the count of the user's events in days (ds, ds+3]. The oracle
+    recomputes the sawtooth feature, applies the same CASE, and counts
+    the forward window per event."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        BootstrapPart,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        LabelPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.join import join_backfill
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    boot = (
+        ev.filter("user_id % 5 = 0")
+        .select("user_id", "ds")
+        .distinct()
+        .withColumn("bs_value_sum_7d", F.expr("CAST(-user_id AS DOUBLE)"))
+    )
+    boot.createOrReplaceTempView("bs_boot")
+    gb = GroupBy(
+        name="bs",
+        sources=(EventSource(table="events", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window(7),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    label_gb = GroupBy(
+        name="lbl",
+        sources=(EventSource(table="events", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT, windows=(Window(3),)),),
+    )
+    join = Join(
+        name="bslj",
+        left=EventSource(
+            table="events",
+            query=Query(
+                selects={"event_id": None, "user_id": None, "ds": None},
+                time_column="ts",
+            ),
+        ),
+        right_parts=(JoinPart(gb),),
+        bootstrap_parts=(BootstrapPart(table="bs_boot", key_columns=("user_id", "ds")),),
+        label_part=LabelPart(group_by=label_gb, label_offsets=(3,)),
+    )
+    lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
+    out = join_backfill(spark, join, lo, hi)
+    return out.select(
+        "event_id",
+        F.round("bs_value_sum_7d", 6).alias("bs_value_sum_7d"),
+        F.col("label_value_count_3d_3d").alias("label_cnt"),
+    )
+
+
 def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StagingQuery date-macro rendering (operators/staging.
     render_staging_sql): {{ start_date }}/{{ end_date }}/{{ latest_date }}
@@ -1176,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary_approx": q_stats_summary_approx,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
+        "entity_join": q_entity_join,
+        "cumulative_source": q_cumulative_source,
+        "bootstrap_label_join": q_bootstrap_label_join,
         "staging_query": q_staging_query,
         "union_skew_scan": q_union_skew_scan,
         "derivations": q_derivations,
@@ -1609,6 +1752,37 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN CAST(levenshtein(tl, tr) AS DOUBLE) END), 6) AS event_type_edit_distance,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
 FROM j
+""",
+        "entity_join": """
+WITH dim AS (SELECT user_id, CAST(ts AS DATE) AS d, max(value) AS mx FROM events GROUP BY 1, 2)
+SELECT e.event_id, round(m.mx, 6) AS ent_score_max
+FROM events e LEFT JOIN dim m ON m.user_id = e.user_id AND m.d = CAST(e.ts AS DATE)
+""",
+        "cumulative_source": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+  AND event_type IS NOT NULL
+GROUP BY 1
+""",
+        "bootstrap_label_join": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, CAST(ts AS DATE) AS d, value FROM events),
+feat AS (
+  SELECT q.event_id, q.user_id, q.d,
+         sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) AS comp
+  FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.event_id, q.user_id, q.d
+),
+lab AS (
+  SELECT f.event_id, NULLIF(count(e2.value), 0) AS lbl
+  FROM feat f LEFT JOIN ev e2 ON e2.user_id = f.user_id AND e2.d > f.d AND e2.d <= f.d + 3
+  GROUP BY f.event_id
+)
+SELECT f.event_id,
+       CASE WHEN f.user_id % 5 = 0 THEN -CAST(f.user_id AS DOUBLE)
+            ELSE round(f.comp, 6) END AS bs_value_sum_7d,
+       l.lbl AS label_cnt
+FROM feat f JOIN lab l ON l.event_id = f.event_id
 """,
         "staging_query": """
 WITH b AS (SELECT strftime(min(CAST(ts AS DATE)) + INTERVAL 5 DAY, '%Y-%m-%d') AS lo,
