@@ -861,6 +861,86 @@ def q_stats_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinSource chaining (operators/join.render_any_source — the
+    JoinSourceRunner analogue): an outer GroupBy aggregates the INNER
+    join's output — the as-of average of each user's rolling 7d sum at
+    every event. The oracle nests the two levels: sawtooth 7d sums per
+    event, then a strict-past average of those sums per query event."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        JoinSource,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.join import join_backfill
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    gb_inner = GroupBy(
+        name="c1",
+        sources=(EventSource(table="events", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window(7),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    inner_join = Join(
+        name="chain_inner",
+        left=EventSource(
+            table="events",
+            query=Query(selects={"user_id": None, "value": None}, time_column="ts"),
+        ),
+        right_parts=(JoinPart(gb_inner),),
+    )
+    # the chained query DERIVES integral cents from the inner feature:
+    # int64 sums are order-independent, so the two engines agree bit-for-
+    # bit (a float AVERAGE of the chained values flips its 6th decimal
+    # with summation order — measured 44/10000 rows)
+    gb_outer = GroupBy(
+        name="c2",
+        sources=(
+            JoinSource(
+                join=inner_join,
+                query=Query(
+                    selects={
+                        "user_id": None,
+                        "ts": None,
+                        "c1_cents": "CAST(round(c1_value_sum_7d * 100) AS LONG)",
+                    },
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("c1_cents", Operation.SUM, windows=(None,)),
+            Aggregation("c1_cents", Operation.COUNT, windows=(None,)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    outer_join = Join(
+        name="chain_outer",
+        left=EventSource(
+            table="events",
+            query=Query(selects={"event_id": None, "user_id": None}, time_column="ts"),
+        ),
+        right_parts=(JoinPart(gb_outer),),
+    )
+    lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
+    out = join_backfill(spark, outer_join, lo, hi)
+    return out.select(
+        "event_id",
+        F.col("c2_c1_cents_sum").alias("chain_cents"),
+        F.col("c2_c1_cents_count").alias("chain_n"),
+    )
+
+
 def q_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entities snapshot join (operators/join entity path +
     operators/groupby.snapshot_entities): a daily-snapshot dimension
@@ -1316,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary_approx": q_stats_summary_approx,
         "stats_summary": q_stats_summary,
         "compare_tables": q_compare_tables,
+        "join_chain": q_join_chain,
         "entity_join": q_entity_join,
         "cumulative_source": q_cumulative_source,
         "bootstrap_label_join": q_bootstrap_label_join,
@@ -1752,6 +1833,20 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN CAST(levenshtein(tl, tr) AS DOUBLE) END), 6) AS event_type_edit_distance,
        round(avg(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL THEN levenshtein(tl, tr) * 1.0 / greatest(len(tl), len(tr), 1) END), 6) AS event_type_edit_distance_norm
 FROM j
+""",
+        "join_chain": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events),
+f1 AS (
+  SELECT q.event_id, q.user_id, q.tms,
+         sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) AS s7
+  FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.event_id, q.user_id, q.tms
+)
+SELECT q.event_id,
+       CAST(sum(CASE WHEN p.tms < q.tms THEN CAST(round(p.s7 * 100) AS BIGINT) END) AS BIGINT) AS chain_cents,
+       NULLIF(count(CASE WHEN p.tms < q.tms THEN p.s7 END), 0) AS chain_n
+FROM f1 q LEFT JOIN f1 p ON p.user_id = q.user_id
+GROUP BY q.event_id
 """,
         "entity_join": """
 WITH dim AS (SELECT user_id, CAST(ts AS DATE) AS d, max(value) AS mx FROM events GROUP BY 1, 2)
