@@ -260,7 +260,14 @@ def render_any_source(
         upstream = join_backfill(
             spark, source.join, start or "1970-01-01", query_end or "9999-12-31"
         )
-        return render_query(upstream, source.query, needs_time=False, extra_wheres=extra_wheres)
+        # needs_time: a chained query with explicit selects must still carry
+        # the event time downstream (the outer GroupBy's as-of kernel reads
+        # ts) — without this, selects would silently drop it and the scan
+        # fails with an unresolved-column error later
+        needs_time = TS_COL in upstream.columns or source.query.time_column is not None
+        return render_query(
+            upstream, source.query, needs_time=needs_time, extra_wheres=extra_wheres
+        )
     return render_source(
         spark, source, gb, query_start=query_start, query_end=query_end,
         extra_wheres=extra_wheres,

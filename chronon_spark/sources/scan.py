@@ -73,7 +73,9 @@ def render_query(df: DataFrame, query: Query, needs_time: bool, extra_wheres: tu
             select_exprs.append(alias if expr is None else f"{expr} AS {alias}")
         if query.partition_column in df.columns and query.partition_column not in query.selects:
             select_exprs.append(query.partition_column)
-    if needs_time:
+    if needs_time and (query.selects is None or TS_COL not in query.selects):
+        # skip when the selects already produce a ts column — appending the
+        # engine cast too would duplicate the name and break resolution
         tcol = query.time_column or TS_COL
         select_exprs.append(f"CAST({tcol} AS LONG) AS {TS_COL}")
     return df.selectExpr(*select_exprs)

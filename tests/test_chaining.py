@@ -114,3 +114,45 @@ def test_materialized_parts_and_resume(spark, env, tmp_path):
     out2 = join_backfill(spark, join, START, END, part_warehouse=wh).collect()
     assert wh.lineage("mat_join__inner") == lin
     assert {key(r) for r in out2} == {key(r) for r in out1}
+
+
+def test_join_source_selects_keep_time(spark, env):
+    """A chained Query with explicit selects that DON'T mention ts still
+    carries the event time downstream (render_any_source needs_time fix):
+    derived columns work and the outer as-of kernel resolves ts."""
+    gb_outer = GroupBy(
+        name="chained_sel",
+        sources=(
+            JoinSource(
+                join=INNER_JOIN,
+                query=Query(
+                    selects={
+                        "user": None,
+                        "double_sum": "inner_amount_sum_7d * 2",
+                    }
+                ),
+            ),
+        ),
+        key_columns=("user",),
+        aggregations=(Aggregation("double_sum", Operation.AVERAGE, windows=(None,)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    outer = Join(
+        name="outer_sel",
+        left=EventSource(table="chain_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(gb_outer),),
+    )
+    out = join_backfill(spark, outer, START, END)
+    col = "chained_sel_double_sum_average"
+    assert col in out.columns
+    assert out.filter(F.col(col).isNotNull()).count() > 0
+    # equal to 2x the plain chained average on matching rows
+    plain = join_backfill(spark, OUTER_JOIN, START, END)
+    a = {(r["user"], r["ts"]): r[col] for r in out.collect()}
+    b = {(r["user"], r["ts"]): r["chained_inner_amount_sum_7d_average"] for r in plain.collect()}
+    for k, v in list(a.items())[:50]:
+        exp = None if b[k] is None else b[k] * 2
+        if v is None:
+            assert exp is None, (k, v, exp)
+        else:
+            assert abs(v - exp) < 1e-6, (k, v, exp)
