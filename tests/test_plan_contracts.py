@@ -280,3 +280,55 @@ def test_tilestore_materialize_partition_pruning(spark, tmp_path):
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2, "no PartitionFilters on the tile-build scan"
     assert "2023-11-18" in pf[1][:400]
+
+
+def test_sliced_raw_kernel_plan_contracts(spark):
+    """Hot-key slicing plan contracts: (1) the kernel cogroup partitions on
+    (keys, __qs) so a hot key's work really lands on many tasks; (2) the
+    stats-family default plan carries percentile_approx, never the
+    unbounded-buffer exact percentile; (3) baseline building adds no
+    driver-side collect of event data (it is groupBy + window + as-of
+    joins, all in-plan)."""
+    import numpy as np
+
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Window
+    from chronon_spark.operators.temporal import temporal_events
+
+    n = 600
+    rng = np.random.default_rng(11)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": ["u0"] * n,
+                "ts": np.sort(1_700_000_000_000 + rng.integers(0, 20 * 86_400_000, n)).astype("int64"),
+                "v": rng.integers(0, 9, n).astype(float),
+            }
+        )
+    )
+    q = ev.select("user", "ts")
+    out = temporal_events(
+        spark, GroupBy(
+            name="pc2", sources=(EventSource(table="ev"),), key_columns=("user",),
+            aggregations=(
+                Aggregation("v", Operation.SUM, windows=(Window(7),)),
+                Aggregation("v", Operation.COUNT, windows=(None,)),  # baseline IR path
+            ),
+        ),
+        q, ev, mode="raw", hot_keys=[("u0",)], hot_slice_ms=4 * 86_400_000,
+    )
+    plan = _plan(out, execute=True)
+    # the kernel stage's exchange must hash on user AND the slice id:
+    # some hashpartitioning clause carries __qs in its key list
+    low = plan.lower()
+    assert "flatmapcogroupsinpandas" in low
+    assert any(
+        "__qs" in seg[:120] for seg in low.split("hashpartitioning(")[1:]
+    ), "no exchange hashes on the slice id"
+
+    # stats default: bounded-memory percentile only
+    from chronon_spark.operators.stats import column_summary
+
+    sdf = ev.withColumn("ds", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd"))
+    splan = _plan(column_summary(sdf.select("ds", "v"), keys=()))
+    assert "percentile_approx" in splan
+    assert "percentile(" not in splan.replace("percentile_approx(", "")
