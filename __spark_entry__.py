@@ -476,14 +476,18 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic scan→filter→agg over lineitem (pushdown/codegen showcase)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # All money/quantity columns are exact multiples of 1e-2 (1e-4 for the
+    # discounted product), so summing scaled integers makes every aggregate
+    # independent of float summation order — the gate hash can't flip with
+    # DuckDB/Spark thread counts (same lesson as `derivations`/`join_chain`).
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("sum_qty"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("base_price_cents"),
+            F.sum(F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")).alias("disc_price_e4"),
+            F.sum(F.expr("CAST(round(l_discount * 100) AS BIGINT)")).alias("disc_cents"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1009,7 +1013,10 @@ def q_cumulative_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.filter(F.col("event_type").isNotNull())
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv_cents"),
+        )
     )
 
 
@@ -1074,9 +1081,13 @@ def q_bootstrap_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
     out = join_backfill(spark, join, lo, hi)
+    # values are exact cents, so the 7d float sum scaled by 100 sits within
+    # ~1e-6 of an integer no matter the summation order — CAST(round(.*100))
+    # is order-independent where round(sum, 6) was a half-boundary coin flip
+    # (the r4 driver flake; same integer-cents pin as derivations/join_chain).
     return out.select(
         "event_id",
-        F.round("bs_value_sum_7d", 6).alias("bs_value_sum_7d"),
+        F.expr("CAST(round(bs_value_sum_7d * 100) AS BIGINT)").alias("bs_cents_7d"),
         F.col("label_value_count_3d_3d").alias("label_cnt"),
     )
 
@@ -1097,7 +1108,7 @@ def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = (_dt.date.fromisoformat(lo) + _dt.timedelta(days=5)).isoformat()
     sql = (
         "SELECT ds, event_type, CAST(count(*) AS LONG) AS n, "
-        "round(sum(value), 6) AS sv, '{{ latest_date }}' AS latest "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sv_cents, '{{ latest_date }}' AS latest "
         "FROM events_sq WHERE ds BETWEEN '{{ start_date }}' AND '{{ end_date }}' "
         "AND event_type IS NOT NULL GROUP BY ds, event_type"
     )
@@ -1120,7 +1131,8 @@ def q_union_skew_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = union_sources([a, b])
     u = skew_filter(u, {"user_id": (1, 2, 3)})
     return u.groupBy("user_id", "src").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv_cents"),
     )
 
 
@@ -1740,10 +1752,10 @@ FROM m
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS disc_price_e4,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1854,7 +1866,8 @@ SELECT e.event_id, round(m.mx, 6) AS ent_score_max
 FROM events e LEFT JOIN dim m ON m.user_id = e.user_id AND m.d = CAST(e.ts AS DATE)
 """,
         "cumulative_source": """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
 FROM events
 WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
   AND event_type IS NOT NULL
@@ -1874,8 +1887,8 @@ lab AS (
   GROUP BY f.event_id
 )
 SELECT f.event_id,
-       CASE WHEN f.user_id % 5 = 0 THEN -CAST(f.user_id AS DOUBLE)
-            ELSE round(f.comp, 6) END AS bs_value_sum_7d,
+       CASE WHEN f.user_id % 5 = 0 THEN CAST(-f.user_id AS BIGINT) * 100
+            ELSE CAST(round(f.comp * 100) AS BIGINT) END AS bs_cents_7d,
        l.lbl AS label_cnt
 FROM feat f JOIN lab l ON l.event_id = f.event_id
 """,
@@ -1884,7 +1897,8 @@ WITH b AS (SELECT strftime(min(CAST(ts AS DATE)) + INTERVAL 5 DAY, '%Y-%m-%d') A
                   strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS hi
            FROM events)
 SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS ds, e.event_type,
-       CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 6) AS sv, b.hi AS latest
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sv_cents, b.hi AS latest
 FROM events e, b
 WHERE strftime(CAST(e.ts AS DATE), '%Y-%m-%d') BETWEEN b.lo AND b.hi
   AND e.event_type IS NOT NULL
@@ -1896,7 +1910,8 @@ WITH u AS (
   UNION ALL
   SELECT user_id, value, 'lo' AS src FROM events WHERE value <= 50 OR value IS NULL
 )
-SELECT user_id, src, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+SELECT user_id, src, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
 FROM u WHERE user_id NOT IN (1, 2, 3)
 GROUP BY 1, 2
 """,

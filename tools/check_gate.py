@@ -76,8 +76,16 @@ def main():
     spark = build_session(app_name="gate", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    con.execute("PRAGMA threads=8")
+    # second connection pinned to 1 thread: DuckDB's parallel aggregation
+    # sums floats in a different order per thread count, so any oracle whose
+    # hash depends on summation order (the r4 bootstrap_label_join flake)
+    # shows up here as DET-FLAKY instead of at the driver.
+    con1 = duckdb.connect()
+    con1.execute("PRAGMA threads=1")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        con1.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -129,8 +137,35 @@ def main():
         if bad:
             failures.append((name, bad))
             print(f"FAIL  {name}: {bad[:600]}")
+            continue
+        # determinism probe: same oracle under threads=1 must produce the
+        # exact same canonical values as threads=8
+        try:
+            exp1 = canon(con1.execute(oracles[name]).df())
+        except Exception as e:
+            failures.append((name, f"DET-PROBE ERROR: {e}"))
+            print(f"FAIL  {name}: det-probe error {str(e)[:300]}")
+            continue
+        det_bad = None
+        if len(exp1) != len(exp):
+            det_bad = f"rowcount {len(exp1)} vs {len(exp)}"
         else:
-            print(f"PASS  {name}: {len(got)} rows")
+            for c in exp.columns:
+                ev8, ev1 = exp[c].to_numpy(), exp1[c].to_numpy()
+                if exp[c].dtype == object or str(exp[c].dtype).startswith("datetime"):
+                    mism = [i for i in range(len(ev8)) if not values_equal(ev8[i], ev1[i])]
+                else:
+                    eq = (ev8 == ev1) | (pd.isna(ev8) & pd.isna(ev1))
+                    mism = np.nonzero(~eq)[0].tolist()
+                if mism:
+                    i = mism[0]
+                    det_bad = f"[{c}] row {i}: t8={ev8[i]!r} t1={ev1[i]!r}"
+                    break
+        if det_bad:
+            failures.append((name, f"DET-FLAKY: {det_bad}"))
+            print(f"FAIL  {name}: DET-FLAKY oracle differs across thread counts: {det_bad[:400]}")
+        else:
+            print(f"PASS  {name}: {len(got)} rows (det-stable)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
