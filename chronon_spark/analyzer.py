@@ -117,20 +117,25 @@ def skew_advice(gb: GroupBy, df: DataFrame, min_share: float = 0.01) -> list[str
         how = (
             "windowed time slices"
             if not ub
-            else f"windowed time slices + baseline IRs for {len(ub)} unbounded algebraic part(s)"
+            else f"windowed time slices + baseline IRs for {len(ub)} unbounded mergeable-IR part(s)"
         )
         return [
             f"hot keys: {desc} — time slicing applies ({how}); pass "
             "hot_key_threshold=... to temporal_events/join_backfill/"
-            "backfill_features (skew MITIGATION — keys kept, outputs bit-identical)"
+            "backfill_features (skew MITIGATION — keys kept; outputs "
+            "bit-identical except approx sketches past their exactness "
+            "regime, which stay within their own error contracts)"
         ]
+    from chronon_spark.operators.temporal import _BASELINE_OPS
+
     blockers = [
         p.output_column
         for p in gb.unpacked()
         if p.window is None
+        and (p.operation not in _BASELINE_OPS or p.bucket is not None)
     ]
     return [
-        f"hot keys: {desc} — time slicing NOT available (set-like or "
+        f"hot keys: {desc} — time slicing NOT available (exact set-like or "
         f"bucketed unbounded state in {blockers}); window those "
         "aggregations, or exclude the keys via skew_keys (the reference's "
         "only recourse)"

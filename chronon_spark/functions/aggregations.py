@@ -203,13 +203,18 @@ def _rle_count_entries(sorted_lst: str) -> str:
     positions (1-based) where the value changes close a run; run length =
     boundary − previous boundary. The sorted array and the boundary array
     are let-bound so they are computed once, not per element."""
+    # empty-array guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so an
+    # unguarded sequence over an empty array probes element_at(…, 1) and
+    # throws — an all-null group (empty collect_list) must yield [] instead
     ends = (
-        "filter(transform(sequence(1, size(__lst)), i -> "
+        "filter(transform(CASE WHEN size(__lst) = 0 THEN array() "
+        "ELSE sequence(1, size(__lst)) END, i -> "
         "CASE WHEN i = size(__lst) OR element_at(__lst, i) != element_at(__lst, i + 1) "
         "THEN i END), x -> x IS NOT NULL)"
     )
     entries = (
-        "transform(sequence(1, size(__ends)), j -> named_struct("
+        "transform(CASE WHEN size(__ends) = 0 THEN array() "
+        "ELSE sequence(1, size(__ends)) END, j -> named_struct("
         "'key', element_at(__lst, element_at(__ends, j)), "
         "'value', CAST(element_at(__ends, j) - "
         "CASE WHEN j = 1 THEN 0 ELSE element_at(__ends, j - 1) END AS BIGINT)))"

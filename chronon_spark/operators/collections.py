@@ -26,23 +26,34 @@ from chronon_spark.functions.aggregations import DIRECT_NEEDS_FINALIZE, _let_sql
 
 def pos_map_to_array(map_expr: str) -> str:
     """Map[str(position) → value] ⇒ dense array sized to max(PRESENT
-    position)+1, missing interior positions null. Used to finalize
-    config-level element_wise aggregations that ride the bucket machinery
-    with ``__pos`` as the bucket.
-
-    Documented deviation from the reference's ElementWiseAggregator
-    (which null-initializes the result list to the full tensor size,
-    ColumnAggregator.scala): TRAILING positions whose aggregate finalizes
-    to NULL (e.g. an all-null last element) are dropped rather than
-    null-padded — the bucket machinery only records positions that
-    produced a value, and the input tensor size is not threaded through.
-    Interior nulls are preserved."""
+    position)+1, missing interior positions null. Fallback finalizer for
+    element_wise outputs when no observed tensor size is available —
+    TRAILING all-null positions are dropped. Prefer
+    ``pos_map_to_array_sized``, which matches the reference contract."""
     body = (
         "CASE WHEN __m IS NOT NULL AND size(__m) > 0 THEN "
         "transform(sequence(0, array_max(transform(map_keys(__m), k -> CAST(k AS INT)))), "
         "i -> element_at(__m, CAST(i AS STRING))) END"
     )
     return _let_sql(map_expr, "__m", body)
+
+
+def pos_map_to_array_sized(map_expr: str, size_expr: str) -> str:
+    """Map[str(position) → value] ⇒ dense array null-padded to the
+    OBSERVED tensor size (max in-window/in-group array length, threaded
+    through the machinery as a parallel MAX aggregate of position+1).
+    Matches the reference's null-initialized result list
+    (ElementWiseAggregator / ColumnAggregator.scala elementWise): a
+    TRAILING position whose aggregate finalizes to NULL (e.g. an all-null
+    last element) stays in the output as null instead of being dropped.
+    ``size_expr`` NULL ⇒ the window saw no arrays ⇒ NULL output (the
+    empty-window contract)."""
+    body = (
+        "CASE WHEN __sz IS NOT NULL AND __sz > 0 THEN "
+        "transform(sequence(0, CAST(__sz AS INT) - 1), "
+        "i -> element_at(__m, CAST(i AS STRING))) END"
+    )
+    return _let_sql(map_expr, "__m", _let_sql(size_expr, "__sz", body))
 
 
 def _direct(op: Operation, input_expr: str, arg_map: dict | None = None):

@@ -119,7 +119,7 @@ def snapshot_events(
     # positions back up into a dense array (Map[pos → value] → array) —
     # any op × window uniformly (ElementWiseAggregator.scala semantics)
     for ecol in sorted({p.input_column for p in ew_parts}):
-        from chronon_spark.operators.collections import pos_map_to_array
+        from chronon_spark.operators.collections import pos_map_to_array_sized
 
         eparts = [p for p in ew_parts if p.input_column == ecol]
         exploded = events.filter(F.col(ecol).isNotNull()).select(
@@ -127,7 +127,9 @@ def snapshot_events(
             *(["ts"] if "ts" in events.columns else []),
             "ds",
             F.posexplode(F.col(ecol)).alias("__posn", "__ewv"),
-        ).withColumn("__pos", F.col("__posn").cast("string")).drop("__posn")
+        ).withColumn("__pos", F.col("__posn").cast("string")).withColumn(
+            "__tsz", F.col("__posn") + 1
+        ).drop("__posn")
         sub_gb = GroupBy(
             name=f"{gb.name}__ew_{ecol}",
             sources=gb.sources,
@@ -139,20 +141,34 @@ def snapshot_events(
             AggregationPart("__ewv", p.operation, p.arg_map, p.window, None)
             for p in eparts
         ]
-        sub = _snapshot_plain(spark, sub_gb, stripped, exploded, start_ds, end_ds)
+        # one observed-tensor-size (MAX of position+1) part per distinct
+        # window: trailing all-null positions null-pad per the reference's
+        # null-initialized result list (ElementWiseAggregator)
+        win_list = list({p.window for p in eparts})
+        tsz_parts = {w: AggregationPart("__tsz", Operation.MAX, {}, w, None) for w in win_list}
+        sub = _snapshot_plain(
+            spark, sub_gb, stripped + list(tsz_parts.values()), exploded, start_ds, end_ds
+        )
         rolls = [
             F.expr(
                 f"map_from_entries(collect_list(CASE WHEN {sp.output_column} IS NOT NULL "
                 f"THEN named_struct('key', __pos, 'value', {sp.output_column}) END))"
             ).alias(ep.output_column)
             for sp, ep in zip(stripped, eparts)
+        ] + [
+            F.max(tp.output_column).alias(tp.output_column)
+            for tp in tsz_parts.values()
         ]
         rolled = sub.groupBy(*keys, "ds").agg(*rolls)
         rolled = rolled.select(
             *keys,
             "ds",
             *[
-                F.expr(pos_map_to_array(ep.output_column)).alias(ep.output_column)
+                F.expr(
+                    pos_map_to_array_sized(
+                        ep.output_column, tsz_parts[ep.window].output_column
+                    )
+                ).alias(ep.output_column)
                 for ep in eparts
             ],
         )
@@ -366,19 +382,23 @@ def snapshot_entities(
     # element_wise over entity snapshots: position-keyed direct aggregate
     # rolled back into a dense array (same shape as snapshot_events)
     for ecol in sorted({p.input_column for p in ew_parts}):
-        from chronon_spark.operators.collections import pos_map_to_array
+        from chronon_spark.operators.collections import pos_map_to_array_sized
 
         eparts = [p for p in ew_parts if p.input_column == ecol]
         exploded = snapshots.filter(F.col(ecol).isNotNull()).select(
             *keys, "ds", "ts", F.posexplode(F.col(ecol)).alias("__posn", "__ewv")
-        ).withColumn("__pos", F.col("__posn").cast("string"))
+        ).withColumn("__pos", F.col("__posn").cast("string")).withColumn(
+            "__tsz", F.col("__posn") + 1
+        )
         sub_aggs = []
         sub_post = []
         for p in eparts:
             sp = AggregationPart("__ewv", p.operation, p.arg_map, p.window, None)
             sub_aggs.append(spec_for(p.operation).direct("__ewv", sp).alias(f"__a_{p.output_column}"))
             sub_post.append((p, sp, DIRECT_NEEDS_FINALIZE.get(p.operation)))
-        sub = exploded.groupBy(*keys, "ds", "__pos").agg(*sub_aggs)
+        sub = exploded.groupBy(*keys, "ds", "__pos").agg(
+            *sub_aggs, F.max("__tsz").alias("__tsz")
+        )
         for p, sp, fin in sub_post:
             if fin is not None:
                 sub = sub.withColumn(f"__a_{p.output_column}", fin(f"__a_{p.output_column}", sp))
@@ -389,11 +409,17 @@ def snapshot_entities(
                     f"THEN named_struct('key', __pos, 'value', __a_{p.output_column}) END))"
                 ).alias(p.output_column)
                 for p in eparts
-            ]
+            ],
+            # observed tensor size: trailing all-null positions null-pad
+            # (ElementWiseAggregator's null-initialized result list)
+            F.max("__tsz").alias("__tsz"),
         )
         rolled = rolled.select(
             *keys, "ds",
-            *[F.expr(pos_map_to_array(p.output_column)).alias(p.output_column) for p in eparts],
+            *[
+                F.expr(pos_map_to_array_sized(p.output_column, "__tsz")).alias(p.output_column)
+                for p in eparts
+            ],
         )
         out = rolled if out is None else out.join(rolled, keys + ["ds"], "full_outer")
     return out

@@ -47,9 +47,10 @@ def flatten_log_table(
 
     Returns (flat frame, one-row decode-stats frame with rows_in /
     rows_decoded / rows_dropped — or None with ``with_stats=False``).
-    Stats cost two extra counting passes; the range-walked job skips them
-    so a backfill pays exactly one pass per range (the reference tracks
-    drops with accumulator metrics inside its single pass)."""
+    Stats cost ONE extra aggregation job over a single scan of ``raw``
+    (the analogue of the reference's accumulator metrics inside its one
+    pass); the range-walked job skips them so a backfill pays exactly one
+    pass per range."""
     known = raw.filter(
         F.col("schema_hash").isNotNull() & F.col("schema_hash").isin(list(schemas))
     )
@@ -112,8 +113,31 @@ def flatten_log_table(
             flat = flat.unionByName(p)
     if not with_stats:
         return flat, None
-    rows_in = raw.count()
-    rows_decoded = flat.count()
+    # single-pass decode stats (r3 verdict #8): one aggregation over one
+    # scan of ``raw`` replaces the former raw.count() + flat.count() pair.
+    # The per-row success predicate mirrors the flat branches exactly
+    # (schema_hash match → PERMISSIVE from_json → corrupt-record check),
+    # so rows_decoded equals flat.count() by construction; the
+    # schema_hash equality leads each AND so codegen short-circuits the
+    # json parse on non-matching versions.
+    dec = F.lit(False)
+    for h, (key_ddl, value_ddl) in schemas.items():
+        kt_c = _parse_ddl(key_ddl).add("__corrupt", T.StringType())
+        vt_c = _parse_ddl(value_ddl).add("__corrupt", T.StringType())
+        k = F.from_json("key_json", kt_c, corrupt_opt)
+        v = F.from_json("value_json", vt_c, corrupt_opt)
+        dec = dec | (
+            (F.col("schema_hash") == h)
+            & k.isNotNull()
+            & v.isNotNull()
+            & k["__corrupt"].isNull()
+            & v["__corrupt"].isNull()
+        )
+    row = raw.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.coalesce(F.sum(F.when(dec, 1).otherwise(0)), F.lit(0)).alias("rows_decoded"),
+    ).first()
+    rows_in, rows_decoded = int(row["rows_in"]), int(row["rows_decoded"])
     stats = spark.createDataFrame(
         [(rows_in, rows_decoded, rows_in - rows_decoded)],
         "rows_in long, rows_decoded long, rows_dropped long",

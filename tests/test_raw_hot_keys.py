@@ -171,6 +171,17 @@ AGGS_UB = (
     Aggregation("price", Operation.BOTTOM_K, windows=(None,), arg_map={"k": 4}),
     Aggregation("cat", Operation.MIN, windows=(None,)),  # non-numeric extrema
     Aggregation("text_i", Operation.SUM, windows=(None,)),  # integral int64 sums
+    # mergeable-sketch unbounded ops (r4 verdict missing #4): HLL register
+    # max and capped sets merge exactly; the percentile sample keeps every
+    # value while slices hold ≤S of them, so all three are bit-identical
+    # to unsliced at this data size
+    Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+    Aggregation("cat", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 2}),
+    Aggregation(
+        "price", Operation.APPROX_PERCENTILE, windows=(None,),
+        arg_map={"percentiles": [0.25, 0.9]},
+    ),
+    Aggregation("cat", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 2}),
 )
 
 GB_UB = GroupBy(
@@ -304,6 +315,12 @@ def test_slicing_fuzz(spark):
             Aggregation("price", Operation.LAST, windows=(None,)),
             Aggregation("price", Operation.LAST_K, windows=(Window(5),), arg_map={"k": 2}),
             Aggregation("price", Operation.MIN, windows=(None,)),
+            # ≤25 values/key keeps every slice under the S=128 sample
+            # budget → approx family is in its exact (bit-identical) regime
+            Aggregation("price", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation("price", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 3}),
+            Aggregation("price", Operation.APPROX_PERCENTILE, windows=(None,), arg_map={"percentiles": [0.5]}),
+            Aggregation("price", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 3}),
         ),
     )
 
@@ -335,3 +352,111 @@ def test_slicing_fuzz(spark):
         assert _norm(plain.collect()) == _norm(sliced.collect())
 
     case()
+
+
+def test_sliced_approx_histogram_sketch_regime(spark):
+    """Slices holding MORE distinct values than the Misra-Gries day cap
+    (8·k): the sliced unbounded APPROX_HISTOGRAM_K degrades to the
+    mergeable-summary estimator — heavy hitters (the op's actual
+    contract) must still surface with counts within the sentinel-bounded
+    error of truth."""
+    rng = np.random.default_rng(17)
+    n = 6000
+    # 2 dominant values + a long tail of ~3000 rare values; k=2, cap=16
+    vals = np.where(
+        rng.random(n) < 0.35, "HH_" + pd.Series(rng.integers(0, 2, n)).astype(str),
+        "t" + pd.Series(rng.integers(0, 3000, n)).astype(str),
+    )
+    ev = pd.DataFrame(
+        {
+            "user": ["u0"] * n,
+            "ts": (T0 + rng.integers(0, 8 * MS_DAY, n)).astype(np.int64),
+            "cat": vals,
+        }
+    )
+    q = pd.DataFrame(
+        {"user": ["u0"] * 25, "ts": (T0 + rng.integers(2 * MS_DAY, 9 * MS_DAY, 25)).astype(np.int64)}
+    )
+    gb = GroupBy(
+        name="mg_sketch", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("cat", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 2}),
+        ),
+    )
+    ev_df, q_df = spark.createDataFrame(ev), spark.createDataFrame(q)
+    col = gb.unpacked()[0].output_column
+    plain = {
+        (r["user"], r["ts"]): r[col]
+        for r in temporal_events(spark, gb, q_df, ev_df, mode="raw").collect()
+    }
+    sliced = temporal_events(
+        spark, gb, q_df, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=2 * MS_DAY,
+    )
+    checked = 0
+    for r in sliced.collect():
+        exact = plain[(r["user"], r["ts"])]
+        est = r[col]
+        assert set(est) == set(exact), (exact, est)  # both heavy hitters found
+        for kk, true_c in exact.items():
+            # mergeable-MG guarantee: est ≤ true, deficit ≤ Σ day errors;
+            # heavy hitters dwarf the tail so 15% slack is generous
+            assert est[kk] <= true_c and est[kk] >= 0.85 * true_c, (kk, true_c, est[kk])
+            checked += 1
+    assert checked >= 40
+
+
+def test_sliced_percentile_sketch_regime_band(spark):
+    """Slices holding MORE than the S-sample budget: the sliced unbounded
+    APPROX_PERCENTILE degrades to the equi-rank weighted-sample estimator
+    (the op's own sketch contract, same family as the tiled kernel's tile
+    IRs) — assert the estimate stays within a small rank-error band of the
+    exact prefix percentile instead of bit-equality."""
+    rng = np.random.default_rng(41)
+    n = 4000  # ~1000 events per 2-day slice >> S=128 → sketch regime
+    ev = pd.DataFrame(
+        {
+            "user": ["u0"] * n,
+            "ts": (T0 + rng.integers(0, 8 * MS_DAY, n)).astype(np.int64),
+            "price": rng.normal(100, 25, n).round(2),
+        }
+    )
+    q = pd.DataFrame(
+        {"user": ["u0"] * 40, "ts": (T0 + rng.integers(MS_DAY, 9 * MS_DAY, 40)).astype(np.int64)}
+    )
+    gb = GroupBy(
+        name="pct_sketch", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation(
+                "price", Operation.APPROX_PERCENTILE, windows=(None,),
+                arg_map={"percentiles": [0.1, 0.5, 0.9]},
+            ),
+        ),
+    )
+    ev_df, q_df = spark.createDataFrame(ev), spark.createDataFrame(q)
+    col = gb.unpacked()[0].output_column
+    plain = {
+        (r["user"], r["ts"]): r[col]
+        for r in temporal_events(spark, gb, q_df, ev_df, mode="raw").collect()
+    }
+    sliced = temporal_events(
+        spark, gb, q_df, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=2 * MS_DAY,
+    )
+    ev_sorted = np.sort(ev.price.to_numpy())
+    checked = 0
+    for r in sliced.collect():
+        exact = plain[(r["user"], r["ts"])]
+        est = r[col]
+        if exact is None:
+            assert est is None
+            continue
+        prefix = ev_sorted  # rank error measured against the full-value CDF
+        for e_exact, e_est in zip(exact, est):
+            # rank-space error: |CDF(est) − CDF(exact)| ≤ 2.5% — well
+            # inside what a ≤128-sample equi-rank grid guarantees
+            r_exact = np.searchsorted(prefix, e_exact) / len(prefix)
+            r_est = np.searchsorted(prefix, e_est) / len(prefix)
+            assert abs(r_est - r_exact) <= 0.025, (e_exact, e_est)
+            checked += 1
+    assert checked >= 100

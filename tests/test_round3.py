@@ -339,6 +339,64 @@ def test_elementwise_config_snapshot(spark):
     assert np.allclose([got[0], got[1]], [4.0, 6.0]) and got[2] == 12.0
 
 
+def test_elementwise_trailing_null_padding(spark):
+    """Reference parity (ColumnAggregator.scala elementWise null-inits the
+    result list to the tensor size): a LAST position whose values are all
+    null stays in the output as null instead of the array shrinking —
+    checked on the temporal, snapshot-events and entity paths (r4 verdict
+    next-round #5)."""
+    # temporal: position 2 always null, tensor size 3
+    ev = pd.DataFrame(
+        {
+            "user": ["a"] * 4,
+            "ts": np.array([T0 + i * 1000 for i in range(4)], dtype=np.int64),
+        }
+    )
+    ev["vec"] = [[1.0, 2.0, None], [3.0, 4.0, None], [5.0, None, None], [7.0, 8.0, None]]
+    q = pd.DataFrame({"user": ["a"], "ts": np.array([T0 + MS_DAY], dtype=np.int64)})
+    gb = GroupBy(
+        name="ewnp",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("vec", Operation.AVERAGE, windows=(Window(7), None), element_wise=True),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    r = temporal_events(
+        spark, gb, spark.createDataFrame(q), spark.createDataFrame(ev)
+    ).first()
+    for col in ("vec_average_7d", "vec_average"):
+        got = r[col]
+        assert got is not None and len(got) == 3, (col, got)
+        assert np.allclose(got[:2], [4.0, 14.0 / 3]) and got[2] is None, (col, got)
+
+    # snapshot events: same shape through the daily path
+    from chronon_spark.operators.groupby import snapshot_entities, snapshot_events
+
+    ev_df = spark.createDataFrame(ev).withColumn(
+        "ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd")
+    )
+    gbs = GroupBy(
+        name="ewnps",
+        sources=(EventSource(table="x", query=Query(time_column="ts")),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("vec", Operation.AVERAGE, windows=(Window(7),), element_wise=True),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    ds = dt.datetime.fromtimestamp(T0 / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+    got = snapshot_events(spark, gbs, ev_df, ds, ds).first()["vec_average_7d"]
+    assert got is not None and len(got) == 3 and got[2] is None, got
+    assert np.allclose(got[:2], [4.0, 14.0 / 3]), got
+
+    # entity snapshots
+    got = snapshot_entities(spark, gbs, ev_df).first()["vec_average_7d"]
+    assert got is not None and len(got) == 3 and got[2] is None, got
+    assert np.allclose(got[:2], [4.0, 14.0 / 3]), got
+
+
 # -------------------------------------- high-dim ANN vectorized signatures
 
 

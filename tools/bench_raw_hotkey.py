@@ -80,7 +80,21 @@ def main():
     print(f"events={ev_df.count():,} queries={q_df.count():,}", flush=True)
 
     mode = sys.argv[3] if len(sys.argv) > 3 else "light"
-    if mode == "heavy":
+    if mode == "approx":
+        # r4 verdict missing #4: UNBOUNDED mergeable-sketch ops — before
+        # round 5 the slicer refused these and the hot key serialized onto
+        # one task; now they ride per-slice baseline IRs (HLL register
+        # entries / capped sets / equi-rank samples)
+        aggs = (
+            Aggregation("text_len", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation(
+                "text_len", Operation.APPROX_PERCENTILE, windows=(None,),
+                arg_map={"percentiles": [0.5, 0.9]},
+            ),
+            Aggregation("lang", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 8}),
+            Aggregation("text_len", Operation.COUNT, windows=(None, Window(7))),
+        )
+    elif mode == "heavy":
         aggs = (
             Aggregation("text_len", Operation.SUM, windows=(Window(7),)),
             Aggregation(
