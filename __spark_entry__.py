@@ -1092,6 +1092,59 @@ def q_bootstrap_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliced_hotkey_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key time slicing under the driver's oracle (round 5): every
+    key is forced hot (hot_key_threshold=1) so the raw kernel slices ALL
+    queries at 4-day granularity — unbounded COUNT / integral SUM / LAST
+    / BOUNDED_UNIQUE_COUNT ride per-(key, slice) baseline IRs
+    (operators/temporal._build_baselines) while the windowed COUNT
+    replicates events into reachable slices. The DuckDB oracle recomputes
+    every feature from scratch, so bit-equality adjudicates the slicing
+    algebra end-to-end (all outputs integral — no float-order exposure)."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.temporal import temporal_events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "vc", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    gb = GroupBy(
+        name="slhk",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("vc", Operation.COUNT, windows=(None, Window(7))),
+            Aggregation("vc", Operation.SUM, windows=(None,)),
+            Aggregation("vc", Operation.LAST, windows=(None,)),
+            Aggregation(
+                "event_type", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,),
+                arg_map={"k": 3},
+            ),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    q = ev.select("event_id", "user_id", "ts")
+    out = temporal_events(
+        spark, gb, q, ev.select("user_id", "ts", "vc", "event_type"),
+        mode="raw", hot_key_threshold=1, hot_slice_ms=4 * 86_400_000,
+    )
+    return out.select(
+        "event_id",
+        F.col("vc_count").alias("cnt_all"),
+        F.col("vc_count_7d").alias("cnt_7d"),
+        F.col("vc_sum").alias("sum_cents"),
+        F.col("vc_last").alias("last_cents"),
+        F.col("event_type_bounded_unique_count").alias("types_k3"),
+    )
+
+
 def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StagingQuery date-macro rendering (operators/staging.
     render_staging_sql): {{ start_date }}/{{ end_date }}/{{ latest_date }}
@@ -1413,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_source": q_cumulative_source,
         "bootstrap_label_join": q_bootstrap_label_join,
         "staging_query": q_staging_query,
+        "sliced_hotkey_backfill": q_sliced_hotkey_backfill,
         "union_skew_scan": q_union_skew_scan,
         "derivations": q_derivations,
         "drift": q_drift,
@@ -1891,6 +1945,19 @@ SELECT f.event_id,
             ELSE CAST(round(f.comp * 100) AS BIGINT) END AS bs_cents_7d,
        l.lbl AS label_cnt
 FROM feat f JOIN lab l ON l.event_id = f.event_id
+""",
+        "sliced_hotkey_backfill": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events)
+SELECT q.event_id,
+       NULLIF(count(e.vc), 0) AS cnt_all,
+       NULLIF(count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END), 0) AS cnt_7d,
+       CAST(sum(e.vc) AS BIGINT) AS sum_cents,
+       arg_max(e.vc, CASE WHEN e.vc IS NOT NULL THEN e.tms END) AS last_cents,
+       NULLIF(least(count(DISTINCT e.event_type), 3), 0) AS types_k3
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
 """,
         "staging_query": """
 WITH b AS (SELECT strftime(min(CAST(ts AS DATE)) + INTERVAL 5 DAY, '%Y-%m-%d') AS lo,
