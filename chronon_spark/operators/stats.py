@@ -454,7 +454,12 @@ def consistency_job(
         )
         # materialize both outputs while the cache is live: metrics collapses
         # to one row; the comparison frame localCheckpoints so the returned
-        # plan no longer depends on the soon-unpersisted cache
+        # plan no longer depends on the soon-unpersisted cache.
+        # The collect+createDataFrame round-trip is deliberate and bounded:
+        # metrics_df is CompareMetrics output — one aggregated row per run
+        # (a handful of scalar columns), never data-sized — and pinning it
+        # driver-side frees the cached inputs immediately instead of
+        # keeping a lazy plan referencing them.
         comparison = comparison.drop(uid).localCheckpoint(eager=True)
         metrics = spark.createDataFrame(metrics_df.collect(), metrics_df.schema)
     finally:

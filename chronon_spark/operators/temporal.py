@@ -1256,6 +1256,143 @@ def _baseline_states(p: AggregationPart, integral: bool) -> list[str]:
     }[op]
 
 
+def _let_col(value: "Column", fn) -> "Column":
+    """Column-API let-binding (the Column twin of aggregations._let_sql):
+    evaluates ``value`` once and passes it to ``fn`` as a lambda variable —
+    expressions referenced inside higher-order-function lambdas are
+    otherwise re-evaluated per element."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _hreg_reduce(ents: "Column") -> "Column":
+    """Per-register max over sparse HLL (i, r) entries: sort by (i, r);
+    the LAST entry of each i-run carries that register's max, so keeping
+    run boundaries reduces any concatenation to ≤ HLL_M entries —
+    the baseline column stays bounded no matter how many slices
+    contributed (a 10^7-event key with day slices would otherwise ship
+    slices × 512 entries on every query row)."""
+    return _let_col(
+        F.array_sort(ents),
+        lambda e: F.when(F.size(e) == 0, e).otherwise(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(e)),
+                    lambda j: F.when(
+                        (j == F.size(e))
+                        | (F.element_at(e, j)["i"] != F.element_at(e, j + 1)["i"]),
+                        F.element_at(e, j),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    )
+
+
+def _pq_flatten(irs: "Column", s_budget: int, want_values: bool) -> "Column":
+    """Flatten per-slice (n, ≤S equi-rank sample) percentile IRs into a
+    FLAT array (sample values or per-sample weights — parallel calls stay
+    aligned because both order by the same deterministic window collect).
+    When more than 16 slices contribute, each slice's grid is coarsened
+    to ⌊16·S / n_slices⌋ equi-rank picks so the baseline column carries
+    ≤ ~16·S samples at ANY slice count (an equi-rank pick of an equi-rank
+    sample is still equi-rank for that slice). While n_slices ≤ 16 every
+    slice is kept verbatim — the ≤S-per-slice exactness regime (weights
+    exactly 1.0 → np.percentile fast path in the kernel) is untouched."""
+    cap_slices = 16
+
+    def fn(box):
+        rs = box["rs"]
+        n_sl = F.size(rs)
+        s_eff = (
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(s_budget * cap_slices) / F.greatest(n_sl, F.lit(1))),
+            )
+        ).cast("int")
+
+        def per_slice(r):
+            qn = F.size(r["q"])
+            picked = F.transform(
+                F.sequence(F.lit(0), s_eff - 1),
+                lambda t: F.element_at(
+                    r["q"],
+                    F.floor(t * (qn - 1) / F.greatest(s_eff - 1, F.lit(1))).cast("int")
+                    + 1,
+                ),
+            )
+            qq = F.when(s_eff >= qn, r["q"]).otherwise(picked)
+            if want_values:
+                return qq
+            wt = r["n"].cast("double") / F.least(
+                s_eff.cast("bigint"), qn.cast("bigint")
+            ).cast("double")
+            return F.transform(qq, lambda v: wt)
+
+        return F.flatten(F.transform(rs, per_slice))
+
+    return _let_col(F.struct(irs.alias("rs")), fn)
+
+
+_MG_ERR_KEY = "\x00__mg_err"
+
+
+def _mg_truncate(m: "Column", cap: int) -> "Column":
+    """Cap a merged Misra-Gries count-map back to ``cap`` entries,
+    folding the largest dropped count into the chr(0) error sentinel
+    (space-saving merge bound: est ≤ true ≤ est + sentinel for every
+    retained key). Keeps the running-merge baseline column ≤ cap entries
+    regardless of how many slices contributed; each slice's cum output
+    re-merges from the original per-slice IRs, so truncation never
+    compounds."""
+    def fn(ranked_and_err):
+        ranked = ranked_and_err["rk"]
+        err = ranked_and_err["er"]
+        sentinel = F.struct(
+            F.lit(_MG_ERR_KEY).alias("key"),
+            (err + F.element_at(ranked, cap + 1)["value"]).alias("value"),
+        )
+        kept = F.map_from_entries(
+            F.concat(F.slice(ranked, 1, cap), F.array(sentinel))
+        )
+        small = F.when(
+            err > 0,
+            F.map_from_entries(
+                F.concat(
+                    ranked,
+                    F.array(
+                        F.struct(
+                            F.lit(_MG_ERR_KEY).alias("key"), err.alias("value")
+                        )
+                    ),
+                )
+            ),
+        ).otherwise(F.map_from_entries(ranked))
+        return F.when(F.size(ranked) > cap, kept).otherwise(small)
+
+    ents = F.filter(
+        F.map_entries(m), lambda kv: kv["key"] != F.lit(_MG_ERR_KEY)
+    )
+    ranked = F.array_sort(
+        ents,
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] < b["key"], F.lit(-1))
+        .otherwise(F.lit(1)),
+    )
+    err0 = F.coalesce(
+        F.element_at(m, F.lit(_MG_ERR_KEY)), F.lit(0).cast("long")
+    )
+    return F.when(
+        m.isNull() | (F.size(F.map_entries(m)) == 0), m
+    ).otherwise(
+        _let_col(
+            F.struct(ranked.alias("rk"), err0.alias("er")),
+            fn,
+        )
+    )
+
+
 def _build_baselines(
     events: DataFrame,
     qlite: DataFrame,
@@ -1333,12 +1470,14 @@ def _build_baselines(
             elif st == "hreg":
                 # sparse HLL register entries need a per-(slice, register)
                 # max first — built as a side frame below, joined onto the
-                # per-slice row; cumulative = concatenation (the kernel's
-                # np.maximum.at densifies duplicates, register max is
-                # associative so the merge is bit-identical to unsliced)
+                # per-slice row; cumulative = concatenation reduced back
+                # to per-register maxima (_hreg_reduce), so the baseline
+                # column stays ≤ HLL_M entries no matter how many slices
+                # contributed; register max is associative so the merge is
+                # bit-identical to unsliced
                 hreg_specs[name] = c
-                cum_exprs[name] = lambda w, n=name: F.flatten(
-                    F.collect_list(n).over(w)
+                cum_exprs[name] = lambda w, n=name: _hreg_reduce(
+                    F.flatten(F.collect_list(n).over(w))
                 )
             elif st.startswith("uset"):
                 kk = int(st[4:])
@@ -1370,21 +1509,12 @@ def _build_baselines(
                     )
                 )
                 if st.startswith("pqv"):
-                    cum_exprs[name] = lambda w, n=name: F.flatten(
-                        F.transform(
-                            F.collect_list(n).over(w),
-                            lambda r: F.transform(r["q"], lambda v: v),
-                        )
+                    cum_exprs[name] = lambda w, n=name, sb=ss: _pq_flatten(
+                        F.collect_list(n).over(w), sb, True
                     )
                 else:
-                    cum_exprs[name] = lambda w, n=name: F.flatten(
-                        F.transform(
-                            F.collect_list(n).over(w),
-                            lambda r: F.transform(
-                                r["q"],
-                                lambda v: r["n"].cast("double") / F.size(r["q"]),
-                            ),
-                        )
+                    cum_exprs[name] = lambda w, n=name, sb=ss: _pq_flatten(
+                        F.collect_list(n).over(w), sb, False
                     )
             elif st.startswith(("mgk", "mgv")):
                 from chronon_spark.functions.aggregations import (
@@ -1398,15 +1528,18 @@ def _build_baselines(
                 )
                 # per-slice capped count-map (Misra-Gries day IR with error
                 # sentinel); cumulative = the op's own entry-sum merge,
-                # split into parallel (keys, counts) flat arrays
+                # truncated back to the cap (_mg_truncate — bounded column
+                # width at any slice count), split into parallel
+                # (keys, counts) flat arrays
                 slice_aggs[name] = _hist_ir_capped(c, synth)
+                mg_cap = 8 * mk
                 if st.startswith("mgk"):
-                    cum_exprs[name] = lambda w, n=name: F.map_keys(
-                        _hist_map_merge(n).over(w)
+                    cum_exprs[name] = lambda w, n=name, cp=mg_cap: F.map_keys(
+                        _mg_truncate(_hist_map_merge(n).over(w), cp)
                     )
                 else:
-                    cum_exprs[name] = lambda w, n=name: F.map_values(
-                        _hist_map_merge(n).over(w)
+                    cum_exprs[name] = lambda w, n=name, cp=mg_cap: F.map_values(
+                        _mg_truncate(_hist_map_merge(n).over(w), cp)
                     )
             else:
                 kk = int(st[4:])

@@ -354,6 +354,71 @@ def test_slicing_fuzz(spark):
     case()
 
 
+def test_sliced_approx_many_slices_bounded_baselines(spark):
+    """>16 slices engages the baseline boundedness machinery: HLL
+    register-entry RLE reduction (lossless — still bit-identical),
+    percentile per-slice grid coarsening (≤16·S total samples; band
+    check), and Misra-Gries post-merge truncation (heavy hitters
+    survive). 30 one-day slices over a 30-day key."""
+    rng = np.random.default_rng(29)
+    n = 5000
+    ev = pd.DataFrame(
+        {
+            "user": ["u0"] * n,
+            "ts": (T0 + rng.integers(0, 30 * MS_DAY, n)).astype(np.int64),
+            "price": rng.normal(100, 25, n).round(2),
+            "cat": np.where(
+                rng.random(n) < 0.4,
+                "HH",
+                "t" + pd.Series(rng.integers(0, 2000, n)).astype(str),
+            ),
+        }
+    )
+    q = pd.DataFrame(
+        {"user": ["u0"] * 30, "ts": (T0 + rng.integers(5 * MS_DAY, 31 * MS_DAY, 30)).astype(np.int64)}
+    )
+    gb = GroupBy(
+        name="many_slices", sources=(EventSource(table="ev"),), key_columns=("user",),
+        aggregations=(
+            Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+            Aggregation("price", Operation.APPROX_PERCENTILE, windows=(None,), arg_map={"percentiles": [0.5]}),
+            Aggregation("cat", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 1}),
+            Aggregation("price", Operation.SUM, windows=(None,)),
+        ),
+    )
+    ev_df, q_df = spark.createDataFrame(ev), spark.createDataFrame(q)
+    parts = gb.unpacked()
+    plain = {
+        (r["user"], r["ts"]): r
+        for r in temporal_events(spark, gb, q_df, ev_df, mode="raw").collect()
+    }
+    sliced = temporal_events(
+        spark, gb, q_df, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=MS_DAY,
+    )
+    ev_sorted = np.sort(ev.price.to_numpy())
+    for r in sliced.collect():
+        p = plain[(r["user"], r["ts"])]
+        # HLL reduction is lossless → bit-identical
+        assert r[parts[0].output_column] == p[parts[0].output_column]
+        # float SUM: baseline partial + local partial sum in a different
+        # order than the full prefix — allclose, not bit-equality
+        assert np.isclose(
+            r[parts[3].output_column], p[parts[3].output_column], rtol=1e-9
+        )
+        # percentile: coarsened grid stays within 2.5% rank error
+        e_est = r[parts[1].output_column][0]
+        e_exact = p[parts[1].output_column][0]
+        r_est = np.searchsorted(ev_sorted, e_est) / len(ev_sorted)
+        r_exact = np.searchsorted(ev_sorted, e_exact) / len(ev_sorted)
+        assert abs(r_est - r_exact) <= 0.025, (e_exact, e_est)
+        # MG truncation: the heavy hitter survives with bounded deficit
+        est_h = r[parts[2].output_column]
+        exact_h = p[parts[2].output_column]
+        assert "HH" in est_h and "HH" in exact_h
+        assert est_h["HH"] <= exact_h["HH"] and est_h["HH"] >= 0.85 * exact_h["HH"]
+
+
 def test_sliced_approx_histogram_sketch_regime(spark):
     """Slices holding MORE distinct values than the Misra-Gries day cap
     (8·k): the sliced unbounded APPROX_HISTOGRAM_K degrades to the

@@ -93,17 +93,30 @@ def stage_metrics(spark, since_epoch_ms: float) -> dict:
     return out
 
 
-def run(cores: int, repeats: int = 2) -> dict:
+def run(
+    cores: int,
+    repeats: int = 2,
+    shuffle: int | None = None,
+    driver_mem: str | None = None,
+) -> dict:
+    """``shuffle``/``driver_mem``: at the default 4M-row size one shuffle
+    partition per core is the sweet spot, but partition count must scale
+    with DATA, not cores — the 40M-row sf1.0 run OOMs at 8 partitions.
+    Callers above ~10M rows pass an explicit data-scaled count (identical
+    at both parallelism levels, so the comparison stays fair)."""
     from pyspark.sql import functions as F
 
     from chronon_spark.pipelines.webtext import backfill_features
     from chronon_spark.session import build_session
 
+    extra = {"spark.ui.enabled": "true"}
+    if driver_mem:
+        extra["spark.driver.memory"] = driver_mem
     spark = build_session(
         app_name=f"scale{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores,
-        extra_conf={"spark.ui.enabled": "true"},
+        shuffle_partitions=shuffle or cores,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM codegen + python workers + input page cache (equal-warm

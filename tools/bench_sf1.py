@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+# must precede the first JVM launch in this process — local-mode driver
+# memory is fixed at gateway start and later sessions inherit it
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.bench_scaling as bs
@@ -45,9 +49,13 @@ def main() -> None:
 
     waited = _wait_calm(float(os.environ.get("BENCH_WAIT_CALM", "600")))
 
+    # shuffle partitions scale with DATA (≈250k rows each), identical at
+    # both parallelism levels — cores-sized partitioning OOMs at 40M rows
+    shuffle = max(32, n_rows // 250_000)
+    reps = int(os.environ.get("BENCH_SF1_REPEATS", "2"))
     hw_pre = bs._hw_control()
-    r8 = bs.run(8, repeats=int(os.environ.get("BENCH_SF1_REPEATS", "2")))
-    r32 = bs.run(32, repeats=int(os.environ.get("BENCH_SF1_REPEATS", "2")))
+    r8 = bs.run(8, repeats=reps, shuffle=shuffle)
+    r32 = bs.run(32, repeats=reps, shuffle=shuffle)
     hw_post = bs._hw_control()
 
     speedup = r32["rows_per_sec"] / r8["rows_per_sec"]
