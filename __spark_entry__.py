@@ -1413,6 +1413,144 @@ def q_temporal_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture parity under the oracle: the last two days of
+    events arrive via Structured Streaming (file source, availableNow) as
+    per-(key, 5-min) tiles (streaming/lambda_tiles), union with the batch
+    tile frame built from prior history, and feed the tiled as-of kernel
+    via tiles_override. The oracle recomputes every point-in-time feature
+    from scratch in SQL — adjudicating that streamed tiles + batch tiles
+    produce the exact batch answer (the reference's lambda contract,
+    SawtoothOnlineAggregator.scala:83-126 / Tiled_Architecture.md).
+
+    All aggregated columns are integer (value scaled to cents before
+    aggregation) so the hash is summation-order-independent."""
+    import tempfile
+
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.tiled import build_tile_frame, temporal_events_tiled
+    from chronon_spark.streaming.lambda_tiles import (
+        complete_tile_frame,
+        streaming_tile_frame,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    cols = ["user_id", "ts", "value_c", "event_type"]
+    hi = ev.agg(F.max("ts")).first()[0]
+    cut = (hi // MS_DAY - 1) * MS_DAY  # stream the last two UTC days
+    hist = ev.filter(F.col("ts") < cut).select(*cols)
+    live = ev.filter(F.col("ts") >= cut)
+
+    gb = GroupBy(
+        name="slp",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value_c", Operation.COUNT, windows=(None,)),
+            Aggregation("value_c", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MIN, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MAX, windows=(Window(7),)),
+            Aggregation("event_type", Operation.UNIQUE_COUNT, windows=(Window(7),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+
+    src = tempfile.mkdtemp(prefix="slp_stream_")
+    live.select(*cols).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(live.select(*cols).schema).parquet(src)
+    tiles_s = streaming_tile_frame(gb, stream, watermark="0 seconds")
+    sq = (
+        tiles_s.writeStream.format("memory")
+        .queryName("slp_tiles")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    streamed = complete_tile_frame(gb, spark.table("slp_tiles"))
+    union_tiles = build_tile_frame(gb, hist).unionByName(
+        streamed, allowMissingColumns=True
+    )
+
+    # the query spine derives from the same scan as the events side —
+    # pin the (small) spine to break the ambiguous-self-join lineage
+    qdf = live.select("event_id", "user_id", "ts").localCheckpoint(eager=True)
+    out = temporal_events_tiled(
+        spark, gb, qdf, ev.select(*cols), tiles_override=union_tiles
+    )
+    return out.select(
+        "event_id",
+        F.col("value_c_count").alias("cnt_total"),
+        F.col("value_c_sum_7d").alias("sum_c_7d"),
+        F.col("value_c_min_7d").alias("min_c_7d"),
+        F.col("value_c_max_7d").alias("max_c_7d"),
+        F.col("event_type_unique_count_7d").alias("uniq_types_7d"),
+    )
+
+
+def q_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental warehouse materialization under the oracle: a daily
+    snapshot GroupBy backfilled through the partitioned Warehouse in TWO
+    runs — first covering ~40% of the ds range, then the full range (the
+    second run plans unfilled ranges from lineage and computes only the
+    remaining days) — then read back from parquet partitions. The oracle
+    recomputes every (user, ds) feature from scratch, adjudicating that
+    resume-from-partial produces the one-shot answer (reference driver
+    unfilledRanges semantics, spark/.../GroupBy.scala computeBackfill).
+
+    Integer-cents aggregation keeps the hash summation-order-free."""
+    import tempfile
+
+    _utc(spark)
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Query, Window
+    from chronon_spark.runner import run_group_by_backfill
+    from chronon_spark.sources.warehouse import Warehouse
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    ev.select("user_id", "ts", "value_c", "ds").createOrReplaceTempView(
+        "ev_inc_gate"
+    )
+    start, end = _ds_bounds(ev)
+    days = sorted(
+        r["ds"] for r in ev.select("ds").distinct().collect()
+    )
+    mid = days[max(0, int(len(days) * 0.4) - 1)]
+
+    gb = GroupBy(
+        name="inc_gate_gb",
+        sources=(EventSource(table="ev_inc_gate", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value_c", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value_c", Operation.COUNT, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MAX, windows=(Window(7),)),
+        ),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="inc_gate_wh_"))
+    run_group_by_backfill(spark, wh, gb, start, mid)
+    run_group_by_backfill(spark, wh, gb, start, end)  # resume: fills the rest
+    out = wh.read("inc_gate_gb")
+    return out.select(
+        "user_id",
+        "ds",
+        F.col("value_c_sum_7d").alias("sum_c_7d"),
+        F.col("value_c_count_7d").alias("cnt_7d"),
+        F.col("value_c_max_7d").alias("max_c_7d"),
+    )
+
+
 # ----------------------------------------------------------------------- API
 
 
@@ -1472,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift": q_drift,
         "consistency": q_consistency,
         "temporal_entities": q_temporal_entities,
+        "streaming_lambda_parity": q_streaming_lambda,
+        "incremental_backfill": q_incremental_backfill,
     }
 
 
@@ -2030,6 +2170,44 @@ SELECT event_id,
        CASE WHEN lag(value) OVER w IS NOT NULL THEN CAST(1 AS BIGINT) END AS state_count
 FROM events
 WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts)
+""",
+        "streaming_lambda_parity": f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+         CAST(round(value * 100) AS BIGINT) AS vc, event_type
+  FROM events
+), mx AS (
+  SELECT ((max(tms) // {MS_DAY}) - 1) * {MS_DAY} AS cut FROM ev
+), q AS (
+  SELECT event_id, user_id, tms FROM ev, mx WHERE tms >= cut
+)
+SELECT q.event_id,
+       NULLIF(count(e.vc), 0) AS cnt_total,
+       CAST(sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS BIGINT) AS sum_c_7d,
+       min(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS min_c_7d,
+       max(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS max_c_7d,
+       NULLIF(count(DISTINCT CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.event_type END), 0) AS uniq_types_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
+""",
+        "incremental_backfill": """
+WITH ev AS (
+  SELECT user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), bounds AS (SELECT min(dd) AS lo, max(dd) AS hi FROM ev),
+spine AS (
+  SELECT DISTINCT e.user_id, e.dd + g.x AS od
+  FROM ev e, generate_series(0, 6) g(x), bounds b
+  WHERE e.dd + g.x BETWEEN b.lo AND b.hi
+)
+SELECT s.user_id,
+       strftime(DATE '1970-01-01' + to_days(CAST(s.od AS INT)), '%Y-%m-%d') AS ds,
+       CAST(sum(e.vc) AS BIGINT) AS sum_c_7d,
+       NULLIF(count(e.vc), 0) AS cnt_7d,
+       max(e.vc) AS max_c_7d
+FROM spine s JOIN ev e ON e.user_id = s.user_id AND e.dd BETWEEN s.od - 6 AND s.od
+GROUP BY s.user_id, s.od
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc

@@ -284,7 +284,7 @@ def compute_join_part(
     small_mode: bool = True,
     left_is_small: bool | None = None,
     tile_warehouse=None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix.
@@ -398,7 +398,7 @@ def join_backfill(
     part_warehouse=None,
     part_parallelism: int = 4,
     tile_warehouse=None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
 ) -> DataFrame:
     """Full Join backfill over [start_ds, end_ds] of the left source.
 

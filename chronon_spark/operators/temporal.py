@@ -810,7 +810,7 @@ def temporal_events(
     passthrough: bool = False,
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
     hot_keys: "list[tuple] | None" = None,
     hot_slice_ms: int | None = None,
 ) -> DataFrame:
@@ -823,9 +823,12 @@ def temporal_events(
     slicing in BOTH kernels (skew MITIGATION, not exclusion): tile-aligned
     slices with tile-compressed history in the tiled kernel
     (operators/tiled.py), bounded raw-event replication across slices in
-    the raw kernel. ``hot_keys``/``hot_slice_ms`` pin the key set and
-    slice width explicitly (detection skipped). Requires every aggregation
-    windowed.
+    the raw kernel. ``"auto"`` derives the threshold from the data — one
+    kernel partition's fair share of query rows, floored at
+    AUTO_HOT_FLOOR (see detect_hot_keys) — so no magic number needs
+    retuning at 100× the data. ``hot_keys``/``hot_slice_ms`` pin the key
+    set and slice width explicitly (detection skipped). Requires every
+    aggregation windowed.
 
     ``tile_warehouse`` + ``tile_range``: route tileable work through the
     persisted TileStore (operators/tilestore.py) — 5-min tiles for
@@ -957,7 +960,7 @@ def _temporal_events_impl(
     passthrough: bool = False,
     tile_warehouse=None,
     tile_range: tuple[str, str] | None = None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
     hot_keys: "list[tuple] | None" = None,
     hot_slice_ms: int | None = None,
 ) -> DataFrame:
@@ -1087,8 +1090,26 @@ def _temporal_events_impl(
     co_keys = keys
     baseline_cols = None
     cls = slice_classification(gb)
+    if cls is not None and (hot_keys or hot_key_threshold):
+        # the hot path consumes qlite up to three times (detection action,
+        # baseline-slice derivation, kernel cogroup input); without a
+        # persist each consumer re-executes the query spine's upstream —
+        # for an enriched spine (window functions over the full input)
+        # that triples the job's dominant stage (measured 253s → 422s on
+        # the 40M-row flagship). Registered in the shared backfill cache
+        # registry; callers release via release_backfill_caches() once
+        # the output is materialized.
+        from pyspark import StorageLevel
+
+        from chronon_spark.operators.join import _ACTIVE_CACHES
+
+        qlite = qlite.persist(StorageLevel.MEMORY_AND_DISK)
+        _ACTIVE_CACHES.append(qlite)
     if hot_keys is None and hot_key_threshold and cls is not None:
-        hot_keys = detect_hot_keys(qlite.select(*keys), keys, hot_key_threshold)
+        hot_keys = detect_hot_keys(
+            qlite.select(*keys), keys, hot_key_threshold,
+            auto_factor=auto_hot_factor(cls[1]),
+        )
     if hot_keys:
         if cls is None:
             raise ValueError(
@@ -1632,25 +1653,80 @@ def _build_baselines(
 HOT_KEY_DETECT_CAP = 1000
 
 
+# below ~this many queries on one key, slice bookkeeping (baseline IRs,
+# event replication, extra shuffle column) costs more than the straggler
+# it removes — measured crossover sits between 10k and 12k dense queries
+# (BENCH §28/§30)
+AUTO_HOT_FLOOR = 10_000
+
+# baseline states with O(1)-per-event, O(1)-per-query prefix cost; every
+# other state (HLL registers, quantile samples, count-maps, k-lists) pays
+# an O(sketch-size) copy per query, making a hot key's cost superlinear
+# in its size — slicing pays much earlier there
+_SCALAR_BASELINE_STATES = frozenset(
+    {"n", "s1", "s1i", "s2", "s3", "s4", "mn", "mx", "fst", "lst"}
+)
+
+
+def auto_hot_factor(ub_parts) -> int:
+    """Fair-share multiplier for threshold="auto": 1 when any unbounded
+    part carries sketch state (per-query cost superlinear in hot-key size
+    — slice as soon as a key exceeds its fair share; measured 3.39-8.2×,
+    BENCH §28/§30), else 4 (O(1)-prefix configs straggle only when one
+    task's row count clearly dominates the stage; below that the slice
+    bookkeeping costs more than the tail — measured at the 40M-row
+    flagship, where hot keys at 2.5× fair share lost ~25s of tail but
+    slicing added >60s of overhead)."""
+    for p in ub_parts or ():
+        for st in _baseline_states(p, False):
+            base = st[:4] if st.startswith(("fstk", "lstk", "topk", "botk", "uset")) else st
+            base = base[:3] if base.startswith(("pqv", "pqw", "mgk", "mgv")) else base
+            if base not in _SCALAR_BASELINE_STATES:
+                return 1
+    return 4
+
+
 def detect_hot_keys(
     qlite: DataFrame,
     keys: list[str],
-    threshold: int,
+    threshold: "int | str",
     cap: int = HOT_KEY_DETECT_CAP,
+    auto_factor: int = 4,
 ) -> "list[tuple] | None":
     """Keys whose query count exceeds ``threshold`` — one tiny aggregate
     over the slim query frame, hottest-first so a truncated detection
     keeps the keys that matter most. Truncation at ``cap`` is LOGGED (no
     silent caps): keys beyond it stay unsliced and fall back to
-    one-task-per-key."""
+    one-task-per-key.
+
+    ``threshold="auto"`` derives the cutoff from the data: a key owning
+    more query rows than ``auto_factor`` × one kernel partition's fair
+    share (total / kernel_partitions) is a straggler — its task runs
+    that multiple of the stage average even if every other partition
+    balances perfectly — floored at AUTO_HOT_FLOOR so small inputs never
+    pay slice bookkeeping. No magic number survives a 100× scale-up:
+    the fair share scales with the data, and ``auto_factor`` scales with
+    the op profile (auto_hot_factor)."""
+    counts = qlite.groupBy(*keys).count()
+    pinned = None
+    if threshold == "auto":
+        from pyspark import StorageLevel
+
+        pinned = counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        total = counts.agg(F.sum("count").alias("t")).first()["t"] or 0
+        threshold = max(
+            AUTO_HOT_FLOOR,
+            int(auto_factor) * int(total) // kernel_partitions(qlite.sparkSession),
+        )
     rows = (
-        qlite.groupBy(*keys)
-        .count()
+        counts
         .filter(F.col("count") > int(threshold))
         .orderBy(F.col("count").desc())
         .limit(cap + 1)
         .collect()
     )
+    if pinned is not None:
+        pinned.unpersist()
     if len(rows) > cap:
         import logging
 

@@ -1732,7 +1732,7 @@ def temporal_events_tiled(
     tiles_override: DataFrame | None = None,
     hot_keys: list[tuple] | None = None,
     hot_slice_ms: int | None = None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
 ) -> DataFrame:
     """Tiled exact as-of aggregation (see module docstring).
 

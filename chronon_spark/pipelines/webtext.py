@@ -59,7 +59,7 @@ def backfill_features(
     spark: SparkSession,
     pages: DataFrame,
     queries: DataFrame | None = None,
-    hot_key_threshold: int | None = None,
+    hot_key_threshold: "int | str | None" = None,
 ) -> DataFrame:
     """Feature vectors at each query (url, ts); queries default to the
     pages themselves (feature vector at every crawl event).
@@ -127,10 +127,32 @@ def backfill_features(
     # hot_key_threshold: a crawl-storm url (one key owning a huge share of
     # queries) time-slices across tasks instead of serializing — the
     # unbounded COUNT/LAST parts ride per-slice baseline IRs
-    # (temporal._build_baselines), the windowed parts bounded replication
+    # (temporal._build_baselines), the windowed parts bounded replication.
+    # Detection runs HERE on the raw url column (one pruned parquet-scan
+    # aggregate), not inside temporal_events where the query spine is the
+    # enriched frame: in passthrough mode spine keys are the page urls
+    # 1:1, and detecting on the spine would force a full extra
+    # materialization of the window-function chain before the real job
+    # (measured: the detection job alone cost more than the kernel-tail
+    # saving at 40M rows)
+    hot_keys = None
+    if hot_key_threshold is not None and queries is None:
+        from chronon_spark.operators.temporal import (
+            auto_hot_factor,
+            detect_hot_keys,
+            slice_classification,
+        )
+
+        cls = slice_classification(WEBTEXT_GROUPBY)
+        hot_keys = detect_hot_keys(
+            pages.select("url"), ["url"], hot_key_threshold,
+            auto_factor=auto_hot_factor(cls[1] if cls else None),
+        )
+        hot_key_threshold = None
     feats = temporal_events(
         spark, WEBTEXT_GROUPBY, left, events, mode="raw",
         passthrough=(queries is None), hot_key_threshold=hot_key_threshold,
+        hot_keys=hot_keys,
     )
     if payload is not None:
         # the single wide-column shuffle of the whole pipeline

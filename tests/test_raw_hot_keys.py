@@ -525,3 +525,63 @@ def test_sliced_percentile_sketch_regime_band(spark):
             assert abs(r_est - r_exact) <= 0.025, (e_exact, e_est)
             checked += 1
     assert checked >= 100
+
+
+def test_auto_hot_factor_op_aware():
+    """threshold="auto" scales its fair-share multiplier by op profile:
+    unbounded parts with sketch/list state (per-query prefix cost
+    superlinear in key size) slice at 1x fair share; all-windowed or
+    scalar-prefix configs wait for 4x, where a straggler demonstrably
+    dominates the stage (BENCH section 31: at 2.5x fair share the slice
+    bookkeeping cost more than the tail it removed)."""
+    from chronon_spark.operators.temporal import auto_hot_factor, slice_classification
+
+    def factor(*aggs):
+        gb = dataclasses.replace(GB_W, aggregations=aggs)
+        cls = slice_classification(gb)
+        assert cls is not None
+        return auto_hot_factor(cls[1])
+
+    # all-windowed (the flagship's windowed mix) and scalar-prefix
+    # unbounded parts -> conservative 4x
+    assert factor(*AGGS_W) == 4
+    assert factor(
+        Aggregation("price", Operation.COUNT, windows=(None, Window(7))),
+        Aggregation("price", Operation.LAST, windows=(None,)),
+        Aggregation("price", Operation.VARIANCE, windows=(None,)),
+    ) == 4
+    # any sketch- or list-state unbounded part -> aggressive 1x
+    for agg in (
+        Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(None,)),
+        Aggregation("cat", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 2}),
+        Aggregation(
+            "price", Operation.APPROX_PERCENTILE, windows=(None,),
+            arg_map={"percentiles": [0.5]},
+        ),
+        Aggregation("cat", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 8}),
+        Aggregation("price", Operation.LAST_K, windows=(None,), arg_map={"k": 3}),
+        Aggregation("price", Operation.TOP_K, windows=(None,), arg_map={"k": 4}),
+    ):
+        assert factor(agg) == 1, agg.operation
+
+
+def test_detect_hot_keys_auto_threshold(spark, monkeypatch):
+    """"auto" resolves to max(AUTO_HOT_FLOOR, factor x fair share) where
+    fair share = total query rows / kernel partitions — no absolute count
+    to retune at 100x the data. With the floor lowered, a key above
+    factor x fair share is detected hottest-first and cold keys are not;
+    at the default floor a small input detects nothing."""
+    import chronon_spark.operators.temporal as T
+
+    # 600 hot + 40x10 cold = 1000 rows; local[4] / 4 shuffle partitions
+    # -> fair share 250
+    rows = [("hot",)] * 600 + [(f"c{i}",) for i in range(40) for _ in range(10)]
+    df = spark.createDataFrame(rows, ["user"])
+    monkeypatch.setattr(T, "AUTO_HOT_FLOOR", 100)
+    assert T.detect_hot_keys(df, ["user"], "auto", auto_factor=1) == [("hot",)]
+    # factor 4 -> threshold 1000; the 600-row key is not a 4x straggler
+    assert T.detect_hot_keys(df, ["user"], "auto", auto_factor=4) is None
+    # the default floor dominates small inputs: slice bookkeeping never
+    # engages below ~10k queries on one key
+    monkeypatch.setattr(T, "AUTO_HOT_FLOOR", 10_000)
+    assert T.detect_hot_keys(df, ["user"], "auto", auto_factor=1) is None

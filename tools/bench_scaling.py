@@ -98,12 +98,16 @@ def run(
     repeats: int = 2,
     shuffle: int | None = None,
     driver_mem: str | None = None,
+    hot: int | None = None,
 ) -> dict:
     """``shuffle``/``driver_mem``: at the default 4M-row size one shuffle
     partition per core is the sweet spot, but partition count must scale
     with DATA, not cores — the 40M-row sf1.0 run OOMs at 8 partitions.
     Callers above ~10M rows pass an explicit data-scaled count (identical
-    at both parallelism levels, so the comparison stays fair)."""
+    at both parallelism levels, so the comparison stays fair).
+    ``hot``: hot_key_threshold for the backfill — a key owning more query
+    rows than one shuffle partition's share is by definition a straggler
+    on the raw kernel, so callers pass ≈ n_rows // shuffle."""
     from pyspark.sql import functions as F
 
     from chronon_spark.pipelines.webtext import backfill_features
@@ -130,8 +134,11 @@ def run(
     best, n, metrics = None, 0, None
     for _ in range(repeats):
         t0 = time.time()
-        n = backfill_features(spark, pages).count()
+        n = backfill_features(spark, pages, hot_key_threshold=hot).count()
         dt_ = time.time() - t0
+        from chronon_spark.operators.join import release_backfill_caches
+
+        release_backfill_caches()
         if best is None or dt_ < best:
             best = dt_
             metrics = stage_metrics(spark, t0 * 1000)
