@@ -1551,6 +1551,78 @@ def q_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tilestore_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of features served through the persisted TileStore
+    (operators/tilestore — the offline analogue of the reference's
+    uploaded batch IRs, spark/GroupByUpload.scala:76-114): 5-minute tile
+    frames are materialized day-partitioned into a Warehouse in TWO runs
+    — first ~40% of the ds range, then the full range (the second run
+    reads lineage and builds ONLY the missing days) — and the tiled
+    kernel then answers every per-event query from the CACHED tiles plus
+    raw query-head events. The oracle recomputes every point-in-time
+    feature from raw history from scratch, adjudicating at once that
+    (a) per-day tile builds concatenate to the one-pass tile frame,
+    (b) resume-from-partial is exact, and (c) cached-tile serving equals
+    the raw as-of kernel. Integer-cents values keep every aggregate
+    order-independent."""
+    import tempfile
+
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        TimeUnit,
+        Window,
+    )
+    from chronon_spark.operators.tilestore import TileStore, temporal_events_tiled_cached
+    from chronon_spark.sources.warehouse import Warehouse
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    gb = GroupBy(
+        name="tilestore_gate_gb",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value_c", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value_c", Operation.COUNT, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MAX, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MIN, windows=(Window(6, TimeUnit.HOURS),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    start, end = _ds_bounds(ev)
+    days = sorted(r["ds"] for r in ev.select("ds").distinct().collect())
+    mid = days[max(0, int(len(days) * 0.4) - 1)]
+    feed = ev.select("user_id", "ts", "value_c", "ds")
+    clean = feed.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="tilestore_gate_wh_"))
+    store = TileStore(wh, gb)
+    store.materialize(spark, clean, start, mid)  # partial build
+    out, _built = temporal_events_tiled_cached(
+        spark,
+        gb,
+        ev.select("event_id", "user_id", "ts"),
+        feed,
+        store,
+        start,
+        end,  # resume: builds only (mid, end]
+    )
+    return out.select(
+        "event_id",
+        F.col("value_c_sum_7d").alias("sum_c_7d"),
+        F.col("value_c_count_7d").alias("cnt_7d"),
+        F.col("value_c_max_7d").alias("max_c_7d"),
+        F.col("value_c_min_6h").alias("min_c_6h"),
+    )
+
+
 # ----------------------------------------------------------------------- API
 
 
@@ -1612,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_entities": q_temporal_entities,
         "streaming_lambda_parity": q_streaming_lambda,
         "incremental_backfill": q_incremental_backfill,
+        "tilestore_cached": q_tilestore_cached,
     }
 
 
@@ -2208,6 +2281,17 @@ SELECT s.user_id,
        max(e.vc) AS max_c_7d
 FROM spine s JOIN ev e ON e.user_id = s.user_id AND e.dd BETWEEN s.od - 6 AND s.od
 GROUP BY s.user_id, s.od
+""",
+        "tilestore_cached": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                   CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+SELECT q.event_id,
+       CAST(sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS BIGINT) AS sum_c_7d,
+       NULLIF(count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END), 0) AS cnt_7d,
+       max(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS max_c_7d,
+       min(CASE WHEN e.tms >= ((q.tms - {MS_6H}) // {HOP_5M}) * {HOP_5M} THEN e.vc END) AS min_c_6h
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc
