@@ -1623,6 +1623,63 @@ def q_tilestore_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_upload_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByUpload/fetcher analogue under the oracle (operators/upload
+    — reference spark/GroupByUpload.scala + SawtoothOnlineAggregator):
+    batch history collapses into ONE bounded KV-shaped row per key
+    (tail hop IRs + collapsed unbounded IRs) at the second-to-last day's
+    boundary, and the last day's events are then served as point fetches
+    — each (key, ts) answered by merging the uploaded state with the
+    streamed head, never rescanning history. The oracle recomputes every
+    point-in-time feature from raw history from scratch, adjudicating
+    the whole upload→fetch round trip. Integer-cents inputs keep all
+    sums order-free; AVERAGE/variance-free so every aggregate is exact."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        TimeUnit,
+        Window,
+    )
+    from chronon_spark.operators.upload import fetch_features, group_by_upload
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    days = sorted(r["ds"] for r in ev.select("ds").distinct().collect())
+    end_ds, serve_ds = days[-2], days[-1]
+    gb = GroupBy(
+        name="kv_gate_gb",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value_c", Operation.COUNT, windows=(None,)),
+            Aggregation("value_c", Operation.SUM, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MAX, windows=(Window(7),)),
+            Aggregation("value_c", Operation.MIN, windows=(Window(6, TimeUnit.HOURS),)),
+            Aggregation("value_c", Operation.LAST, windows=(Window(7),)),
+            Aggregation("value_c", Operation.AVERAGE, windows=(Window(3),)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    feed = ev.select("user_id", "ts", "value_c")
+    up = group_by_upload(spark, gb, feed, end_ds)
+    q = ev.filter(F.col("ds") == serve_ds).select("event_id", "user_id", "ts")
+    out = fetch_features(spark, gb, up, feed, q, end_ds)
+    return out.select(
+        "event_id",
+        F.col("value_c_count").alias("cnt_all"),
+        F.col("value_c_sum_7d").alias("sum_c_7d"),
+        F.col("value_c_max_7d").alias("max_c_7d"),
+        F.col("value_c_min_6h").alias("min_c_6h"),
+        F.col("value_c_last_7d").alias("last_c_7d"),
+        F.round("value_c_average_3d", 6).alias("avg_c_3d"),
+    )
+
+
 # ----------------------------------------------------------------------- API
 
 
@@ -1685,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lambda_parity": q_streaming_lambda,
         "incremental_backfill": q_incremental_backfill,
         "tilestore_cached": q_tilestore_cached,
+        "kv_upload_fetch": q_kv_upload_fetch,
     }
 
 
@@ -2291,6 +2349,27 @@ SELECT q.event_id,
        max(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS max_c_7d,
        min(CASE WHEN e.tms >= ((q.tms - {MS_6H}) // {HOP_5M}) * {HOP_5M} THEN e.vc END) AS min_c_6h
 FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
+GROUP BY q.event_id
+""",
+        "kv_upload_fetch": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   CAST(ts AS DATE) AS d FROM events),
+bounds AS (SELECT max(d) AS last_d FROM ev)
+SELECT q.event_id,
+       NULLIF(count(e.vc), 0) AS cnt_all,
+       CAST(sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS BIGINT) AS sum_c_7d,
+       max(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS max_c_7d,
+       min(CASE WHEN e.tms >= ((q.tms - {MS_6H}) // {HOP_5M}) * {HOP_5M} THEN e.vc END) AS min_c_6h,
+       (list(e.vc ORDER BY e.tms, e.vc)
+          FILTER (WHERE e.vc IS NOT NULL
+                  AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H}))[-1] AS last_c_7d,
+       round(CASE WHEN count(CASE WHEN e.tms >= ((q.tms - {MS_3D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) > 0
+             THEN CAST(sum(CASE WHEN e.tms >= ((q.tms - {MS_3D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS DOUBLE)
+                  / count(CASE WHEN e.tms >= ((q.tms - {MS_3D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) END, 6) AS avg_c_3d
+FROM ev q
+JOIN bounds b ON q.d = b.last_d
+LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
 GROUP BY q.event_id
 """,
         "minhash_near_dups": """

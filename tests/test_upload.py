@@ -1,0 +1,229 @@
+"""GroupByUpload / fetch analogue (operators/upload.py): the KV-shaped
+per-key FinalBatchIr artifact + streamed-head fetch merge must equal the
+raw as-of kernel run over the FULL event history at every (key, ts) —
+the same parity the reference asserts between its fetcher and its batch
+backfill (spark/GroupByUpload.scala, SawtoothOnlineAggregator.scala)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Operation,
+    TimeUnit,
+    Window,
+)
+from chronon_spark.operators.temporal import temporal_events
+from chronon_spark.operators.upload import (
+    boundary_millis,
+    fetch_features,
+    group_by_upload,
+)
+
+MS_DAY = 86_400_000
+T0 = 1_700_006_400_000  # 2023-11-15 00:00 UTC (day-aligned)
+END_DS = "2023-11-24"  # upload boundary: 2023-11-25 00:00
+BOUNDARY = boundary_millis(END_DS)
+
+
+def _gb(*aggs):
+    return GroupBy(
+        name="up_gb",
+        sources=(EventSource(table="x"),),
+        key_columns=("user",),
+        aggregations=tuple(aggs),
+        accuracy=Accuracy.TEMPORAL,
+    )
+
+
+GB = _gb(
+    Aggregation("v", Operation.COUNT, windows=(None,)),
+    Aggregation("v", Operation.SUM, windows=(Window(7),)),
+    Aggregation("vi", Operation.SUM, windows=(Window(7),)),
+    Aggregation("v", Operation.AVERAGE, windows=(Window(3),)),
+    Aggregation("v", Operation.MIN, windows=(Window(6, TimeUnit.HOURS),)),
+    Aggregation("v", Operation.MAX, windows=(Window(7),)),
+    Aggregation("v", Operation.VARIANCE, windows=(Window(7),)),
+    Aggregation("v", Operation.SKEW, windows=(Window(20),)),
+    Aggregation("v", Operation.KURTOSIS, windows=(None,)),
+    Aggregation("v", Operation.LAST, windows=(Window(7), None)),
+    Aggregation("v", Operation.FIRST, windows=(Window(2),)),
+    Aggregation("s", Operation.LAST, windows=(Window(7),)),
+    Aggregation("s", Operation.APPROX_UNIQUE_COUNT, windows=(Window(7), None)),
+)
+
+
+def _mk(spark, n=900, seed=11, n_users=6, days=12):
+    """Events spanning [T0, T0 + days); serving-day queries on the day
+    after END_DS. Includes nulls in both value columns."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(10, 4, n)
+    v[rng.random(n) < 0.08] = np.nan
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, n_users, n)],
+            "ts": (T0 + rng.integers(0, days * MS_DAY, n)).astype(np.int64),
+            "v": v,
+            "vi": rng.integers(-5, 100, n).astype(np.int64),
+            "s": rng.choice([f"w{i}" for i in range(40)] + [None], n),
+        }
+    )
+    # exact-tie timestamps exercise the (ts, value) tie-break
+    ev.loc[1 : n // 3 : 7, "ts"] = BOUNDARY + 3_600_000
+    nq = 150
+    q = pd.DataFrame(
+        {
+            "user": [f"u{i % (n_users + 1)}" for i in range(nq)],  # one unseen key
+            "ts": (BOUNDARY + rng.integers(0, MS_DAY, nq)).astype(np.int64),
+            "qid": np.arange(nq, dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(ev), spark.createDataFrame(q)
+
+
+def _fetch(spark, gb, ev_df, q_df):
+    up = group_by_upload(spark, gb, ev_df, END_DS)
+    return fetch_features(
+        spark, gb, up, ev_df.filter(f"ts >= {BOUNDARY}"), q_df, END_DS
+    )
+
+
+def _expected(spark, gb, ev_df, q_df):
+    """The in-repo oracle: the raw as-of kernel over FULL history."""
+    return temporal_events(spark, gb, q_df, ev_df, mode="raw", passthrough=True)
+
+
+def _cmp(got_df, exp_df, approx_cols=()):
+    got = {r["qid"]: r.asDict() for r in got_df.collect()}
+    exp = {r["qid"]: r.asDict() for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    mism = []
+    for qid, g in got.items():
+        e = exp[qid]
+        for col, gv in g.items():
+            if col in ("user", "ts", "qid"):
+                continue
+            ev_ = e[col]
+            if col in approx_cols:
+                ok = (gv is None) == (ev_ is None) and (
+                    gv is None or abs(gv - ev_) <= max(2, 0.1 * max(gv, ev_))
+                )
+            elif isinstance(gv, float) or isinstance(ev_, float):
+                ok = (
+                    (gv is None and ev_ is None)
+                    or (
+                        gv is not None
+                        and ev_ is not None
+                        and (
+                            (math.isnan(gv) and math.isnan(ev_))
+                            or gv == pytest.approx(ev_, rel=1e-9, abs=1e-9)
+                        )
+                    )
+                )
+            else:
+                ok = gv == ev_
+            if not ok:
+                mism.append((qid, col, gv, ev_))
+    assert not mism, mism[:12]
+
+
+def test_fetch_matches_raw_kernel(spark):
+    ev_df, q_df = _mk(spark)
+    got = _fetch(spark, GB, ev_df, q_df)
+    exp = _expected(spark, GB, ev_df, q_df)
+    _cmp(got, exp, approx_cols=("s_approx_unique_count_7d", "s_approx_unique_count"))
+
+
+def test_hll_register_parity(spark):
+    """The HLL estimate must be IDENTICAL (same registers), not merely
+    close: upload registers ∪ head registers == full-history registers."""
+    ev_df, q_df = _mk(spark, seed=3)
+    gb = _gb(Aggregation("s", Operation.APPROX_UNIQUE_COUNT, windows=(Window(7), None)))
+    got = _fetch(spark, gb, ev_df, q_df)
+    exp = _expected(spark, gb, ev_df, q_df)
+    _cmp(got, exp)
+
+
+def test_no_batch_history(spark):
+    """Keys first seen in the streamed head fetch correctly from an
+    upload row that doesn't exist."""
+    ev_df, q_df = _mk(spark)
+    head_only = ev_df.filter(f"ts >= {BOUNDARY}")
+    up = group_by_upload(spark, GB, ev_df.filter("user = 'u0'"), END_DS)
+    got = fetch_features(spark, GB, up, head_only, q_df, END_DS)
+    # oracle: full history for u0, head-only for everyone else
+    ev_for = ev_df.filter("user = 'u0'").unionByName(
+        head_only.filter("user <> 'u0'")
+    )
+    exp = _expected(spark, GB, ev_for, q_df)
+    _cmp(got, exp, approx_cols=("s_approx_unique_count_7d", "s_approx_unique_count"))
+
+
+def test_no_head_events(spark):
+    """Fetch with an empty stream serves pure-batch values."""
+    ev_df, q_df = _mk(spark)
+    batch = ev_df.filter(f"ts < {BOUNDARY}")
+    up = group_by_upload(spark, GB, batch, END_DS)
+    got = fetch_features(
+        spark, GB, up, ev_df.filter("1=0"), q_df, END_DS
+    )
+    exp = _expected(spark, GB, batch, q_df)
+    _cmp(got, exp, approx_cols=("s_approx_unique_count_7d", "s_approx_unique_count"))
+
+
+def test_upload_is_one_row_per_key_and_bounded(spark):
+    ev_df, _ = _mk(spark)
+    up = group_by_upload(spark, GB, ev_df, END_DS)
+    rows = up.collect()
+    users = [r["user"] for r in rows]
+    assert len(users) == len(set(users))
+    # tail-hop arrays are bounded by window/hop + 1, independent of history
+    for r in rows:
+        d = r.asDict()
+        h7 = d.get("v_sum_7d__h")
+        if h7 is not None:
+            assert len(h7) <= 7 * 24 + 1  # 7d @ 1h hops
+            assert all(
+                h7[i] < h7[i + 1] for i in range(len(h7) - 1)
+            ), "hop starts sorted"
+            assert all(
+                BOUNDARY - 7 * MS_DAY - 3_600_000 < h < BOUNDARY for h in h7
+            )
+        h6 = d.get("v_min_6h__h")
+        if h6 is not None:
+            assert len(h6) <= 6 * 12 + 1  # 6h @ 5m hops
+
+
+def test_rejects_non_uploadable(spark):
+    gb = _gb(Aggregation("s", Operation.UNIQUE_COUNT, windows=(Window(7),)))
+    ev_df, q_df = _mk(spark)
+    with pytest.raises(ValueError, match="lambda-tile"):
+        group_by_upload(spark, gb, ev_df, END_DS)
+    gb2 = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("s",))
+    )
+    with pytest.raises(ValueError):
+        group_by_upload(spark, gb2, ev_df, END_DS)
+
+
+def test_fuzz_fetch_parity(spark):
+    """Seeded sweep: random event shapes, always equal to the raw kernel
+    on the exact ops."""
+    gb = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7), None)),
+        Aggregation("v", Operation.COUNT, windows=(Window(1),)),
+        Aggregation("v", Operation.MIN, windows=(Window(12, TimeUnit.HOURS),)),
+        Aggregation("v", Operation.LAST, windows=(Window(5),)),
+        Aggregation("v", Operation.VARIANCE, windows=(Window(14),)),
+    )
+    for seed in (1, 2):
+        ev_df, q_df = _mk(spark, n=400, seed=seed, n_users=3, days=18)
+        got = _fetch(spark, gb, ev_df, q_df)
+        exp = _expected(spark, gb, ev_df, q_df)
+        _cmp(got, exp)
