@@ -124,11 +124,17 @@ def _lookback(p: AggregationPart, boundary: int) -> tuple[int, int]:
     return r, ((boundary - p.window.millis) // r) * r
 
 
-def _state_aggs(p: AggregationPart, integral: bool) -> list:
+def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> list:
     """Spark aggregate expressions for one part's IR states over a group
-    (a hop group or the full prefix). Names are the plain state names —
-    callers alias/prefix."""
-    c, o = F.col(p.input_column), p.output_column
+    (a hop group or the full prefix), named ``{output}__{state}``.
+    ``lb``: when set, only rows with ts ≥ lb contribute — lets parts with
+    DIFFERENT lookbacks share one hop-frame groupBy (hops before a
+    part's own lookback carry empty states, which no fetch can reach:
+    every serving-day window start is ≥ that part's lookback)."""
+    c = F.col(p.input_column)
+    if lb is not None:
+        c = F.when(F.col(TS_COL) >= lb, c)
+    o = p.output_column
     cd = c.cast("double")
     out = []
     for st in _MOMENT_STATES[p.operation]:
@@ -186,10 +192,75 @@ def group_by_upload(
     )
     ev_types = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
 
+    def _integral(p):
+        return isinstance(ev_types[p.input_column], _INTEGRAL)
+
     frames: list[DataFrame] = []
+
+    # ---- all unbounded non-HLL parts: ONE full-prefix groupBy
+    ub = [
+        p
+        for p in parts
+        if p.window is None and p.operation is not Operation.APPROX_UNIQUE_COUNT
+    ]
+    if ub:
+        aggs = [a for p in ub for a in _state_aggs(p, _integral(p))]
+        f = ev.groupBy(*keys).agg(*aggs)
+        for p in ub:
+            for st in _MOMENT_STATES[p.operation]:
+                if st in ("fst", "lst"):
+                    f = _explode_tv(f, p.output_column, st)
+        frames.append(f)
+
+    # ---- windowed non-HLL parts: one hop frame PER RESOLUTION, shared
+    # by every part at that hop (per-part lookback guards inside the agg)
+    by_r: dict[int, list[AggregationPart]] = {}
+    for p in parts:
+        if p.window is not None and p.operation is not Operation.APPROX_UNIQUE_COUNT:
+            by_r.setdefault(sawtooth_hop_millis(p.window.millis), []).append(p)
+    for r, group in sorted(by_r.items()):
+        lbs = {p.output_column: _lookback(p, boundary)[1] for p in group}
+        lb_min = min(lbs.values())
+        hop = F.expr(f"CAST({TS_COL} DIV {r} AS LONG) * {r}").alias("__h")
+        aggs = [
+            a
+            for p in group
+            for a in _state_aggs(
+                p,
+                _integral(p),
+                lb=None if lbs[p.output_column] == lb_min else lbs[p.output_column],
+            )
+        ]
+        g = ev.filter(F.col(TS_COL) >= lb_min).groupBy(*keys, hop).agg(*aggs)
+        state_cols = [c for c in g.columns if "__" in c and c != "__h"]
+        f = g.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h"), *state_cols))
+            ).alias("__e")
+        )
+
+        def _ext(name):
+            return lambda x: x[name]
+
+        def _ext2(name, sub):
+            return lambda x: x[name][sub]
+
+        sel = [F.col(k) for k in keys] + [
+            F.transform("__e", _ext("__h")).alias(f"__h{r}")
+        ]
+        for sc in state_cols:
+            st = sc.rsplit("__", 1)[1]
+            if st in ("fst", "lst"):
+                sel.append(F.transform("__e", _ext2(sc, "t")).alias(f"{sc}_ts"))
+                sel.append(F.transform("__e", _ext2(sc, "v")).alias(f"{sc}_v"))
+            else:
+                sel.append(F.transform("__e", _ext(sc)).alias(sc))
+        frames.append(f.select(*sel))
+
+    # ---- HLL parts: per-part two-stage register rollups
     for p in parts:
         o = p.output_column
-        integral = isinstance(ev_types[p.input_column], _INTEGRAL)
+        integral = _integral(p)
         if p.operation is Operation.APPROX_UNIQUE_COUNT:
             idx, rho = hll_idx_rho_exprs(p.input_column)
             base = ev.select(
@@ -227,48 +298,10 @@ def group_by_upload(
                     F.transform("__e", lambda x: x["__r"]).alias(f"{o}__r"),
                 )
             frames.append(f)
-            continue
 
-        states = _state_aggs(p, integral)
-        if p.window is None:
-            f = ev.groupBy(*keys).agg(*states)
-            for st in _MOMENT_STATES[p.operation]:
-                if st in ("fst", "lst"):
-                    f = _explode_tv(f, o, st)
-        else:
-            r, lb = _lookback(p, boundary)
-            hop = F.expr(f"CAST({TS_COL} DIV {r} AS LONG) * {r}").alias("__h")
-            g = ev.filter(F.col(TS_COL) >= lb).groupBy(*keys, hop).agg(*states)
-            state_cols = [
-                c for c in g.columns if c.startswith(f"{o}__")
-            ]
-            f = g.groupBy(*keys).agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__h"), *state_cols))
-                ).alias("__e")
-            )
-            def _ext(name):
-                return lambda x: x[name]
-
-            def _ext2(name, sub):
-                return lambda x: x[name][sub]
-
-            sel = [F.col(k) for k in keys] + [
-                F.transform("__e", _ext("__h")).alias(f"{o}__h")
-            ]
-            for sc in state_cols:
-                st = sc[len(o) + 2 :]
-                if st in ("fst", "lst"):
-                    sel.append(F.transform("__e", _ext2(sc, "t")).alias(f"{sc}_ts"))
-                    sel.append(F.transform("__e", _ext2(sc, "v")).alias(f"{sc}_v"))
-                else:
-                    sel.append(F.transform("__e", _ext(sc)).alias(sc))
-            f = f.select(*sel)
-        frames.append(f)
-
+    # ≤ (1 + #resolutions + #HLL-parts) narrow per-key frames — each the
+    # output of groupBy(keys), so the outer joins line up on the keys
     out = frames[0]
-    # every frame is the output of groupBy(keys) — hash-partitioned on the
-    # keys already, so these outer joins add no exchange
     for f in frames[1:]:
         out = out.join(f, on=keys, how="outer")
     return out
@@ -352,6 +385,8 @@ def fetch_features(
                 "col": p.input_column,
                 "w": w,
                 "r": r,
+                # shared per-resolution hop-start array in the upload row
+                "hop": None if r is None else f"__h{r}",
                 "integral": integral,
                 "numeric": isinstance(
                     st_types[p.input_column], (T.NumericType, T.BooleanType)
@@ -445,7 +480,7 @@ def fetch_features(
             if w is None:
                 b_n = nb
             else:
-                hh = _np(urow, f"{o}__h", np.int64)
+                hh = _np(urow, c["hop"], np.int64)
                 bidx = np.searchsorted(hh, ws, side="left")
                 b_n = _suffix_sum(_np(urow, f"{o}__n", np.float64), len(hh))[bidx]
             n = b_n + h_n
@@ -467,7 +502,7 @@ def fetch_features(
                     b_s = np.full(len(qt), _nan_f(urow.get(f"{o}__{st}")))
                     b_s = np.where(np.isnan(b_s), 0.0, b_s)
                 else:
-                    hh = _np(urow, f"{o}__h", np.int64)
+                    hh = _np(urow, c["hop"], np.int64)
                     bidx = np.searchsorted(hh, ws, side="left")
                     arr = _np(urow, f"{o}__{st}", np.float64)
                     b_s = _suffix_sum(np.nan_to_num(arr), len(hh))[bidx]
@@ -581,7 +616,7 @@ def _fetch_minmax(c, urow, cts, cv, lo, j, ws, boundary):
     if ws is None:
         b = np.full(len(lo), _nan_f(urow.get(f"{o}__{sname}")))
     else:
-        hh = _np(urow, f"{o}__h", np.int64)
+        hh = _np(urow, c["hop"], np.int64)
         arr = _np(urow, f"{o}__{sname}", np.float64)
         suf = np.full(len(hh) + 1, np.nan)
         if len(hh):
@@ -615,7 +650,7 @@ def _fetch_firstlast(c, urow, cts, cv, lo, j, ws):
         has_b = np.full(nq, bts is not None and not (isinstance(bts, float) and np.isnan(bts)))
         bvs = np.full(nq, bv, dtype=object)
     else:
-        hh = _np(urow, f"{o}__h", np.int64)
+        hh = _np(urow, c["hop"], np.int64)
         st = "fst" if first else "lst"
         hts = _np(urow, f"{o}__{st}_ts", np.float64)
         hv_raw = urow.get(f"{o}__{st}_v")

@@ -183,21 +183,22 @@ def test_upload_is_one_row_per_key_and_bounded(spark):
     rows = up.collect()
     users = [r["user"] for r in rows]
     assert len(users) == len(set(users))
-    # tail-hop arrays are bounded by window/hop + 1, independent of history
+    # tail-hop arrays are bounded by max(window)/hop + 1 per shared
+    # resolution frame, independent of history
     for r in rows:
         d = r.asDict()
-        h7 = d.get("v_sum_7d__h")
+        h7 = d.get("__h3600000")  # 1h hops, longest sharing window = 7d
         if h7 is not None:
-            assert len(h7) <= 7 * 24 + 1  # 7d @ 1h hops
+            assert len(h7) <= 7 * 24 + 1
             assert all(
                 h7[i] < h7[i + 1] for i in range(len(h7) - 1)
             ), "hop starts sorted"
             assert all(
                 BOUNDARY - 7 * MS_DAY - 3_600_000 < h < BOUNDARY for h in h7
             )
-        h6 = d.get("v_min_6h__h")
+        h6 = d.get("__h300000")  # 5m hops, longest sharing window = 6h
         if h6 is not None:
-            assert len(h6) <= 6 * 12 + 1  # 6h @ 5m hops
+            assert len(h6) <= 6 * 12 + 1
 
 
 def test_rejects_non_uploadable(spark):
