@@ -29,12 +29,21 @@ Layout notes (deliberate deviations from the reference, documented):
   optimization we skip, not a semantic.
 
 Scope: the scalar-algebraic family (COUNT/SUM/AVERAGE/MIN/MAX/
-VARIANCE/SKEW/KURTOSIS), FIRST/LAST (shared (ts, value) tie-break), and
-APPROX_UNIQUE_COUNT (HLL register entries, functions/sketches.py).
-Buckets, element-wise and set-like exact ops are rejected — those are
-served offline by the lambda-tile path (streaming/lambda_tiles.py +
-operators/tilestore.py), which covers every op at per-(key, tile)
-granularity; this module exists for the bounded per-key serving LAYOUT.
+VARIANCE/SKEW/KURTOSIS), FIRST/LAST (shared (ts, value) tie-break),
+APPROX_UNIQUE_COUNT (HLL register entries, functions/sketches.py), and
+the bounded-IR gather/sketch family — TOP_K/BOTTOM_K/FIRST_K/LAST_K
+(≤k lists), BOUNDED_UNIQUE_COUNT (≤k capped set — exact under the cap
+argument), APPROX_PERCENTILE ((n, ≤S equi-rank sample) per hop; exact
+while no hop truncates, the tiled kernel's own tile IR beyond), and
+APPROX_HISTOGRAM_K (≤8k-entry capped Misra-Gries count-map with error
+sentinel). Hop-list states ship as parallel (flat primitive array,
+per-hop lengths) columns — nested array<array<>> cogroup inputs
+segfault pyarrow's arrow_to_pandas just like the struct-of-array shape.
+Buckets, element-wise and exact UNIQUE_COUNT/HISTOGRAM (truly unbounded
+state) are rejected — those are served offline by the lambda-tile path
+(streaming/lambda_tiles.py + operators/tilestore.py), which covers
+every op at per-(key, tile) granularity; this module exists for the
+bounded per-key serving LAYOUT.
 
 At 100 TB: the upload is one groupBy per aggregation over the tail
 range (partition-pruned scan: only ``window`` days of history are read
@@ -77,9 +86,25 @@ UPLOADABLE = {
     Operation.FIRST,
     Operation.LAST,
     Operation.APPROX_UNIQUE_COUNT,
+    # bounded-IR gather/sketch family: per-hop state is a ≤k list, ≤k
+    # value set, (n, ≤S equi-rank sample), or ≤8k-entry capped count-map
+    # — the same IR algebra the hot-key slicer merges (temporal.py
+    # _BASELINE_OPS); only exact UNIQUE_COUNT/HISTOGRAM (truly unbounded
+    # state) stay lambda-tile-only
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+    Operation.FIRST_K,
+    Operation.LAST_K,
+    Operation.BOUNDED_UNIQUE_COUNT,
+    Operation.APPROX_PERCENTILE,
+    Operation.APPROX_HISTOGRAM_K,
 }
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+
+# hop states whose per-hop value is a bounded LIST — shipped to the fetch
+# kernel as parallel (flat values, per-hop lengths) primitive arrays
+_LIST_STATES = frozenset({"topk", "botk", "fstk", "lstk", "uset", "mgk", "mgv"})
 
 _MOMENT_STATES = {
     Operation.COUNT: ("n",),
@@ -92,6 +117,13 @@ _MOMENT_STATES = {
     Operation.MAX: ("n", "mx"),
     Operation.FIRST: ("fst",),
     Operation.LAST: ("lst",),
+    Operation.TOP_K: ("topk",),
+    Operation.BOTTOM_K: ("botk",),
+    Operation.FIRST_K: ("fstk",),
+    Operation.LAST_K: ("lstk",),
+    Operation.BOUNDED_UNIQUE_COUNT: ("uset",),
+    Operation.APPROX_PERCENTILE: ("pqs",),
+    Operation.APPROX_HISTOGRAM_K: ("mgh",),
 }
 
 
@@ -136,6 +168,18 @@ def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> li
         c = F.when(F.col(TS_COL) >= lb, c)
     o = p.output_column
     cd = c.cast("double")
+    # SQL fragment twin of ``c`` for the list/sketch states (their
+    # builders — equirank_sample_struct, _hist_ir_capped — take SQL text)
+    cs = (
+        p.input_column
+        if lb is None
+        else f"(CASE WHEN {TS_COL} >= {lb} THEN {p.input_column} END)"
+    )
+    struct_sql = (
+        f"CASE WHEN {cs} IS NOT NULL "
+        f"THEN named_struct('t', {TS_COL}, 'v', {cs}) END"
+    )
+    k = int(p.arg_map.get("k", 1))
     out = []
     for st in _MOMENT_STATES[p.operation]:
         if st == "n":
@@ -163,7 +207,111 @@ def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> li
             out.append(
                 (F.min(s) if st == "fst" else F.max(s)).alias(f"{o}__{st}")
             )
+        elif st == "topk":
+            out.append(
+                F.expr(
+                    f"slice(reverse(array_sort(collect_list({cs}))), 1, {k})"
+                ).alias(f"{o}__topk")
+            )
+        elif st == "botk":
+            out.append(
+                F.expr(f"slice(array_sort(collect_list({cs})), 1, {k})").alias(
+                    f"{o}__botk"
+                )
+            )
+        elif st == "fstk":
+            # earliest-k values in the shared (ts, value) tie order
+            out.append(
+                F.expr(
+                    f"transform(slice(array_sort(collect_list({struct_sql})), "
+                    f"1, {k}), x -> x.v)"
+                ).alias(f"{o}__fstk")
+            )
+        elif st == "lstk":
+            # newest-first k in the shared (ts, value) tie order
+            out.append(
+                F.expr(
+                    f"transform(slice(reverse(array_sort(collect_list("
+                    f"{struct_sql}))), 1, {k}), x -> x.v)"
+                ).alias(f"{o}__lstk")
+            )
+        elif st == "uset":
+            # distinct set capped at k: either complete (exact) or the
+            # answer is already pinned at k — unions stay exact
+            out.append(
+                F.expr(
+                    f"slice(array_sort(array_distinct(collect_list({cs}))), 1, {k})"
+                ).alias(f"{o}__uset")
+            )
+        elif st == "pqs":
+            from chronon_spark.functions.aggregations import (
+                _let_sql,
+                _pct_samples,
+                equirank_sample_struct,
+            )
+
+            if lb is None and p.window is None:
+                # unbounded: one collapsed struct, NULL-when-empty is fine
+                out.append(
+                    F.expr(
+                        equirank_sample_struct(
+                            f"sort_array(collect_list(CAST({cs} AS DOUBLE)))",
+                            _pct_samples(p),
+                        )
+                    ).alias(f"{o}__pqs")
+                )
+            else:
+                # hop frames: NEVER-NULL struct (n=0, q=[] for empty/guarded
+                # hops) so the flat+lengths extraction stays aligned
+                s_ = _pct_samples(p)
+                lst = f"sort_array(collect_list(CAST({cs} AS DOUBLE)))"
+                sampled = (
+                    f"CASE WHEN size(__lst) <= {s_} THEN __lst "
+                    f"ELSE transform(sequence(0, {s_} - 1), "
+                    f"i -> element_at(__lst, CAST(floor(i * (size(__lst) - 1) "
+                    f"/ ({s_} - 1)) AS INT) + 1)) END"
+                )
+                body = (
+                    f"named_struct('n', CAST(size(__lst) AS BIGINT), "
+                    f"'q', {sampled})"
+                )
+                out.append(F.expr(_let_sql(lst, "__lst", body)).alias(f"{o}__pqs"))
+        elif st == "mgh":
+            from chronon_spark.functions.aggregations import _hist_ir_capped
+
+            # capped Misra-Gries count-map with error sentinel — split
+            # into parallel (keys, counts) arrays after the agg (maps
+            # aren't orderable inside the hop collect struct)
+            out.append(_hist_ir_capped(cs, p).alias(f"{o}__mgh"))
     return out
+
+
+def _split_map_states(df: DataFrame, parts: "list[AggregationPart]") -> DataFrame:
+    """Replace each APPROX_HISTOGRAM_K map state with parallel
+    (keys, counts) array columns — entry order is the IR's own ranked
+    (count desc, key asc) order with the error sentinel last."""
+    for p in parts:
+        if p.operation is Operation.APPROX_HISTOGRAM_K:
+            o = p.output_column
+            if f"{o}__mgh" in df.columns:
+                df = (
+                    df.withColumn(
+                        f"{o}__mgk",
+                        F.coalesce(
+                            F.map_keys(F.col(f"{o}__mgh")),
+                            F.array().cast("array<string>"),
+                        ),
+                    )
+                    .withColumn(
+                        f"{o}__mgv",
+                        F.coalesce(
+                            F.map_values(F.col(f"{o}__mgh")),
+                            F.array().cast("array<bigint>"),
+                        ),
+                    )
+                    .drop(f"{o}__mgh")
+                )
+    return df
 
 
 def _explode_tv(df: DataFrame, o: str, st: str) -> DataFrame:
@@ -207,9 +355,17 @@ def group_by_upload(
         aggs = [a for p in ub for a in _state_aggs(p, _integral(p))]
         f = ev.groupBy(*keys).agg(*aggs)
         for p in ub:
+            o = p.output_column
             for st in _MOMENT_STATES[p.operation]:
                 if st in ("fst", "lst"):
-                    f = _explode_tv(f, p.output_column, st)
+                    f = _explode_tv(f, o, st)
+                elif st == "pqs":
+                    f = (
+                        f.withColumn(f"{o}__pqs_n", F.col(f"{o}__pqs")["n"])
+                        .withColumn(f"{o}__pqs_q", F.col(f"{o}__pqs")["q"])
+                        .drop(f"{o}__pqs")
+                    )
+        f = _split_map_states(f, ub)
         frames.append(f)
 
     # ---- windowed non-HLL parts: one hop frame PER RESOLUTION, shared
@@ -232,6 +388,7 @@ def group_by_upload(
             )
         ]
         g = ev.filter(F.col(TS_COL) >= lb_min).groupBy(*keys, hop).agg(*aggs)
+        g = _split_map_states(g, group)
         state_cols = [c for c in g.columns if "__" in c and c != "__h"]
         f = g.groupBy(*keys).agg(
             F.sort_array(
@@ -245,6 +402,12 @@ def group_by_upload(
         def _ext2(name, sub):
             return lambda x: x[name][sub]
 
+        def _ext_size(name):
+            return lambda x: F.size(x[name])
+
+        def _ext_size2(name, sub):
+            return lambda x: F.size(x[name][sub])
+
         sel = [F.col(k) for k in keys] + [
             F.transform("__e", _ext("__h")).alias(f"__h{r}")
         ]
@@ -253,6 +416,21 @@ def group_by_upload(
             if st in ("fst", "lst"):
                 sel.append(F.transform("__e", _ext2(sc, "t")).alias(f"{sc}_ts"))
                 sel.append(F.transform("__e", _ext2(sc, "v")).alias(f"{sc}_v"))
+            elif st == "pqs":
+                # flat sample values + per-hop lengths (counts ride __n):
+                # nested array<array<>> cogroup inputs segfault pyarrow's
+                # arrow_to_pandas, so every hop-list column ships as
+                # (flat primitive array, per-hop length array)
+                sel.append(F.transform("__e", _ext2(sc, "n")).alias(f"{sc}_n"))
+                sel.append(
+                    F.flatten(F.transform("__e", _ext2(sc, "q"))).alias(f"{sc}_q_f")
+                )
+                sel.append(
+                    F.transform("__e", _ext_size2(sc, "q")).alias(f"{sc}_q_l")
+                )
+            elif st in _LIST_STATES:
+                sel.append(F.flatten(F.transform("__e", _ext(sc))).alias(f"{sc}_f"))
+                sel.append(F.transform("__e", _ext_size(sc)).alias(f"{sc}_l"))
             else:
                 sel.append(F.transform("__e", _ext(sc)).alias(sc))
         frames.append(f.select(*sel))
@@ -391,6 +569,12 @@ def fetch_features(
                 "numeric": isinstance(
                     st_types[p.input_column], (T.NumericType, T.BooleanType)
                 ),
+                "k": int(
+                    p.arg_map.get(
+                        "k", 8 if p.operation is Operation.APPROX_HISTOGRAM_K else 1
+                    )
+                ),
+                "percentiles": list(p.arg_map.get("percentiles", [0.5])),
             }
         )
         if p.operation in (Operation.MIN, Operation.MAX) and not cfg[-1]["numeric"]:
@@ -414,6 +598,19 @@ def fetch_features(
             Operation.KURTOSIS,
         ):
             t = T.DoubleType()
+        elif op is Operation.BOUNDED_UNIQUE_COUNT:
+            t = T.LongType()
+        elif op is Operation.APPROX_PERCENTILE:
+            t = T.ArrayType(T.DoubleType())
+        elif op is Operation.APPROX_HISTOGRAM_K:
+            t = T.MapType(T.StringType(), T.LongType())
+        elif op in (
+            Operation.TOP_K,
+            Operation.BOTTOM_K,
+            Operation.FIRST_K,
+            Operation.LAST_K,
+        ):
+            t = T.ArrayType(st_types[c["col"]])
         else:  # MIN / MAX / FIRST / LAST — input-typed
             t = st_types[c["col"]]
         out_fields.append(T.StructField(c["o"], t))
@@ -434,10 +631,10 @@ def fetch_features(
         res: dict[str, np.ndarray] = {}
 
         # per-input-col compacted head arrays, (ts, value)-tie-ordered
-        packs: dict[str, tuple] = {}
+        packs: dict[tuple, tuple] = {}
 
         def pack(col, numeric):
-            if col not in packs:
+            if (col, numeric) not in packs:
                 vals = ev[col]
                 nn = vals.notna().to_numpy()
                 ets = ev[TS_COL].to_numpy(np.int64)[nn]
@@ -450,8 +647,8 @@ def fetch_features(
                         (np.array([str(x) for x in cv], dtype=object), ets)
                     )
                 cts, cv = ets[order], cv[order]
-                packs[col] = (cts, cv)
-            return packs[col]
+                packs[(col, numeric)] = (cts, cv)
+            return packs[(col, numeric)]
 
         for c in cfg:
             o, op, col, w, r = c["o"], c["op"], c["col"], c["w"], c["r"]
@@ -464,7 +661,10 @@ def fetch_features(
             if op is Operation.APPROX_UNIQUE_COUNT:
                 res[o] = _fetch_hll(c, urow, ev, qt, ws, boundary)
                 continue
-            cts, cv = pack(col, c["numeric"])
+            # MG count-maps stringify head values like the raw kernel
+            # (original typed values, not float-coerced)
+            pk_numeric = c["numeric"] and op is not Operation.APPROX_HISTOGRAM_K
+            cts, cv = pack(col, pk_numeric)
             j = np.searchsorted(cts, qt, side="left")
             lo = (
                 np.zeros(len(qt), dtype=np.int64)
@@ -473,6 +673,9 @@ def fetch_features(
             )
             if op in (Operation.FIRST, Operation.LAST):
                 res[o] = _fetch_firstlast(c, urow, cts, cv, lo, j, ws)
+                continue
+            if op in _GATHER_OPS:
+                res[o] = _fetch_gather(c, urow, cv, lo, j, ws)
                 continue
             # cumulative head states (prefix diffs serve ANY [lo, j) range)
             cn = np.arange(1, len(cts) + 1, dtype=np.float64)
@@ -605,6 +808,185 @@ def _finalize_moments(op, n, tot):
     out[:] = None
     has = n > 0
     out[has] = [float(v) for v in vals[has]]
+    return out
+
+
+_GATHER_OPS = {
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+    Operation.FIRST_K,
+    Operation.LAST_K,
+    Operation.BOUNDED_UNIQUE_COUNT,
+    Operation.APPROX_PERCENTILE,
+    Operation.APPROX_HISTOGRAM_K,
+}
+
+_MG_ERR_KEY = "\x00__mg_err"
+
+
+def _valid_n(x):
+    return x is not None and not (isinstance(x, float) and np.isnan(x))
+
+
+def _fetch_gather(c, urow, cv, lo, j, ws):
+    """Bounded-IR gather/sketch family: per-query suffix merge of the
+    hop IRs with the head range [lo, j) — the same merge algebra as the
+    hot-key slicer's baselines (temporal._merge_unbounded), applied to
+    hop-grain IRs instead of slice-grain. Exact for k-lists and capped
+    sets always; for APPROX_PERCENTILE while every hop kept all its
+    values (n ≤ S); for APPROX_HISTOGRAM_K while no hop truncated —
+    beyond that each degrades to its op's own sketch contract."""
+    o, op, w, k = c["o"], c["op"], c["w"], c["k"]
+    nq = len(lo)
+    out = np.empty(nq, dtype=object)
+    out[:] = None
+
+    def _arr(col):
+        v = urow.get(col)
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return []
+        return list(v)
+
+    def _hoplists(base):
+        """Rebuild per-hop lists from the (flat, lengths) parallel arrays
+        (nested array<array<>> cogroup inputs segfault pyarrow)."""
+        lens = _arr(f"{base}_l")
+        if not lens:
+            return []
+        ln = np.array([0 if not _valid_n(x) else int(x) for x in lens], dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(ln)))
+        flat_raw = urow.get(f"{base}_f")
+        flat = (
+            np.empty(0, dtype=object)
+            if flat_raw is None or (isinstance(flat_raw, float) and np.isnan(flat_raw))
+            else np.asarray(flat_raw)
+        )
+        return [flat[off[t] : off[t + 1]] for t in range(len(ln))]
+
+    if w is not None:
+        hh = _np(urow, c["hop"], np.int64)
+        bidx = np.searchsorted(hh, ws, side="left")
+
+    def _fin(vals):
+        if c["integral"]:
+            return [int(round(float(x))) for x in vals]
+        if c["numeric"]:
+            return [float(x) for x in vals]
+        return [str(x) for x in vals]
+
+    if op in (Operation.TOP_K, Operation.BOTTOM_K, Operation.FIRST_K, Operation.LAST_K):
+        st = {
+            Operation.TOP_K: "topk",
+            Operation.BOTTOM_K: "botk",
+            Operation.FIRST_K: "fstk",
+            Operation.LAST_K: "lstk",
+        }[op]
+        lists = _arr(f"{o}__{st}") if w is None else _hoplists(f"{o}__{st}")
+        for i in range(nq):
+            head = list(cv[lo[i] : j[i]])
+            if w is None:
+                pre = list(lists)
+            else:
+                suffix = [l for l in lists[bidx[i] :] if len(l)]
+                if op is Operation.LAST_K:
+                    # newest hop first; each hop list already newest-first
+                    pre = [x for l in suffix[::-1] for x in l]
+                else:
+                    pre = [x for l in suffix for x in l]
+            if op is Operation.FIRST_K:
+                m = (pre + head)[:k]
+            elif op is Operation.LAST_K:
+                m = (head[::-1] + pre)[:k]
+            elif op is Operation.TOP_K:
+                m = sorted(pre + head, reverse=True)[:k]
+            else:
+                m = sorted(pre + head)[:k]
+            out[i] = _fin(m) if m else None
+        return out
+
+    if op is Operation.BOUNDED_UNIQUE_COUNT:
+        sets = _arr(f"{o}__uset") if w is None else _hoplists(f"{o}__uset")
+        for i in range(nq):
+            if w is None:
+                s = set(sets)
+            else:
+                s = set()
+                for l in sets[bidx[i] :]:
+                    s.update(l.tolist())
+            s.update(cv[lo[i] : j[i]].tolist())
+            out[i] = min(len(s), k) if s else None
+        return out
+
+    if op is Operation.APPROX_PERCENTILE:
+        from chronon_spark.operators.temporal import _weighted_pct
+
+        qs_p = c["percentiles"]
+        if w is None:
+            # unbounded: ONE collapsed (n, sample) prefix IR, scalar n
+            bn = urow.get(f"{o}__pqs_n")
+            bq = urow.get(f"{o}__pqs_q")
+            prs0 = (
+                [(int(bn), np.asarray(bq, dtype=np.float64))]
+                if _valid_n(bn) and bq is not None
+                else []
+            )
+        else:
+            ns = _arr(f"{o}__pqs_n")
+            qarr = _hoplists(f"{o}__pqs_q")
+        for i in range(nq):
+            if w is None:
+                prs = prs0
+            else:
+                prs = [
+                    (int(ns[t]), np.asarray(qarr[t], dtype=np.float64))
+                    for t in range(bidx[i], len(ns))
+                    if _valid_n(ns[t]) and int(ns[t]) > 0
+                ]
+            head = cv[lo[i] : j[i]].astype(np.float64)
+            if not prs and len(head) == 0:
+                out[i] = None
+            elif all(n_ == len(q_) for n_, q_ in prs):
+                # exact regime: every hop kept its full multiset
+                allv = np.concatenate([q_ for _, q_ in prs] + [head]) if prs else head
+                out[i] = [float(np.percentile(allv, q * 100)) for q in qs_p]
+            else:
+                va = np.concatenate([q_ for _, q_ in prs] + [head])
+                wa = np.concatenate(
+                    [np.full(len(q_), n_ / len(q_)) for n_, q_ in prs]
+                    + [np.ones(len(head))]
+                )
+                order = np.argsort(va, kind="mergesort")
+                va, wa = va[order], wa[order]
+                out[i] = [_weighted_pct(va, wa, q) for q in qs_p]
+        return out
+
+    # APPROX_HISTOGRAM_K: entry-sum merge of capped count-maps + exact
+    # head counts, truncated to k by (count desc, key asc); the chr(0)
+    # error sentinel accumulates internally but never surfaces
+    if w is None:
+        karr = _arr(f"{o}__mgk")
+        varr = _arr(f"{o}__mgv")
+    else:
+        karr = _hoplists(f"{o}__mgk")
+        varr = _hoplists(f"{o}__mgv")
+    for i in range(nq):
+        d: dict = {}
+        if w is None:
+            maps = [(karr, varr)] if karr else []
+        else:
+            maps = [(karr[t], varr[t]) for t in range(bidx[i], len(karr))]
+        for kk_l, vv_l in maps:
+            for k_, v_ in zip(list(kk_l), list(vv_l)):
+                d[str(k_)] = d.get(str(k_), 0) + int(v_)
+        for x in cv[lo[i] : j[i]]:
+            sx = str(x)
+            d[sx] = d.get(sx, 0) + 1
+        d.pop(_MG_ERR_KEY, None)
+        if not d:
+            out[i] = None
+        else:
+            items = sorted(d.items(), key=lambda e: (-e[1], e[0]))
+            out[i] = dict(items[:k])
     return out
 
 

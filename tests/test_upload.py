@@ -58,6 +58,27 @@ GB = _gb(
     Aggregation("s", Operation.APPROX_UNIQUE_COUNT, windows=(Window(7), None)),
 )
 
+# bounded-IR gather/sketch family (separate GroupBy keeps the base GB's
+# hop-frame shape assertions untouched)
+GB_GATHER = _gb(
+    Aggregation("v", Operation.TOP_K, arg_map={"k": 5}, windows=(Window(7), None)),
+    Aggregation("vi", Operation.BOTTOM_K, arg_map={"k": 4}, windows=(Window(3),)),
+    Aggregation("s", Operation.FIRST_K, arg_map={"k": 4}, windows=(Window(7),)),
+    Aggregation(
+        "v", Operation.LAST_K, arg_map={"k": 3}, windows=(Window(6, TimeUnit.HOURS), None)
+    ),
+    Aggregation(
+        "s", Operation.BOUNDED_UNIQUE_COUNT, arg_map={"k": 10}, windows=(Window(7), None)
+    ),
+    Aggregation(
+        "v",
+        Operation.APPROX_PERCENTILE,
+        arg_map={"percentiles": [0.25, 0.5, 0.9], "accuracy": 1024},
+        windows=(Window(7), None),
+    ),
+    Aggregation("s", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 8}, windows=(Window(7), None)),
+)
+
 
 def _mk(spark, n=900, seed=11, n_users=6, days=12):
     """Events spanning [T0, T0 + days); serving-day queries on the day
@@ -110,7 +131,19 @@ def _cmp(got_df, exp_df, approx_cols=()):
             if col in ("user", "ts", "qid"):
                 continue
             ev_ = e[col]
-            if col in approx_cols:
+            if isinstance(gv, (list, tuple)) or isinstance(ev_, (list, tuple)):
+                if (gv is None) != (ev_ is None) or (
+                    gv is not None and len(gv) != len(ev_)
+                ):
+                    ok = False
+                else:
+                    ok = gv is None or all(
+                        (a == pytest.approx(b, rel=1e-9, abs=1e-9))
+                        if isinstance(a, float) or isinstance(b, float)
+                        else a == b
+                        for a, b in zip(gv, ev_)
+                    )
+            elif col in approx_cols:
                 ok = (gv is None) == (ev_ is None) and (
                     gv is None or abs(gv - ev_) <= max(2, 0.1 * max(gv, ev_))
                 )
@@ -138,6 +171,45 @@ def test_fetch_matches_raw_kernel(spark):
     got = _fetch(spark, GB, ev_df, q_df)
     exp = _expected(spark, GB, ev_df, q_df)
     _cmp(got, exp, approx_cols=("s_approx_unique_count_7d", "s_approx_unique_count"))
+
+
+def test_fetch_gather_family_matches_raw_kernel(spark):
+    """k-lists, capped sets, equi-rank percentile samples and capped
+    count-maps through the upload→fetch round trip — exact regime
+    (accuracy=1024 > any per-key prefix; no hop/day truncates), so every
+    value must be bit-identical to the raw kernel over full history."""
+    ev_df, q_df = _mk(spark)
+    got = _fetch(spark, GB_GATHER, ev_df, q_df)
+    exp = _expected(spark, GB_GATHER, ev_df, q_df)
+    _cmp(got, exp)
+
+
+def test_fetch_percentile_sketch_regime_band(spark):
+    """accuracy=8 forces sample truncation (900 events / 6 users >> 8):
+    the weighted equi-rank estimate must stay within a band of the exact
+    percentile, and n/null structure must match exactly."""
+    ev_df, q_df = _mk(spark)
+    gb = _gb(
+        Aggregation(
+            "v",
+            Operation.APPROX_PERCENTILE,
+            arg_map={"percentiles": [0.5], "accuracy": 8},
+            windows=(Window(7), None),
+        )
+    )
+    got = {r["qid"]: r.asDict() for r in _fetch(spark, gb, ev_df, q_df).collect()}
+    exp = {r["qid"]: r.asDict() for r in _expected(spark, gb, ev_df, q_df).collect()}
+    assert set(got) == set(exp)
+    for qid, g in got.items():
+        for col in g:
+            if col in ("user", "ts", "qid"):
+                continue
+            gv, ev_ = g[col], exp[qid][col]
+            assert (gv is None) == (ev_ is None), (qid, col)
+            if gv is not None:
+                for a, b in zip(gv, ev_):
+                    # v ~ N(10, 4): a generous absolute band on the median
+                    assert abs(a - b) <= 3.0, (qid, col, gv, ev_)
 
 
 def test_hll_register_parity(spark):
