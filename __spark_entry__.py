@@ -1680,6 +1680,101 @@ def q_kv_upload_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KV upload/fetch round trip for the bounded-IR gather/sketch
+    family (operators/upload.py — reference GroupByUpload's k-list, set
+    and sketch IRs): TOP_K/BOTTOM_K/FIRST_K/LAST_K hop lists,
+    BOUNDED_UNIQUE_COUNT capped sets, APPROX_PERCENTILE equi-rank
+    samples and APPROX_HISTOGRAM_K capped count-maps, all uploaded at
+    the second-to-last day's boundary and served as last-day point
+    fetches. At sf0.01 every (user, hour) hop holds ≤3 events and 5
+    distinct event types, so all sketch IRs are in their EXACT regime —
+    the DuckDB oracle recomputes every value from raw history and the
+    hash must match bit-for-bit. List/map outputs are canonicalized to
+    strings (the driver hash cannot take list columns)."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.upload import fetch_features, group_by_upload
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    days = sorted(r["ds"] for r in ev.select("ds").distinct().collect())
+    end_ds, serve_ds = days[-2], days[-1]
+    gb = GroupBy(
+        name="kv_gather_gb",
+        sources=(EventSource(table="events"),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value_c", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation("value_c", Operation.BOTTOM_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation("value_c", Operation.FIRST_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation("value_c", Operation.LAST_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation(
+                "value_c",
+                Operation.BOUNDED_UNIQUE_COUNT,
+                arg_map={"k": 10},
+                windows=(Window(7),),
+            ),
+            Aggregation(
+                "value_c",
+                Operation.APPROX_PERCENTILE,
+                arg_map={"percentiles": [0.5]},
+                windows=(Window(7),),
+            ),
+            Aggregation(
+                "event_type",
+                Operation.APPROX_HISTOGRAM_K,
+                arg_map={"k": 3},
+                windows=(Window(7),),
+            ),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    feed = ev.select("user_id", "ts", "value_c", "event_type")
+    up = group_by_upload(spark, gb, feed, end_ds)
+    q = ev.filter(F.col("ds") == serve_ds).select("event_id", "user_id", "ts")
+    out = fetch_features(spark, gb, up, feed, q, end_ds)
+
+    def _lst(col):
+        return F.array_join(
+            F.transform(F.col(col), lambda x: x.cast("string")), ","
+        )
+
+    mg_str = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.map_entries("event_type_approx_histogram_k_7d"),
+                lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+                .when(a["value"] < b["value"], F.lit(1))
+                .when(a["key"] < b["key"], F.lit(-1))
+                .otherwise(F.lit(1)),
+            ),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+        ",",
+    )
+    return out.select(
+        "event_id",
+        _lst("value_c_top_k_3_7d").alias("top3_7d"),
+        _lst("value_c_bottom_k_3_7d").alias("bot3_7d"),
+        _lst("value_c_first_k_3_7d").alias("first3_7d"),
+        _lst("value_c_last_k_3_7d").alias("last3_7d"),
+        F.col("value_c_bounded_unique_count_7d").alias("buc10_7d"),
+        F.round(
+            F.element_at("value_c_approx_percentile_7d", 1), 6
+        ).alias("med_7d"),
+        mg_str.alias("mg3_7d"),
+    )
+
+
 # ----------------------------------------------------------------------- API
 
 
@@ -1743,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_backfill": q_incremental_backfill,
         "tilestore_cached": q_tilestore_cached,
         "kv_upload_fetch": q_kv_upload_fetch,
+        "kv_upload_gather": q_kv_upload_gather,
     }
 
 
@@ -2371,6 +2467,47 @@ FROM ev q
 JOIN bounds b ON q.d = b.last_d
 LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
 GROUP BY q.event_id
+""",
+        "kv_upload_gather": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   event_type, CAST(ts AS DATE) AS d FROM events),
+bounds AS (SELECT max(d) AS last_d FROM ev),
+q AS (SELECT ev.* FROM ev JOIN bounds b ON ev.d = b.last_d),
+pairs AS (
+  SELECT q.event_id, e.vc, e.tms, e.event_type
+  FROM q LEFT JOIN ev e
+    ON e.user_id = q.user_id AND e.tms < q.tms
+   AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H}
+),
+agg AS (
+  SELECT event_id,
+    array_to_string((list(vc ORDER BY vc DESC) FILTER (vc IS NOT NULL))[1:3], ',') AS top3_7d,
+    array_to_string((list(vc ORDER BY vc) FILTER (vc IS NOT NULL))[1:3], ',') AS bot3_7d,
+    array_to_string((list(vc ORDER BY tms, vc) FILTER (vc IS NOT NULL))[1:3], ',') AS first3_7d,
+    array_to_string((list(vc ORDER BY tms DESC, vc DESC) FILTER (vc IS NOT NULL))[1:3], ',') AS last3_7d,
+    CASE WHEN count(vc) > 0 THEN least(count(DISTINCT vc), 10) END AS buc10_7d,
+    round(quantile_cont(vc, 0.5), 6) AS med_7d
+  FROM pairs GROUP BY event_id
+),
+mg AS (
+  SELECT event_id, event_type, count(*) AS n
+  FROM pairs WHERE event_type IS NOT NULL
+  GROUP BY event_id, event_type
+),
+mgr AS (
+  SELECT event_id, event_type, n,
+         row_number() OVER (PARTITION BY event_id ORDER BY n DESC, event_type) AS rn
+  FROM mg
+),
+mgs AS (
+  SELECT event_id,
+         string_agg(event_type || ':' || n, ',' ORDER BY n DESC, event_type) AS mg3_7d
+  FROM mgr WHERE rn <= 3 GROUP BY event_id
+)
+SELECT a.event_id, a.top3_7d, a.bot3_7d, a.first3_7d, a.last3_7d,
+       a.buc10_7d, a.med_7d, m.mg3_7d
+FROM agg a LEFT JOIN mgs m ON m.event_id = a.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc
