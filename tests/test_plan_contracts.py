@@ -332,3 +332,68 @@ def test_sliced_raw_kernel_plan_contracts(spark):
     splan = _plan(column_summary(sdf.select("ds", "v"), keys=()))
     assert "percentile_approx" in splan
     assert "percentile(" not in splan.replace("percentile_approx(", "")
+
+
+def test_upload_shares_one_hop_frame_per_resolution(spark):
+    """group_by_upload must shuffle O(resolutions), not O(parts): eight
+    windowed parts sharing the 1h hop resolution plus two unbounded
+    parts collapse to one hop-frame groupBy chain + one prefix groupBy
+    (operators/upload.py). A per-part layout would show ~17 exchanges."""
+    import numpy as np
+
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.upload import group_by_upload
+
+    n = 400
+    rng = np.random.default_rng(5)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": [f"u{i}" for i in rng.integers(0, 4, n)],
+                "ts": (1_700_006_400_000 + rng.integers(0, 10 * 86_400_000, n)).astype(
+                    "int64"
+                ),
+                "v": rng.normal(10, 3, n),
+            }
+        )
+    )
+    gb = GroupBy(
+        name="pc_up",
+        sources=(EventSource(table="ev"),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(7),)),
+            Aggregation("v", Operation.COUNT, windows=(Window(7),)),
+            Aggregation("v", Operation.MIN, windows=(Window(3),)),
+            Aggregation("v", Operation.MAX, windows=(Window(7),)),
+            Aggregation("v", Operation.VARIANCE, windows=(Window(7),)),
+            Aggregation("v", Operation.LAST, windows=(Window(2),)),
+            Aggregation("v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation(
+                "v",
+                Operation.APPROX_PERCENTILE,
+                arg_map={"percentiles": [0.5]},
+                windows=(Window(7),),
+            ),
+            Aggregation("v", Operation.KURTOSIS, windows=(None,)),
+            Aggregation("v", Operation.FIRST, windows=(None,)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    up = group_by_upload(spark, gb, ev, "2023-11-24")
+    plan = _plan(up, execute=True)
+    # AQE's toString appends the pre-adaptive plan under "Initial Plan"
+    # (with fresh plan_ids) — count exchanges in the FINAL plan only
+    final = plan.split("Initial Plan", 1)[0]
+    n_ex = final.count("Exchange ")
+    # 1 prefix groupBy + 2 for the shared hop chain; the outer join adds
+    # none (both sides already hash-partitioned on the keys)
+    assert 0 < n_ex <= 3, f"upload shuffles O(parts): {n_ex} exchanges\n{plan[:2000]}"
+    assert up.count() == 4  # one row per key
