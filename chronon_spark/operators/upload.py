@@ -828,14 +828,47 @@ def _valid_n(x):
     return x is not None and not (isinstance(x, float) and np.isnan(x))
 
 
+def _pct_union_sorted(a: np.ndarray, b: np.ndarray, p: float) -> float:
+    """Linear-interpolated percentile of the union of two SORTED double
+    arrays without materializing the merge: the element at merged rank r
+    is found by positioning b's merged ranks (searchsorted(a, b) +
+    arange) — O(log |b|) per rank, so per-query cost is O(|head| log)
+    instead of O(|window|). Bit-identical to np.percentile(concat)."""
+    n = len(a) + len(b)
+    x = p * (n - 1)
+    r0 = int(np.floor(x))
+    r1 = int(np.ceil(x))
+    if len(b) == 0:
+        v0, v1 = float(a[r0]), float(a[r1])
+    elif len(a) == 0:
+        v0, v1 = float(b[r0]), float(b[r1])
+    else:
+        br = np.searchsorted(a, b, side="left") + np.arange(len(b))
+
+        def val(r):
+            t = int(np.searchsorted(br, r, side="left"))
+            if t < len(br) and br[t] == r:
+                return float(b[t])
+            return float(a[r - t])
+
+        v0, v1 = val(r0), val(r1)
+    if r0 == r1:
+        return v0
+    return v0 + (v1 - v0) * (x - r0)
+
+
 def _fetch_gather(c, urow, cv, lo, j, ws):
-    """Bounded-IR gather/sketch family: per-query suffix merge of the
-    hop IRs with the head range [lo, j) — the same merge algebra as the
-    hot-key slicer's baselines (temporal._merge_unbounded), applied to
-    hop-grain IRs instead of slice-grain. Exact for k-lists and capped
-    sets always; for APPROX_PERCENTILE while every hop kept all its
-    values (n ≤ S); for APPROX_HISTOGRAM_K while no hop truncated —
-    beyond that each degrades to its op's own sketch contract."""
+    """Bounded-IR gather/sketch family: suffix merge of the hop IRs with
+    the head range [lo, j) — the same merge algebra as the hot-key
+    slicer's baselines (temporal._merge_unbounded), applied to hop-grain
+    IRs instead of slice-grain. Exact for k-lists and capped sets
+    always; for APPROX_PERCENTILE while every hop kept all its values
+    (n ≤ S); for APPROX_HISTOGRAM_K while no hop truncated — beyond
+    that each degrades to its op's own sketch contract.
+
+    Suffix merges are computed once per DISTINCT window-start hop (a
+    serving day touches ≤ day/hop of them — ~25 for 7d@1h), never per
+    query: per-query work is O(head-range), not O(window/hop)."""
     o, op, w, k = c["o"], c["op"], c["w"], c["k"]
     nq = len(lo)
     out = np.empty(nq, dtype=object)
@@ -847,7 +880,7 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
             return []
         return list(v)
 
-    def _hoplists(base):
+    def _hoplists(base, dtype=None):
         """Rebuild per-hop lists from the (flat, lengths) parallel arrays
         (nested array<array<>> cogroup inputs segfault pyarrow)."""
         lens = _arr(f"{base}_l")
@@ -857,15 +890,16 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
         off = np.concatenate(([0], np.cumsum(ln)))
         flat_raw = urow.get(f"{base}_f")
         flat = (
-            np.empty(0, dtype=object)
+            np.empty(0, dtype=dtype)
             if flat_raw is None or (isinstance(flat_raw, float) and np.isnan(flat_raw))
-            else np.asarray(flat_raw)
+            else np.asarray(flat_raw, dtype=dtype)
         )
         return [flat[off[t] : off[t + 1]] for t in range(len(ln))]
 
     if w is not None:
         hh = _np(urow, c["hop"], np.int64)
         bidx = np.searchsorted(hh, ws, side="left")
+        uniq_b = np.unique(bidx)
 
     def _fin(vals):
         if c["integral"]:
@@ -881,18 +915,32 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
             Operation.FIRST_K: "fstk",
             Operation.LAST_K: "lstk",
         }[op]
-        lists = _arr(f"{o}__{st}") if w is None else _hoplists(f"{o}__{st}")
-        for i in range(nq):
-            head = list(cv[lo[i] : j[i]])
-            if w is None:
-                pre = list(lists)
-            else:
-                suffix = [l for l in lists[bidx[i] :] if len(l)]
+        # one ≤k suffix merge per distinct window start (truncating the
+        # hop side to k is lossless for all four ops: any element past
+        # rank k on the IR side can't enter the merged top/first k)
+        if w is None:
+            pre_by = {None: list(_arr(f"{o}__{st}"))}
+            bkey = [None] * nq
+        else:
+            lists = _hoplists(f"{o}__{st}")
+            pre_by = {}
+            for b in uniq_b:
+                suffix = [l for l in lists[b:] if len(l)]
                 if op is Operation.LAST_K:
                     # newest hop first; each hop list already newest-first
-                    pre = [x for l in suffix[::-1] for x in l]
+                    flat_it = (x for l in suffix[::-1] for x in l)
                 else:
-                    pre = [x for l in suffix for x in l]
+                    flat_it = (x for l in suffix for x in l)
+                if op is Operation.TOP_K:
+                    pre_by[b] = sorted(flat_it, reverse=True)[:k]
+                elif op is Operation.BOTTOM_K:
+                    pre_by[b] = sorted(flat_it)[:k]
+                else:
+                    pre_by[b] = list(flat_it)[:k]
+            bkey = bidx
+        for i in range(nq):
+            head = list(cv[lo[i] : j[i]])
+            pre = pre_by[bkey[i]]
             if op is Operation.FIRST_K:
                 m = (pre + head)[:k]
             elif op is Operation.LAST_K:
@@ -905,16 +953,30 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
         return out
 
     if op is Operation.BOUNDED_UNIQUE_COUNT:
-        sets = _arr(f"{o}__uset") if w is None else _hoplists(f"{o}__uset")
+        # suffix sets accumulated once from the tail; per query only the
+        # head range is probed against the precomputed set
+        if w is None:
+            set_by = {None: set(_arr(f"{o}__uset"))}
+            bkey = [None] * nq
+        else:
+            sets = _hoplists(f"{o}__uset")
+            need = set(int(b) for b in uniq_b)
+            set_by = {}
+            cur: set = set()
+            if len(sets) in need:
+                set_by[len(sets)] = set()
+            lo_b = min(need) if need else 0
+            for t in range(len(sets) - 1, lo_b - 1, -1):
+                cur |= set(sets[t].tolist())
+                if t in need:
+                    set_by[t] = set(cur)
+            bkey = bidx
         for i in range(nq):
-            if w is None:
-                s = set(sets)
-            else:
-                s = set()
-                for l in sets[bidx[i] :]:
-                    s.update(l.tolist())
-            s.update(cv[lo[i] : j[i]].tolist())
-            out[i] = min(len(s), k) if s else None
+            s = set_by[None] if w is None else set_by[int(bkey[i])]
+            hs = set(cv[lo[i] : j[i]].tolist())
+            extra = len(hs - s)
+            total = len(s) + extra
+            out[i] = min(total, k) if total else None
         return out
 
     if op is Operation.APPROX_PERCENTILE:
@@ -925,36 +987,78 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
             # unbounded: ONE collapsed (n, sample) prefix IR, scalar n
             bn = urow.get(f"{o}__pqs_n")
             bq = urow.get(f"{o}__pqs_q")
-            prs0 = (
-                [(int(bn), np.asarray(bq, dtype=np.float64))]
-                if _valid_n(bn) and bq is not None
-                else []
-            )
-        else:
-            ns = _arr(f"{o}__pqs_n")
-            qarr = _hoplists(f"{o}__pqs_q")
-        for i in range(nq):
-            if w is None:
-                prs = prs0
-            else:
-                prs = [
-                    (int(ns[t]), np.asarray(qarr[t], dtype=np.float64))
-                    for t in range(bidx[i], len(ns))
-                    if _valid_n(ns[t]) and int(ns[t]) > 0
-                ]
-            head = cv[lo[i] : j[i]].astype(np.float64)
-            if not prs and len(head) == 0:
-                out[i] = None
-            elif all(n_ == len(q_) for n_, q_ in prs):
-                # exact regime: every hop kept its full multiset
-                allv = np.concatenate([q_ for _, q_ in prs] + [head]) if prs else head
-                out[i] = [float(np.percentile(allv, q * 100)) for q in qs_p]
-            else:
-                va = np.concatenate([q_ for _, q_ in prs] + [head])
-                wa = np.concatenate(
-                    [np.full(len(q_), n_ / len(q_)) for n_, q_ in prs]
-                    + [np.ones(len(head))]
+            if _valid_n(bn) and bq is not None:
+                sq = np.sort(np.asarray(bq, dtype=np.float64))
+                exact0 = int(bn) == len(sq)
+                pre0 = (
+                    sq
+                    if exact0
+                    else (sq, np.full(len(sq), int(bn) / len(sq)))
                 )
+            else:
+                pre0 = None
+                exact0 = True
+            sorted_by = {None: pre0}
+            exact_by = {None: exact0}
+            bkey = [None] * nq
+        else:
+            ns_l = _arr(f"{o}__pqs_n")
+            ns = np.array(
+                [0 if not _valid_n(x) else int(x) for x in ns_l], dtype=np.int64
+            )
+            qarr = _hoplists(f"{o}__pqs_q", dtype=np.float64)
+            ln = np.array([len(q_) for q_ in qarr], dtype=np.int64)
+            # exact_from[t]: every hop ≥ t kept its full multiset
+            exact_from = np.ones(len(ns) + 1, dtype=bool)
+            for t in range(len(ns) - 1, -1, -1):
+                exact_from[t] = exact_from[t + 1] and (ln[t] == 0 or ns[t] == ln[t])
+            sorted_by = {}
+            exact_by = {}
+            for b in uniq_b:
+                bb = int(b)
+                vals = (
+                    np.concatenate([q_ for q_ in qarr[bb:]])
+                    if bb < len(qarr)
+                    else np.empty(0, dtype=np.float64)
+                )
+                exact_by[bb] = bool(exact_from[bb]) if bb <= len(ns) else True
+                if exact_by[bb]:
+                    sorted_by[bb] = np.sort(vals) if len(vals) else None
+                else:
+                    wts = (
+                        np.concatenate(
+                            [
+                                np.full(len(q_), n_ / len(q_))
+                                for n_, q_ in zip(ns[bb:], qarr[bb:])
+                                if len(q_)
+                            ]
+                        )
+                        if len(vals)
+                        else np.empty(0, dtype=np.float64)
+                    )
+                    order = np.argsort(vals, kind="mergesort")
+                    sorted_by[bb] = (vals[order], wts[order]) if len(vals) else None
+            bkey = bidx
+        for i in range(nq):
+            bb = None if w is None else int(bkey[i])
+            pre = sorted_by[bb]
+            exact = exact_by[bb]
+            head = np.sort(cv[lo[i] : j[i]].astype(np.float64))
+            if pre is None and len(head) == 0:
+                out[i] = None
+            elif exact:
+                # exact regime: rank-select over (sorted suffix, sorted
+                # head) — bit-identical to np.percentile on the union
+                a = pre if pre is not None else np.empty(0, dtype=np.float64)
+                out[i] = [_pct_union_sorted(a, head, q) for q in qs_p]
+            else:
+                sv, sw = (
+                    pre
+                    if pre is not None
+                    else (np.empty(0, np.float64), np.empty(0, np.float64))
+                )
+                va = np.concatenate([sv, head])
+                wa = np.concatenate([sw, np.ones(len(head))])
                 order = np.argsort(va, kind="mergesort")
                 va, wa = va[order], wa[order]
                 out[i] = [_weighted_pct(va, wa, q) for q in qs_p]
@@ -966,18 +1070,29 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
     if w is None:
         karr = _arr(f"{o}__mgk")
         varr = _arr(f"{o}__mgv")
+        base0: dict = {}
+        for k_, v_ in zip(karr, varr):
+            base0[str(k_)] = base0.get(str(k_), 0) + int(v_)
+        map_by = {None: base0}
+        bkey = [None] * nq
     else:
         karr = _hoplists(f"{o}__mgk")
         varr = _hoplists(f"{o}__mgv")
+        need = set(int(b) for b in uniq_b)
+        map_by = {}
+        curd: dict = {}
+        if len(karr) in need:
+            map_by[len(karr)] = {}
+        lo_b = min(need) if need else 0
+        for t in range(len(karr) - 1, lo_b - 1, -1):
+            for k_, v_ in zip(karr[t].tolist(), varr[t].tolist()):
+                sk = str(k_)
+                curd[sk] = curd.get(sk, 0) + int(v_)
+            if t in need:
+                map_by[t] = dict(curd)
+        bkey = bidx
     for i in range(nq):
-        d: dict = {}
-        if w is None:
-            maps = [(karr, varr)] if karr else []
-        else:
-            maps = [(karr[t], varr[t]) for t in range(bidx[i], len(karr))]
-        for kk_l, vv_l in maps:
-            for k_, v_ in zip(list(kk_l), list(vv_l)):
-                d[str(k_)] = d.get(str(k_), 0) + int(v_)
+        d = dict(map_by[None if w is None else int(bkey[i])])
         for x in cv[lo[i] : j[i]]:
             sx = str(x)
             d[sx] = d.get(sx, 0) + 1

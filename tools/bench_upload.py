@@ -48,26 +48,39 @@ from chronon_spark.operators.upload import (  # noqa: E402
 from chronon_spark.session import build_session  # noqa: E402
 
 MS_DAY = 86_400_000
-T0 = 1_700_006_400_000  # day-aligned
+T0 = 1_700_006_400_000  # 2023-11-15 00:00 UTC, day-aligned
 DAYS = 60
-END_DS = "2024-01-12"  # day 59 boundary (T0 + 59d) — upload covers days 0..58
-QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
+END_DS = "2024-01-12"  # upload boundary = start of the last (serving) day
+MODE = sys.argv[1] if len(sys.argv) > 1 else "full"
+QUICK = MODE == "quick"
 N_EVENTS = 200_000 if QUICK else 2_000_000
 N_USERS = 500 if QUICK else 2_000
 N_QUERIES = 20_000 if QUICK else 200_000
 
 
-def make_frames(spark):
+def _end_ds(days: int) -> str:
+    import datetime as dt
+
+    d = dt.datetime.fromtimestamp(
+        (T0 + (days - 2) * MS_DAY) / 1000, dt.timezone.utc
+    )
+    return d.strftime("%Y-%m-%d")
+
+
+def make_frames(spark, n_events=None, days=None, end_ds=None):
+    n_events = n_events or N_EVENTS
+    days = days or DAYS
+    end_ds = end_ds or END_DS
     rng = np.random.default_rng(7)
     ev = pd.DataFrame(
         {
-            "user": rng.integers(0, N_USERS, N_EVENTS).astype(np.int64),
-            "ts": (T0 + rng.integers(0, DAYS * MS_DAY, N_EVENTS)).astype(np.int64),
-            "v": np.round(rng.gamma(3.0, 25.0, N_EVENTS), 2),
-            "cat": rng.choice([f"c{i}" for i in range(12)], N_EVENTS),
+            "user": rng.integers(0, N_USERS, n_events).astype(np.int64),
+            "ts": (T0 + rng.integers(0, days * MS_DAY, n_events)).astype(np.int64),
+            "v": np.round(rng.gamma(3.0, 25.0, n_events), 2),
+            "cat": rng.choice([f"c{i}" for i in range(12)], n_events),
         }
     )
-    boundary = boundary_millis(END_DS)
+    boundary = boundary_millis(end_ds)
     q = pd.DataFrame(
         {
             "user": rng.integers(0, N_USERS, N_QUERIES).astype(np.int64),
@@ -110,21 +123,20 @@ GB = GroupBy(
 )
 
 
-def main():
-    spark = build_session(app_name="bench_upload_serving")
-    spark.sparkContext.setLogLevel("ERROR")
-    ev, q = make_frames(spark)
+def run_once(spark, n_events, days):
+    end_ds = _end_ds(days)
+    ev, q = make_frames(spark, n_events=n_events, days=days, end_ds=end_ds)
     ev.count(), q.count()  # materialize inputs outside the timed region
-    boundary = boundary_millis(END_DS)
+    boundary = boundary_millis(end_ds)
     head = ev.filter(f"ts >= {boundary}")
 
     t0 = time.monotonic()
-    up = group_by_upload(spark, GB, ev, END_DS).persist()
+    up = group_by_upload(spark, GB, ev, end_ds).persist()
     n_keys = up.count()
     t_upload = time.monotonic() - t0
 
     t0 = time.monotonic()
-    fetched = fetch_features(spark, GB, up, head, q, END_DS)
+    fetched = fetch_features(spark, GB, up, head, q, end_ds)
     n_fetched = fetched.count()
     t_fetch = time.monotonic() - t0
 
@@ -132,26 +144,50 @@ def main():
     raw = temporal_events(spark, GB, q, ev, mode="raw", passthrough=True)
     n_raw = raw.count()
     t_raw = time.monotonic() - t0
-
     assert n_fetched == n_raw == N_QUERIES, (n_fetched, n_raw)
-    rec = {
-        "protocol": "upload+fetch vs raw full-history rescan, same queries",
-        "n_events": N_EVENTS,
+    for df in (ev, q, up):
+        df.unpersist()
+    return {
+        "n_events": n_events,
         "n_users": N_USERS,
         "n_queries": N_QUERIES,
-        "days_history": DAYS,
+        "days_history": days,
         "n_upload_keys": n_keys,
         "upload_build_s": round(t_upload, 2),
         "fetch_s": round(t_fetch, 2),
         "fetch_per_s": round(N_QUERIES / t_fetch),
         "raw_rescan_s": round(t_raw, 2),
         "serve_speedup_vs_raw": round(t_raw / t_fetch, 2),
-        "speedup_incl_upload_build": round(t_raw / (t_fetch + t_upload), 2),
+    }
+
+
+def main():
+    spark = build_session(app_name="bench_upload_serving")
+    spark.sparkContext.setLogLevel("ERROR")
+    rec = {
+        "protocol": "upload+fetch vs raw full-history rescan, same queries; "
+        "hist mode holds queries/head fixed and grows HISTORY 6x — serving "
+        "cost must stay flat while the rescan grows with history",
         "master": spark.sparkContext.master,
     }
+    if MODE == "hist":
+        rec["runs"] = [
+            run_once(spark, 2_000_000, 60),
+            run_once(spark, 12_000_000, 360),
+        ]
+        a, b = rec["runs"]
+        rec["raw_growth_6x_history"] = round(
+            b["raw_rescan_s"] / a["raw_rescan_s"], 2
+        )
+        rec["fetch_growth_6x_history"] = round(b["fetch_s"] / a["fetch_s"], 2)
+    else:
+        rec["runs"] = [run_once(spark, N_EVENTS, DAYS)]
     print(json.dumps(rec))
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "BENCH", "round5_upload_serving.json")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "round5_upload_serving.json",
+    )
     if not QUICK:
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
