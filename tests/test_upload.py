@@ -9,6 +9,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from chronon_spark.api.types import (
     Accuracy,
@@ -300,3 +301,74 @@ def test_fuzz_fetch_parity(spark):
         got = _fetch(spark, gb, ev_df, q_df)
         exp = _expected(spark, gb, ev_df, q_df)
         _cmp(got, exp)
+
+
+def test_fetch_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming fetcher (streaming/fetcher.py): serving the query
+    stream micro-batch-wise from the upload artifact must equal the
+    one-shot batch fetch — and the head callable is re-evaluated per
+    batch (the growing-head lambda contract)."""
+    tmp = tmp_path_factory.mktemp("fetch_stream")
+    ev_df, q_df = _mk(spark)
+    gb = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7), None)),
+        Aggregation("v", Operation.LAST, windows=(Window(7),)),
+        Aggregation("v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),)),
+        Aggregation("s", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 3}, windows=(Window(7),)),
+    )
+    from chronon_spark.streaming.fetcher import fetch_stream
+
+    up = group_by_upload(spark, gb, ev_df, END_DS)
+    head = ev_df.filter(f"ts >= {BOUNDARY}")
+    expected = fetch_features(spark, gb, up, head, q_df, END_DS)
+
+    # 3 query files → 3 micro-batches
+    qdir = str(tmp / "queries")
+    q_df.withColumn("__b", F.pmod("qid", F.lit(3))).repartition(
+        "__b"
+    ).write.partitionBy("__b").parquet(qdir)
+    q_stream = (
+        spark.readStream.schema(q_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir + "/__b=*")
+    )
+    got_batches = []
+    head_calls = []
+
+    def head_fn():
+        head_calls.append(1)
+        return head
+
+    q = fetch_stream(
+        spark,
+        gb,
+        up,
+        head_fn,
+        q_stream,
+        lambda df, bid: got_batches.append(df.toPandas()),
+        checkpoint=str(tmp / "ckpt"),
+        end_ds=END_DS,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert len(got_batches) >= 2, "expected multiple micro-batches"
+    assert len(head_calls) == len(got_batches), "head not re-read per batch"
+    got = pd.concat(got_batches, ignore_index=True)
+    exp = expected.toPandas()
+    assert sorted(got["qid"]) == sorted(exp["qid"])
+    g = got.sort_values("qid").reset_index(drop=True)
+    e = exp.sort_values("qid").reset_index(drop=True)
+    for col in e.columns:
+        for a, b in zip(g[col], e[col]):
+            if isinstance(b, (list, np.ndarray)) or isinstance(a, (list, np.ndarray)):
+                assert (a is None) == (b is None)
+                if a is not None:
+                    assert list(a) == pytest.approx(list(b))
+            elif isinstance(b, dict) or isinstance(a, dict):
+                assert a == b
+            elif b is None or (isinstance(b, float) and np.isnan(b)):
+                assert a is None or (isinstance(a, float) and np.isnan(a))
+            elif isinstance(b, float):
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
+            else:
+                assert a == b, (col, a, b)
