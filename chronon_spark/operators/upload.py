@@ -758,11 +758,24 @@ def fetch_features(
                 )
         return pdf
 
-    return (
+    res = (
         left.groupby(*keys)
         .cogroup(uploaded.groupby(*keys))
         .applyInPandas(kernel, schema=out_schema)
     )
+    if gb.derivations:
+        # the reference's fetcher applies derivations at serve time
+        # (online/Fetcher.scala derive step) — same selectExpr contract
+        # as the batch kernels (temporal_events:860-868)
+        feature_names = {p.output_column for p in parts}
+        base = (
+            ["*"]
+            if "*" in gb.derivations
+            else [c for c in res.columns if c not in feature_names]
+        )
+        exprs = base + [f"{e} AS {a}" for a, e in gb.derivations.items() if a != "*"]
+        res = res.selectExpr(*exprs)
+    return res
 
 
 def _rng(cum1, lo, j):

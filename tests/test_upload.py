@@ -372,3 +372,29 @@ def test_fetch_stream_matches_batch(spark, tmp_path_factory):
                 assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
             else:
                 assert a == b, (col, a, b)
+
+
+def test_fetch_applies_derivations(spark):
+    """GroupBy derivations apply to the fetch output exactly as they do
+    to the batch kernels (the reference fetcher's serve-time derive)."""
+    import dataclasses
+
+    ev_df, q_df = _mk(spark)
+    base = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7),)),
+        Aggregation("v", Operation.COUNT, windows=(Window(7),)),
+    )
+    gb = dataclasses.replace(
+        base,
+        derivations={"*": "*", "v_per_event": "v_sum_7d / v_count_7d"},
+    )
+    got = _fetch(spark, gb, ev_df, q_df)
+    assert "v_per_event" in got.columns
+    exp = _expected(spark, gb, ev_df, q_df)
+    _cmp(got, exp)
+
+    # non-star derivations drop the raw feature columns on both paths
+    gb2 = dataclasses.replace(base, derivations={"doubled": "v_sum_7d * 2"})
+    got2 = _fetch(spark, gb2, ev_df, q_df)
+    assert "v_sum_7d" not in got2.columns and "doubled" in got2.columns
+    _cmp(got2, _expected(spark, gb2, ev_df, q_df))
