@@ -153,3 +153,34 @@ def uniqueness_audit(df: DataFrame, keys: list[str], ts_col: str = "ts") -> dict
         "duplicates": total - distinct,
         "duplicate_share": round((total - distinct) / total, 6) if total else 0.0,
     }
+
+
+def serving_plan(gb: GroupBy) -> dict:
+    """Classify each aggregation part by its serving path — the
+    analyzer-side answer to "can this GroupBy be KV-uploaded?" (the
+    reference's analyzer validates online-serving support per column;
+    Analyzer.scala's output schema check). Parts in the bounded-IR
+    family (operators/upload.UPLOADABLE, no bucket/element-wise) ride
+    ``group_by_upload``/``fetch_features``; everything else is served by
+    the lambda-tile path (tilestore + streaming/lambda_tiles), which
+    covers every op at per-(key, tile) granularity."""
+    from chronon_spark.operators.upload import UPLOADABLE
+
+    kv, tile_only = [], []
+    for p in gb.unpacked():
+        if p.operation in UPLOADABLE and p.bucket is None and not p.element_wise:
+            kv.append(p.output_column)
+        else:
+            why = (
+                "bucketed"
+                if p.bucket is not None
+                else "element_wise"
+                if p.element_wise
+                else f"unbounded exact IR ({p.operation.value})"
+            )
+            tile_only.append({"column": p.output_column, "reason": why})
+    return {
+        "kv_uploadable": kv,
+        "lambda_tile_only": tile_only,
+        "fully_kv_servable": not tile_only,
+    }

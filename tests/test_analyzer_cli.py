@@ -248,3 +248,41 @@ def test_skew_advice(spark):
         pd.DataFrame({"user": [f"u{i}" for i in range(200)], "ts": range(200), "v": [1.0] * 200})
     )
     assert skew_advice(gb_ok, flat) == []
+
+
+def test_serving_plan_classification():
+    from chronon_spark.analyzer import serving_plan
+    from chronon_spark.api.types import Window
+
+    gb = GroupBy(
+        name="sp",
+        sources=(EventSource(table="t"),),
+        key_columns=("u",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(7),)),
+            Aggregation("v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),)),
+            Aggregation("v", Operation.APPROX_PERCENTILE, windows=(None,)),
+            Aggregation("v", Operation.UNIQUE_COUNT, windows=(Window(7),)),
+            Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("b",)),
+            Aggregation("l", Operation.AVERAGE, element_wise=True),
+        ),
+    )
+    plan = serving_plan(gb)
+    assert set(plan["kv_uploadable"]) == {
+        "v_sum_7d",
+        "v_top_k_3_7d",
+        "v_approx_percentile",
+    }
+    reasons = {d["column"]: d["reason"] for d in plan["lambda_tile_only"]}
+    assert "unbounded exact IR" in reasons["v_unique_count_7d"]
+    assert reasons["v_sum_7d_by_b"] == "bucketed"
+    assert reasons["l_average"] == "element_wise"
+    assert plan["fully_kv_servable"] is False
+    # an all-bounded config is fully KV-servable
+    gb2 = GroupBy(
+        name="sp2",
+        sources=(EventSource(table="t"),),
+        key_columns=("u",),
+        aggregations=(Aggregation("v", Operation.SUM, windows=(Window(7),)),),
+    )
+    assert serving_plan(gb2)["fully_kv_servable"] is True
