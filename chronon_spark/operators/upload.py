@@ -628,6 +628,17 @@ def fetch_features(
         ev = l[l["__tag"] == 0]
         urow = up.iloc[0].to_dict() if len(up) else {}
         qt = q[TS_COL].to_numpy(np.int64)
+        if (qt < boundary).any():
+            # the reference's fetcher contract: batchEndTs ≤ queryTs
+            # (SawtoothOnlineAggregator.scala:29-126 lambdaAggregateIr)
+            # — a query before the boundary cannot be served from state
+            # collapsed AT the boundary (hops would leak future events)
+            bad = int(qt[qt < boundary][0])
+            raise ValueError(
+                f"fetch ts {bad} precedes the upload boundary {boundary} "
+                f"(end_ds={end_ds}); serve pre-boundary queries with a "
+                f"backfill (temporal_events), not the upload artifact"
+            )
         res: dict[str, np.ndarray] = {}
 
         # per-input-col compacted head arrays, (ts, value)-tie-ordered

@@ -398,3 +398,18 @@ def test_fetch_applies_derivations(spark):
     got2 = _fetch(spark, gb2, ev_df, q_df)
     assert "v_sum_7d" not in got2.columns and "doubled" in got2.columns
     _cmp(got2, _expected(spark, gb2, ev_df, q_df))
+
+
+def test_fetch_rejects_pre_boundary_queries(spark):
+    """The reference's fetcher contract (SawtoothOnlineAggregator:
+    batchEndTs ≤ queryTs): a query earlier than the upload boundary
+    must fail loudly — state collapsed AT the boundary would leak
+    events from after the query time."""
+    ev_df, q_df = _mk(spark)
+    gb = _gb(Aggregation("v", Operation.SUM, windows=(Window(7),)))
+    up = group_by_upload(spark, gb, ev_df, END_DS)
+    bad_q = q_df.withColumn("ts", F.col("ts") - F.lit(3 * MS_DAY))
+    with pytest.raises(Exception, match="precedes the upload boundary"):
+        fetch_features(
+            spark, gb, up, ev_df.filter(f"ts >= {BOUNDARY}"), bad_q, END_DS
+        ).collect()
