@@ -413,3 +413,28 @@ def test_fetch_rejects_pre_boundary_queries(spark):
         fetch_features(
             spark, gb, up, ev_df.filter(f"ts >= {BOUNDARY}"), bad_q, END_DS
         ).collect()
+
+
+def test_fuzz_fetch_gather_parity(spark):
+    """Seeded sweep over the gather/sketch family: random event shapes,
+    always equal to the raw kernel in the exact regime (accuracy above
+    any per-hop count; every hop under the MG cap)."""
+    gb = _gb(
+        Aggregation("v", Operation.TOP_K, arg_map={"k": 4}, windows=(Window(7), None)),
+        Aggregation("vi", Operation.BOTTOM_K, arg_map={"k": 3}, windows=(Window(12, TimeUnit.HOURS),)),
+        Aggregation("s", Operation.FIRST_K, arg_map={"k": 3}, windows=(Window(5),)),
+        Aggregation("vi", Operation.LAST_K, arg_map={"k": 4}, windows=(Window(7), None)),
+        Aggregation("s", Operation.BOUNDED_UNIQUE_COUNT, arg_map={"k": 6}, windows=(Window(3), None)),
+        Aggregation(
+            "vi",
+            Operation.APPROX_PERCENTILE,
+            arg_map={"percentiles": [0.1, 0.5, 0.99], "accuracy": 2048},
+            windows=(Window(7), None),
+        ),
+        Aggregation("s", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 5}, windows=(Window(7), None)),
+    )
+    for seed in (3, 4):
+        ev_df, q_df = _mk(spark, n=500, seed=seed, n_users=3, days=16)
+        got = _fetch(spark, gb, ev_df, q_df)
+        exp = _expected(spark, gb, ev_df, q_df)
+        _cmp(got, exp)
