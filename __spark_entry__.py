@@ -1735,6 +1735,15 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arg_map={"k": 3},
                 windows=(Window(7),),
             ),
+            # unbounded variants ride the collapsed-prefix frame — a
+            # different upload/fetch code path than the hop frames
+            Aggregation("value_c", Operation.TOP_K, arg_map={"k": 3}, windows=(None,)),
+            Aggregation(
+                "value_c",
+                Operation.BOUNDED_UNIQUE_COUNT,
+                arg_map={"k": 10},
+                windows=(None,),
+            ),
         ),
         accuracy=Accuracy.TEMPORAL,
     )
@@ -1772,6 +1781,8 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("value_c_approx_percentile_7d", 1), 6
         ).alias("med_7d"),
         mg_str.alias("mg3_7d"),
+        _lst("value_c_top_k_3").alias("top3_all"),
+        F.col("value_c_bounded_unique_count").alias("buc10_all"),
     )
 
 
@@ -2480,6 +2491,17 @@ pairs AS (
     ON e.user_id = q.user_id AND e.tms < q.tms
    AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H}
 ),
+pairs_all AS (
+  SELECT q.event_id, e.vc
+  FROM q LEFT JOIN ev e
+    ON e.user_id = q.user_id AND e.tms < q.tms
+),
+agg_all AS (
+  SELECT event_id,
+    array_to_string((list(vc ORDER BY vc DESC) FILTER (vc IS NOT NULL))[1:3], ',') AS top3_all,
+    CASE WHEN count(vc) > 0 THEN least(count(DISTINCT vc), 10) END AS buc10_all
+  FROM pairs_all GROUP BY event_id
+),
 agg AS (
   SELECT event_id,
     array_to_string((list(vc ORDER BY vc DESC) FILTER (vc IS NOT NULL))[1:3], ',') AS top3_7d,
@@ -2506,8 +2528,10 @@ mgs AS (
   FROM mgr WHERE rn <= 3 GROUP BY event_id
 )
 SELECT a.event_id, a.top3_7d, a.bot3_7d, a.first3_7d, a.last3_7d,
-       a.buc10_7d, a.med_7d, m.mg3_7d
-FROM agg a LEFT JOIN mgs m ON m.event_id = a.event_id
+       a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all
+FROM agg a
+LEFT JOIN mgs m ON m.event_id = a.event_id
+LEFT JOIN agg_all u ON u.event_id = a.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc
