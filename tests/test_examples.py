@@ -55,3 +55,13 @@ def test_example_ops_pipeline(spark, tmp_path):
     assert out["summary_days_first_run"] > 0
     assert out["summary_days_rerun"] == 0
     assert "Wrote 500 records" in out["stream_status"]
+
+
+def test_example_serving_pipeline(spark, tmp_path):
+    from examples.serving_pipeline import run_example
+
+    out = run_example(spark, str(tmp_path))
+    assert out["kv_uploadable_features"] == 6  # one part per aggregation here
+    assert out["batch_served"] == 500
+    assert out["stream_batches"] == 2
+    assert out["stream_served"] == 500
