@@ -286,3 +286,61 @@ def test_serving_plan_classification():
         aggregations=(Aggregation("v", Operation.SUM, windows=(Window(7),)),),
     )
     assert serving_plan(gb2)["fully_kv_servable"] is True
+
+
+def test_upload_cli_roundtrip(tmp_path):
+    """jobs/upload.py: upload verb writes the bounded per-key artifact;
+    fetch verb serves a parquet of requests from it + the pruned head."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from chronon_spark.api.types import *\n"
+        "gb = GroupBy(name='cli_up_gb',\n"
+        "  sources=(EventSource(table='/root/testdata/sf0.001/events.parquet',\n"
+        "    query=Query(selects={'user_id': None, 'value': None},\n"
+        "                time_column='unix_millis(cast(ts as timestamp))')),),\n"
+        "  key_columns=('user_id',),\n"
+        "  aggregations=(Aggregation('value', Operation.SUM, windows=(Window(7),)),\n"
+        "                Aggregation('value', Operation.TOP_K, arg_map={'k': 3},\n"
+        "                            windows=(Window(7),)),),\n"
+        "  accuracy=Accuracy.TEMPORAL)\n"
+    )
+    wh = tmp_path / "wh"
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    up = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "upload.py"), "upload",
+            "--config", str(cfg), "--name", "cli_up_gb",
+            "--end-ds", "2024-01-29", "--warehouse", str(wh),
+        ],
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=300,
+    )
+    assert up.returncode == 0, up.stderr[-2000:]
+    assert "done: cli_up_gb__upload ds=2024-01-29" in up.stdout
+    assert os.path.isdir(os.path.join(wh, "cli_up_gb__upload"))
+
+    # requests: last-day events as (user_id, ts) points
+    import duckdb
+
+    qpath = str(tmp_path / "requests.parquet")
+    duckdb.sql(
+        "COPY (SELECT user_id, epoch_ms(ts) AS ts, event_id AS request_id "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-30') TO '" + qpath + "' (FORMAT PARQUET)"
+    )
+    outp = str(tmp_path / "served.parquet")
+    fe = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "upload.py"), "fetch",
+            "--config", str(cfg), "--name", "cli_up_gb",
+            "--end-ds", "2024-01-29", "--warehouse", str(wh),
+            "--queries", qpath, "--out", outp,
+        ],
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=300,
+    )
+    assert fe.returncode == 0, fe.stderr[-2000:]
+    n_q = duckdb.sql(f"SELECT count(*) FROM read_parquet('{qpath}')").fetchone()[0]
+    n_s = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{outp}/*.parquet')"
+    ).fetchone()[0]
+    assert n_s == n_q > 0
+    assert f"served {n_q} requests" in fe.stdout
