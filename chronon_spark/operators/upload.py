@@ -389,7 +389,7 @@ def group_by_upload(
         ]
         g = ev.filter(F.col(TS_COL) >= lb_min).groupBy(*keys, hop).agg(*aggs)
         g = _split_map_states(g, group)
-        state_cols = [c for c in g.columns if "__" in c and c != "__h"]
+        state_cols = [c for c in g.columns if c not in keys and c != "__h"]
         f = g.groupBy(*keys).agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("__h"), *state_cols))
