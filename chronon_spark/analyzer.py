@@ -164,18 +164,19 @@ def serving_plan(gb: GroupBy) -> dict:
     ``group_by_upload``/``fetch_features``; everything else is served by
     the lambda-tile path (tilestore + streaming/lambda_tiles), which
     covers every op at per-(key, tile) granularity."""
-    from chronon_spark.operators.upload import UPLOADABLE
+    from chronon_spark.operators.upload import BUCKETABLE, UPLOADABLE
 
     kv, tile_only = [], []
     for p in gb.unpacked():
-        if p.operation in UPLOADABLE and p.bucket is None and not p.element_wise:
+        ok_op = p.operation in (BUCKETABLE if p.bucket is not None else UPLOADABLE)
+        if ok_op and not p.element_wise:
             kv.append(p.output_column)
         else:
             why = (
-                "bucketed"
-                if p.bucket is not None
-                else "element_wise"
+                "element_wise"
                 if p.element_wise
+                else f"bucketed sketch/list op ({p.operation.value})"
+                if p.bucket is not None
                 else f"unbounded exact IR ({p.operation.value})"
             )
             tile_only.append({"column": p.output_column, "reason": why})

@@ -134,18 +134,40 @@ def boundary_millis(end_ds: str) -> int:
     return int(d.timestamp()) * 1000 + MS_DAY
 
 
+# bucketed parts are uploadable for the scalar-algebraic family: the
+# per-(hop, bucket) state is one scalar IR row per OBSERVED bucket, so
+# the upload row stays bounded by hops × distinct-buckets — the same
+# Map[bucket → agg] contract GroupByUpload serves. Sketch/list ops ×
+# bucket stay lambda-tile-only (map-of-sketch hop state).
+BUCKETABLE = {
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.MIN,
+    Operation.MAX,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+    Operation.FIRST,
+    Operation.LAST,
+}
+
+
 def _check_parts(gb: GroupBy) -> list[AggregationPart]:
     parts = list(gb.unpacked())
     bad = [
         p.output_column
         for p in parts
-        if p.operation not in UPLOADABLE or p.bucket is not None or p.element_wise
+        if p.element_wise
+        or (p.bucket is None and p.operation not in UPLOADABLE)
+        or (p.bucket is not None and p.operation not in BUCKETABLE)
     ]
     if bad:
         raise ValueError(
-            f"not KV-uploadable (op outside the bounded-IR family, bucketed, "
-            f"or element-wise): {bad}; serve these via the lambda-tile path "
-            f"(operators/tilestore.py + streaming/lambda_tiles.py) instead"
+            f"not KV-uploadable (op outside the bounded-IR family, bucketed "
+            f"sketch/list op, or element-wise): {bad}; serve these via the "
+            f"lambda-tile path (operators/tilestore.py + "
+            f"streaming/lambda_tiles.py) instead"
         )
     return parts
 
@@ -314,6 +336,20 @@ def _split_map_states(df: DataFrame, parts: "list[AggregationPart]") -> DataFram
     return df
 
 
+def _fx(name):
+    """Closure factory for higher-order-function field extraction (a
+    plain 2-arg lambda would be read by F.transform as (element, idx))."""
+    return lambda x: x[name]
+
+
+def _fx2(name, sub):
+    return lambda x: x[name][sub]
+
+
+def _fxs(name):
+    return lambda x: F.size(x[name])
+
+
 def _explode_tv(df: DataFrame, o: str, st: str) -> DataFrame:
     """Split a struct(t, v) scalar state into flat _ts/_v columns."""
     col = f"{o}__{st}"
@@ -345,11 +381,13 @@ def group_by_upload(
 
     frames: list[DataFrame] = []
 
-    # ---- all unbounded non-HLL parts: ONE full-prefix groupBy
+    # ---- all unbounded non-HLL unbucketed parts: ONE full-prefix groupBy
     ub = [
         p
         for p in parts
-        if p.window is None and p.operation is not Operation.APPROX_UNIQUE_COUNT
+        if p.window is None
+        and p.bucket is None
+        and p.operation is not Operation.APPROX_UNIQUE_COUNT
     ]
     if ub:
         aggs = [a for p in ub for a in _state_aggs(p, _integral(p))]
@@ -372,7 +410,11 @@ def group_by_upload(
     # by every part at that hop (per-part lookback guards inside the agg)
     by_r: dict[int, list[AggregationPart]] = {}
     for p in parts:
-        if p.window is not None and p.operation is not Operation.APPROX_UNIQUE_COUNT:
+        if (
+            p.window is not None
+            and p.bucket is None
+            and p.operation is not Operation.APPROX_UNIQUE_COUNT
+        ):
             by_r.setdefault(sawtooth_hop_millis(p.window.millis), []).append(p)
     for r, group in sorted(by_r.items()):
         lbs = {p.output_column: _lookback(p, boundary)[1] for p in group}
@@ -477,8 +519,100 @@ def group_by_upload(
                 )
             frames.append(f)
 
-    # ≤ (1 + #resolutions + #HLL-parts) narrow per-key frames — each the
-    # output of groupBy(keys), so the outer joins line up on the keys
+    # ---- bucketed scalar parts: Map[bucket → agg] serving state — one
+    # scalar IR row per OBSERVED bucket, grouped per bucket column (and
+    # per hop resolution when windowed); shipped as flat parallel arrays
+    bu_by: dict[str, list] = {}
+    bw_by: dict[tuple[int, str], list] = {}
+    for p in parts:
+        if p.bucket is None:
+            continue
+        if p.window is None:
+            bu_by.setdefault(p.bucket, []).append(p)
+        else:
+            bw_by.setdefault(
+                (sawtooth_hop_millis(p.window.millis), p.bucket), []
+            ).append(p)
+
+    for bkcol, group in sorted(bu_by.items()):
+        aggs = [a for p in group for a in _state_aggs(p, _integral(p))]
+        g = (
+            ev.filter(F.col(bkcol).isNotNull())
+            .groupBy(*keys, F.col(bkcol).cast("string").alias("__bk"))
+            .agg(*aggs)
+        )
+        state_cols = [c for c in g.columns if c not in keys and c != "__bk"]
+        f = g.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__bk"), *state_cols))
+            ).alias("__e")
+        )
+        sel = [F.col(k) for k in keys] + [
+            F.transform("__e", _fx("__bk")).alias(f"__bu_{bkcol}")
+        ]
+        for sc in state_cols:
+            st = sc.rsplit("__", 1)[1]
+            if st in ("fst", "lst"):
+                sel.append(F.transform("__e", _fx2(sc, "t")).alias(f"{sc}_ts_bu"))
+                sel.append(F.transform("__e", _fx2(sc, "v")).alias(f"{sc}_v_bu"))
+            else:
+                sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bu"))
+        frames.append(f.select(*sel))
+
+    for (r, bkcol), group in sorted(bw_by.items()):
+        lbs = {p.output_column: _lookback(p, boundary)[1] for p in group}
+        lb_min = min(lbs.values())
+        hop = F.expr(f"CAST({TS_COL} DIV {r} AS LONG) * {r}").alias("__h")
+        aggs = [
+            a
+            for p in group
+            for a in _state_aggs(
+                p,
+                _integral(p),
+                lb=None if lbs[p.output_column] == lb_min else lbs[p.output_column],
+            )
+        ]
+        g = (
+            ev.filter((F.col(TS_COL) >= lb_min) & F.col(bkcol).isNotNull())
+            .groupBy(*keys, hop, F.col(bkcol).cast("string").alias("__bk"))
+            .agg(*aggs)
+        )
+        state_cols = [c for c in g.columns if c not in keys and c not in ("__h", "__bk")]
+        # per (key, hop): sorted per-bucket rows → per-hop parallel arrays
+        g2 = g.groupBy(*keys, "__h").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__bk"), *state_cols))
+            ).alias("__be")
+        )
+        hop_cols = [F.transform("__be", _fx("__bk")).alias("__bks")]
+        flat_names = []
+        for sc in state_cols:
+            st = sc.rsplit("__", 1)[1]
+            if st in ("fst", "lst"):
+                hop_cols.append(F.transform("__be", _fx2(sc, "t")).alias(f"{sc}_ts"))
+                hop_cols.append(F.transform("__be", _fx2(sc, "v")).alias(f"{sc}_v"))
+                flat_names += [f"{sc}_ts", f"{sc}_v"]
+            else:
+                hop_cols.append(F.transform("__be", _fx(sc)).alias(sc))
+                flat_names.append(sc)
+        g2 = g2.select(*[F.col(k) for k in keys], F.col("__h"), *hop_cols)
+        f = g2.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h"), F.col("__bks"), *flat_names))
+            ).alias("__e")
+        )
+        sel = [F.col(k) for k in keys] + [
+            F.transform("__e", _fx("__h")).alias(f"__hb_{r}_{bkcol}"),
+            F.transform("__e", _fxs("__bks")).alias(f"__bl_{r}_{bkcol}"),
+            F.flatten(F.transform("__e", _fx("__bks"))).alias(f"__bf_{r}_{bkcol}"),
+        ]
+        for nm in flat_names:
+            sel.append(F.flatten(F.transform("__e", _fx(nm))).alias(f"{nm}_bw"))
+        frames.append(f.select(*sel))
+
+    # ≤ (1 + #resolutions + #bucket-frames + #HLL-parts) narrow per-key
+    # frames — each the output of groupBy(keys), so the outer joins line
+    # up on the keys
     out = frames[0]
     for f in frames[1:]:
         out = out.join(f, on=keys, how="outer")
@@ -520,7 +654,9 @@ def fetch_features(
 
     st_types = dict(zip(streamed.schema.names, [f.dataType for f in streamed.schema.fields]))
     q_types = dict(zip(queries.schema.names, [f.dataType for f in queries.schema.fields]))
-    inputs = sorted({p.input_column for p in parts})
+    inputs = sorted(
+        {p.input_column for p in parts} | {p.bucket for p in parts if p.bucket}
+    )
     hll_cols = sorted(
         {p.input_column for p in parts if p.operation is Operation.APPROX_UNIQUE_COUNT}
     )
@@ -564,7 +700,14 @@ def fetch_features(
                 "w": w,
                 "r": r,
                 # shared per-resolution hop-start array in the upload row
-                "hop": None if r is None else f"__h{r}",
+                # (bucketed parts read their bucket frame's own arrays)
+                "hop": None
+                if r is None
+                else (f"__hb_{r}_{p.bucket}" if p.bucket else f"__h{r}"),
+                "bucket": p.bucket,
+                "bl": None if r is None or not p.bucket else f"__bl_{r}_{p.bucket}",
+                "bf": None if r is None or not p.bucket else f"__bf_{r}_{p.bucket}",
+                "bu": None if not p.bucket else f"__bu_{p.bucket}",
                 "integral": integral,
                 "numeric": isinstance(
                     st_types[p.input_column], (T.NumericType, T.BooleanType)
@@ -613,6 +756,8 @@ def fetch_features(
             t = T.ArrayType(st_types[c["col"]])
         else:  # MIN / MAX / FIRST / LAST — input-typed
             t = st_types[c["col"]]
+        if c["bucket"] is not None:
+            t = T.MapType(T.StringType(), t)
         out_fields.append(T.StructField(c["o"], t))
     out_schema = T.StructType(out_fields)
     long_cols = {
@@ -669,6 +814,9 @@ def fetch_features(
                 nb = np.full(len(qt), float(urow.get(f"{o}__n") or 0.0))
             else:
                 ws = ((qt - w) // r) * r
+            if c["bucket"] is not None:
+                res[o] = _fetch_bucketed(c, urow, ev, qt, ws, boundary)
+                continue
             if op is Operation.APPROX_UNIQUE_COUNT:
                 res[o] = _fetch_hll(c, urow, ev, qt, ws, boundary)
                 continue
@@ -742,11 +890,15 @@ def fetch_features(
                 )
                 pdf[c["o"]] = s
             elif isinstance(vals, np.ndarray) and vals.dtype == object:
-                if c["op"] in (
-                    Operation.VARIANCE,
-                    Operation.SKEW,
-                    Operation.KURTOSIS,
-                ) or (c["numeric"] and c["op"] in (Operation.FIRST, Operation.LAST)):
+                if c["bucket"] is None and (
+                    c["op"]
+                    in (
+                        Operation.VARIANCE,
+                        Operation.SKEW,
+                        Operation.KURTOSIS,
+                    )
+                    or (c["numeric"] and c["op"] in (Operation.FIRST, Operation.LAST))
+                ):
                     # explicit mask keeps genuine NaN (skew/kurt n<3 rule)
                     # distinct from SQL null — object columns would fold
                     # NaN into null on the Arrow conversion
@@ -1126,6 +1278,217 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
         else:
             items = sorted(d.items(), key=lambda e: (-e[1], e[0]))
             out[i] = dict(items[:k])
+    return out
+
+
+def _urow_arr(urow, col):
+    v = urow.get(col)
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return []
+    return list(v)
+
+
+def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
+    """Bucketed scalar part: Map[bucket → agg] per query, merged from
+    per-(hop, bucket) scalar IR rows + the head range — the
+    BucketedColumnAggregator contract (temporal.py kernel :766-798):
+    buckets keyed by string form, an entry only when the merged value is
+    non-None, NaN finalizations (skew n<3 etc.) kept, empty map → None.
+    Batch suffix dicts are accumulated once per distinct window-start
+    hop; per-query work is O(buckets + head-range)."""
+    op, o, w = c["op"], c["o"], c["w"]
+    states = _MOMENT_STATES[op]
+    nq = len(qt)
+    out = np.empty(nq, dtype=object)
+    out[:] = None
+    integral, numeric = c["integral"], c["numeric"]
+
+    # ---- head pack: (ts, bucket, value), value-tie-ordered like the
+    # scalar pack so FIRST/LAST pick the same element on exact ties
+    bser = ev[c["bucket"]]
+    vser = ev[c["col"]]
+    m = (bser.notna() & vser.notna()).to_numpy()
+    ets = ev[TS_COL].to_numpy(np.int64)[m]
+    bvals = np.array([str(x) for x in bser[m]], dtype=object)
+    if numeric:
+        xv = pd.to_numeric(vser[m]).to_numpy(np.float64)
+        order = np.lexsort((xv, ets))
+    else:
+        xv = vser[m].to_numpy(object)
+        order = np.lexsort((np.array([str(x) for x in xv], dtype=object), ets))
+    ets, bvals, xv = ets[order], bvals[order], xv[order]
+    j = np.searchsorted(ets, qt, side="left")
+    lo = (
+        np.zeros(nq, dtype=np.int64)
+        if ws is None
+        else np.searchsorted(ets, np.maximum(ws, boundary), side="left")
+    )
+
+    def _absorb(ent, st, val):
+        """Merge one batch state value into a bucket entry; hops are
+        absorbed newest→oldest, so fst overwrites (earliest hop wins)
+        and lst keeps the first non-None seen (latest hop wins)."""
+        if val is None or (isinstance(val, float) and np.isnan(val)):
+            return
+        if st == "n":
+            ent["n"] += int(val)
+        elif st in ("s", "s1", "s2", "s3", "s4"):
+            ent[st] = ent.get(st, 0.0) + float(val)
+        elif st == "mn":
+            ent["mn"] = val if ent.get("mn") is None else min(ent["mn"], val)
+        elif st == "mx":
+            ent["mx"] = val if ent.get("mx") is None else max(ent["mx"], val)
+        elif st == "fst":
+            ent["fst"] = val
+        elif st == "lst":
+            if ent.get("lst") is None:
+                ent["lst"] = val
+
+    def _new_ent():
+        return {"n": 0}
+
+    # ---- batch suffix state per bucket
+    if w is None:
+        bks = _urow_arr(urow, c["bu"])
+        arrs = {}
+        for st in states:
+            if st in ("fst", "lst"):
+                arrs[f"{st}_ts"] = _urow_arr(urow, f"{o}__{st}_ts_bu")
+                arrs[f"{st}_v"] = _urow_arr(urow, f"{o}__{st}_v_bu")
+            else:
+                arrs[st] = _urow_arr(urow, f"{o}__{st}_bu")
+        base0: dict = {}
+        for bi, b in enumerate(bks):
+            ent = base0.setdefault(str(b), _new_ent())
+            for st in states:
+                if st in ("fst", "lst"):
+                    ts_ok = _valid_n(arrs[f"{st}_ts"][bi]) if arrs[f"{st}_ts"] else False
+                    if ts_ok:
+                        _absorb(ent, st, arrs[f"{st}_v"][bi])
+                else:
+                    _absorb(ent, st, arrs[st][bi])
+        snap_by = {None: base0}
+        bkey = [None] * nq
+    else:
+        hh = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
+        bl = [int(x) if _valid_n(x) else 0 for x in _urow_arr(urow, c["bl"])]
+        off = np.concatenate(([0], np.cumsum(bl))).astype(np.int64)
+        bf = _urow_arr(urow, c["bf"])
+        flats = {}
+        for st in states:
+            if st in ("fst", "lst"):
+                flats[f"{st}_ts"] = _urow_arr(urow, f"{o}__{st}_ts_bw")
+                flats[f"{st}_v"] = _urow_arr(urow, f"{o}__{st}_v_bw")
+            else:
+                flats[st] = _urow_arr(urow, f"{o}__{st}_bw")
+        bidx = np.searchsorted(hh, ws, side="left")
+        snap_by = {}
+        cur: dict = {}
+        t = len(bl) - 1
+        for nb in sorted({int(b) for b in bidx}, reverse=True):
+            while t >= nb:
+                for e_i in range(off[t], off[t + 1]):
+                    ent = cur.setdefault(str(bf[e_i]), _new_ent())
+                    for st in states:
+                        if st in ("fst", "lst"):
+                            if _valid_n(flats[f"{st}_ts"][e_i]):
+                                _absorb(ent, st, flats[f"{st}_v"][e_i])
+                        else:
+                            _absorb(ent, st, flats[st][e_i])
+                t -= 1
+            snap_by[nb] = {b: dict(e) for b, e in cur.items()}
+        bkey = bidx
+
+    # ---- per query: copy suffix dict, fold the head range, finalize
+    def _fin_val(v):
+        if v is None:
+            return None
+        if integral:
+            return int(round(float(v)))
+        if numeric:
+            return float(v)
+        return str(v)
+
+    for i in range(nq):
+        base = snap_by[None if w is None else int(bkey[i])]
+        d = {b: dict(e) for b, e in base.items()}
+        for r_i in range(lo[i], j[i]):
+            ent = d.setdefault(bvals[r_i], _new_ent())
+            x = xv[r_i]
+            ent["n"] += 1
+            if op is Operation.SUM:
+                ent["s"] = ent.get("s", 0.0) + float(x)
+            elif op in (
+                Operation.AVERAGE,
+                Operation.VARIANCE,
+                Operation.SKEW,
+                Operation.KURTOSIS,
+            ):
+                fx = float(x)
+                ent["s1"] = ent.get("s1", 0.0) + fx
+                if op is not Operation.AVERAGE:
+                    ent["s2"] = ent.get("s2", 0.0) + fx * fx
+                    if op in (Operation.SKEW, Operation.KURTOSIS):
+                        ent["s3"] = ent.get("s3", 0.0) + fx**3
+                    if op is Operation.KURTOSIS:
+                        ent["s4"] = ent.get("s4", 0.0) + fx**4
+            elif op is Operation.MIN:
+                ent["mn"] = x if ent.get("mn") is None else min(ent["mn"], x)
+            elif op is Operation.MAX:
+                ent["mx"] = x if ent.get("mx") is None else max(ent["mx"], x)
+            elif op is Operation.FIRST:
+                if ent.get("fst") is None:
+                    ent["fst"] = x
+            elif op is Operation.LAST:
+                ent["lst"] = x
+        res: dict = {}
+        for b, ent in d.items():
+            n = ent["n"]
+            if op is Operation.FIRST:
+                v = _fin_val(ent.get("fst"))
+            elif op is Operation.LAST:
+                v = _fin_val(ent.get("lst"))
+            elif n <= 0:
+                v = None
+            elif op is Operation.COUNT:
+                v = int(n)
+            elif op is Operation.SUM:
+                v = int(round(ent.get("s", 0.0))) if integral else float(ent.get("s", 0.0))
+            elif op is Operation.AVERAGE:
+                v = float(ent.get("s1", 0.0)) / n
+            elif op is Operation.MIN:
+                v = _fin_val(ent.get("mn"))
+            elif op is Operation.MAX:
+                v = _fin_val(ent.get("mx"))
+            else:  # VARIANCE / SKEW / KURTOSIS
+                s1 = ent.get("s1", 0.0)
+                s2 = ent.get("s2", 0.0)
+                m1 = s1 / n
+                m2 = s2 / n - m1 * m1
+                if op is Operation.VARIANCE:
+                    v = max(m2, 0.0)
+                elif op is Operation.SKEW:
+                    s3 = ent.get("s3", 0.0)
+                    if n < 3 or m2 <= 0:
+                        v = float("nan")
+                    else:
+                        m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1**3
+                        v = m3 / max(m2, 1e-300) ** 1.5
+                else:
+                    s3, s4 = ent.get("s3", 0.0), ent.get("s4", 0.0)
+                    if n < 4 or m2 <= 0:
+                        v = float("nan")
+                    else:
+                        m4 = (
+                            s4 / n
+                            - 4 * m1 * s3 / n
+                            + 6 * m1**2 * s2 / n
+                            - 3 * m1**4
+                        )
+                        v = m4 / max(m2, 1e-300) ** 2 - 3.0
+            if v is not None:
+                res[b] = v
+        out[i] = res if res else None
     return out
 
 

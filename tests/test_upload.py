@@ -279,8 +279,11 @@ def test_rejects_non_uploadable(spark):
     ev_df, q_df = _mk(spark)
     with pytest.raises(ValueError, match="lambda-tile"):
         group_by_upload(spark, gb, ev_df, END_DS)
+    # bucketed SCALAR ops are uploadable; bucketed sketch/list ops are not
     gb2 = _gb(
-        Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("s",))
+        Aggregation(
+            "v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("s",)
+        )
     )
     with pytest.raises(ValueError):
         group_by_upload(spark, gb2, ev_df, END_DS)
@@ -438,3 +441,74 @@ def test_fuzz_fetch_gather_parity(spark):
         got = _fetch(spark, gb, ev_df, q_df)
         exp = _expected(spark, gb, ev_df, q_df)
         _cmp(got, exp)
+
+
+def test_fetch_bucketed_matches_raw_kernel(spark):
+    """Bucketed scalar family through the upload→fetch round trip:
+    Map[bucket → agg] per query must equal the raw kernel's
+    BucketedColumnAggregator semantics (entries only for non-None
+    values, NaN finalizations kept, empty map → None)."""
+    ev_df, q_df = _mk(spark)
+    # a low-cardinality bucket column derived from s (which has nulls)
+    ev_df = ev_df.withColumn(
+        "cat", F.when(F.col("s").isNotNull(), F.substring("s", 1, 2))
+    )
+    gb = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7), None), buckets=("cat",)),
+        Aggregation("v", Operation.COUNT, windows=(Window(7),), buckets=("cat",)),
+        Aggregation("v", Operation.AVERAGE, windows=(Window(3),), buckets=("cat",)),
+        Aggregation("vi", Operation.MAX, windows=(Window(7),), buckets=("cat",)),
+        Aggregation("v", Operation.MIN, windows=(None,), buckets=("cat",)),
+        Aggregation("v", Operation.VARIANCE, windows=(Window(7),), buckets=("cat",)),
+        Aggregation("v", Operation.SKEW, windows=(Window(20),), buckets=("cat",)),
+        Aggregation("v", Operation.LAST, windows=(Window(7), None), buckets=("cat",)),
+        Aggregation("s", Operation.FIRST, windows=(Window(2),), buckets=("cat",)),
+        # mixed config: scalar + bucketed share the upload row
+        Aggregation("v", Operation.SUM, windows=(Window(7),)),
+    )
+    got = _fetch(spark, gb, ev_df, q_df)
+    exp = _expected(spark, gb, ev_df, q_df)
+    _cmp_maps(got, exp)
+
+
+def _cmp_maps(got_df, exp_df):
+    got = {r["qid"]: r.asDict() for r in got_df.collect()}
+    exp = {r["qid"]: r.asDict() for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    mism = []
+    for qid, g in got.items():
+        for col, gv in g.items():
+            if col in ("user", "ts", "qid"):
+                continue
+            ev_ = exp[qid][col]
+            if isinstance(gv, dict) or isinstance(ev_, dict):
+                if (gv is None) != (ev_ is None) or (
+                    gv is not None and set(gv) != set(ev_)
+                ):
+                    mism.append((qid, col, gv, ev_))
+                    continue
+                for b in gv or {}:
+                    a, e = gv[b], ev_[b]
+                    if isinstance(a, float) or isinstance(e, float):
+                        same = (
+                            a is not None
+                            and e is not None
+                            and (
+                                (math.isnan(a) and math.isnan(e))
+                                or a == pytest.approx(e, rel=1e-9, abs=1e-9)
+                            )
+                        )
+                    else:
+                        same = a == e
+                    if not same:
+                        mism.append((qid, col, b, a, e))
+            else:
+                if isinstance(gv, float) and isinstance(ev_, float):
+                    if not (
+                        (math.isnan(gv) and math.isnan(ev_))
+                        or gv == pytest.approx(ev_, rel=1e-9, abs=1e-9)
+                    ):
+                        mism.append((qid, col, gv, ev_))
+                elif gv != ev_ and not (gv is None and ev_ is None):
+                    mism.append((qid, col, gv, ev_))
+    assert not mism, mism[:10]
