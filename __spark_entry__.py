@@ -1744,6 +1744,11 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arg_map={"k": 10},
                 windows=(None,),
             ),
+            # bucketed scalar: Map[event_type → SUM] through the
+            # per-(hop, bucket) IR frames
+            Aggregation(
+                "value_c", Operation.SUM, windows=(Window(7),), buckets=("event_type",)
+            ),
         ),
         accuracy=Accuracy.TEMPORAL,
     )
@@ -1783,6 +1788,13 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         mg_str.alias("mg3_7d"),
         _lst("value_c_top_k_3").alias("top3_all"),
         F.col("value_c_bounded_unique_count").alias("buc10_all"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("value_c_sum_7d_by_event_type")),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("bsum_7d"),
     )
 
 
@@ -2526,12 +2538,23 @@ mgs AS (
   SELECT event_id,
          string_agg(event_type || ':' || n, ',' ORDER BY n DESC, event_type) AS mg3_7d
   FROM mgr WHERE rn <= 3 GROUP BY event_id
+),
+bsum AS (
+  SELECT event_id, event_type, CAST(sum(vc) AS BIGINT) AS s
+  FROM pairs WHERE event_type IS NOT NULL AND vc IS NOT NULL
+  GROUP BY event_id, event_type
+),
+bsums AS (
+  SELECT event_id,
+         string_agg(event_type || ':' || s, ',' ORDER BY event_type) AS bsum_7d
+  FROM bsum GROUP BY event_id
 )
 SELECT a.event_id, a.top3_7d, a.bot3_7d, a.first3_7d, a.last3_7d,
-       a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all
+       a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all, b.bsum_7d
 FROM agg a
 LEFT JOIN mgs m ON m.event_id = a.event_id
 LEFT JOIN agg_all u ON u.event_id = a.event_id
+LEFT JOIN bsums b ON b.event_id = a.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc
