@@ -1624,3 +1624,39 @@ def _fetch_hll(c, urow, ev, qt, ws, boundary):
         else:
             out[i] = np.nan
     return np.array([np.nan if v is None else v for v in out], dtype=np.float64)
+
+
+def fetch_consistency(
+    spark: SparkSession,
+    gb: GroupBy,
+    uploaded: DataFrame,
+    streamed: DataFrame,
+    queries: DataFrame,
+    end_ds: str,
+    percentile_mode: str | None = None,
+):
+    """Online-offline consistency for the FETCH path: serve ``queries``
+    from the upload artifact, recompute the same features with the raw
+    as-of kernel over full history (upload inputs ∪ streamed head), and
+    compare — the reference's OOC metric applied to its fetcher
+    (ConsistencyJob + FetcherBase parity). Returns
+    (comparison_df, metrics_df) from operators/stats.compare_tables.
+
+    Scalar features only (compare_tables summarizes numeric columns);
+    map/list outputs are parity-tested at the pytest layer instead.
+    ``streamed`` must carry the full event history here — it is both the
+    head for the fetch and the history for the offline recompute."""
+    from chronon_spark.operators.stats import PCT_APPROX, compare_tables
+    from chronon_spark.operators.temporal import temporal_events
+
+    served = fetch_features(spark, gb, uploaded, streamed, queries, end_ds)
+    offline = temporal_events(spark, gb, queries, streamed, mode="raw", passthrough=True)
+    # fetch output carries keys + passthrough but not ts — the request
+    # frame's passthrough columns must make rows unique (e.g. request id)
+    join_keys = [c for c in queries.columns if c != TS_COL]
+    return compare_tables(
+        served,
+        offline.select(*served.columns),
+        keys=join_keys,
+        percentile_mode=percentile_mode or PCT_APPROX,
+    )

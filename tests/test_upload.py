@@ -512,3 +512,22 @@ def _cmp_maps(got_df, exp_df):
                 elif gv != ev_ and not (gv is None and ev_ is None):
                     mism.append((qid, col, gv, ev_))
     assert not mism, mism[:10]
+
+
+def test_fetch_consistency_zero_drift(spark):
+    """fetch_consistency: the OOC metric over the fetch path reports
+    zero mismatch when upload+head serving equals the raw backfill."""
+    from chronon_spark.operators.upload import fetch_consistency
+
+    ev_df, q_df = _mk(spark)
+    gb = _gb(
+        Aggregation("v", Operation.SUM, windows=(Window(7),)),
+        Aggregation("v", Operation.AVERAGE, windows=(Window(3),)),
+        Aggregation("v", Operation.COUNT, windows=(None,)),
+    )
+    up = group_by_upload(spark, gb, ev_df, END_DS)
+    comparison, metrics = fetch_consistency(spark, gb, up, ev_df, q_df, END_DS)
+    m = metrics.collect()[0].asDict()
+    mismatch_cols = [k for k, v in m.items() if k.endswith("_mismatch_sum") and v]
+    assert not mismatch_cols, (mismatch_cols, m)
+    assert comparison.count() == q_df.count()
