@@ -578,36 +578,25 @@ def group_by_upload(
             .agg(*aggs)
         )
         state_cols = [c for c in g.columns if c not in keys and c not in ("__h", "__bk")]
-        # per (key, hop): sorted per-bucket rows → per-hop parallel arrays
-        g2 = g.groupBy(*keys, "__h").agg(
+        # ONE per-key collect of (hop, bucket) entry rows, sorted by
+        # (hop, bucket) — per-ENTRY hop/bucket arrays (the HLL frame's
+        # layout) skip a whole (keys, hop) exchange vs nesting per hop
+        f = g.groupBy(*keys).agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("__bk"), *state_cols))
-            ).alias("__be")
-        )
-        hop_cols = [F.transform("__be", _fx("__bk")).alias("__bks")]
-        flat_names = []
-        for sc in state_cols:
-            st = sc.rsplit("__", 1)[1]
-            if st in ("fst", "lst"):
-                hop_cols.append(F.transform("__be", _fx2(sc, "t")).alias(f"{sc}_ts"))
-                hop_cols.append(F.transform("__be", _fx2(sc, "v")).alias(f"{sc}_v"))
-                flat_names += [f"{sc}_ts", f"{sc}_v"]
-            else:
-                hop_cols.append(F.transform("__be", _fx(sc)).alias(sc))
-                flat_names.append(sc)
-        g2 = g2.select(*[F.col(k) for k in keys], F.col("__h"), *hop_cols)
-        f = g2.groupBy(*keys).agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__h"), F.col("__bks"), *flat_names))
+                F.collect_list(F.struct(F.col("__h"), F.col("__bk"), *state_cols))
             ).alias("__e")
         )
         sel = [F.col(k) for k in keys] + [
-            F.transform("__e", _fx("__h")).alias(f"__hb_{r}_{bkcol}"),
-            F.transform("__e", _fxs("__bks")).alias(f"__bl_{r}_{bkcol}"),
-            F.flatten(F.transform("__e", _fx("__bks"))).alias(f"__bf_{r}_{bkcol}"),
+            F.transform("__e", _fx("__h")).alias(f"__bh_{r}_{bkcol}"),
+            F.transform("__e", _fx("__bk")).alias(f"__bf_{r}_{bkcol}"),
         ]
-        for nm in flat_names:
-            sel.append(F.flatten(F.transform("__e", _fx(nm))).alias(f"{nm}_bw"))
+        for sc in state_cols:
+            st = sc.rsplit("__", 1)[1]
+            if st in ("fst", "lst"):
+                sel.append(F.transform("__e", _fx2(sc, "t")).alias(f"{sc}_ts_bw"))
+                sel.append(F.transform("__e", _fx2(sc, "v")).alias(f"{sc}_v_bw"))
+            else:
+                sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bw"))
         frames.append(f.select(*sel))
 
     # ≤ (1 + #resolutions + #bucket-frames + #HLL-parts) narrow per-key
@@ -703,9 +692,8 @@ def fetch_features(
                 # (bucketed parts read their bucket frame's own arrays)
                 "hop": None
                 if r is None
-                else (f"__hb_{r}_{p.bucket}" if p.bucket else f"__h{r}"),
+                else (f"__bh_{r}_{p.bucket}" if p.bucket else f"__h{r}"),
                 "bucket": p.bucket,
-                "bl": None if r is None or not p.bucket else f"__bl_{r}_{p.bucket}",
                 "bf": None if r is None or not p.bucket else f"__bf_{r}_{p.bucket}",
                 "bu": None if not p.bucket else f"__bu_{p.bucket}",
                 "integral": integral,
@@ -1370,9 +1358,9 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
         snap_by = {None: base0}
         bkey = [None] * nq
     else:
-        hh = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
-        bl = [int(x) if _valid_n(x) else 0 for x in _urow_arr(urow, c["bl"])]
-        off = np.concatenate(([0], np.cumsum(bl))).astype(np.int64)
+        # per-ENTRY hop array (entries sorted by (hop, bucket)): the
+        # suffix for a window start is a flat entry range
+        hh_e = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
         bf = _urow_arr(urow, c["bf"])
         flats = {}
         for st in states:
@@ -1381,20 +1369,19 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
                 flats[f"{st}_v"] = _urow_arr(urow, f"{o}__{st}_v_bw")
             else:
                 flats[st] = _urow_arr(urow, f"{o}__{st}_bw")
-        bidx = np.searchsorted(hh, ws, side="left")
+        bidx = np.searchsorted(hh_e, ws, side="left")
         snap_by = {}
         cur: dict = {}
-        t = len(bl) - 1
+        t = len(hh_e) - 1
         for nb in sorted({int(b) for b in bidx}, reverse=True):
             while t >= nb:
-                for e_i in range(off[t], off[t + 1]):
-                    ent = cur.setdefault(str(bf[e_i]), _new_ent())
-                    for st in states:
-                        if st in ("fst", "lst"):
-                            if _valid_n(flats[f"{st}_ts"][e_i]):
-                                _absorb(ent, st, flats[f"{st}_v"][e_i])
-                        else:
-                            _absorb(ent, st, flats[st][e_i])
+                ent = cur.setdefault(str(bf[t]), _new_ent())
+                for st in states:
+                    if st in ("fst", "lst"):
+                        if _valid_n(flats[f"{st}_ts"][t]):
+                            _absorb(ent, st, flats[f"{st}_v"][t])
+                    else:
+                        _absorb(ent, st, flats[st][t])
                 t -= 1
             snap_by[nb] = {b: dict(e) for b, e in cur.items()}
         bkey = bidx
