@@ -118,6 +118,7 @@ GB = GroupBy(
             "cat", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 3}, windows=(Window(7),)
         ),
         Aggregation("cat", Operation.APPROX_UNIQUE_COUNT, windows=(Window(7),)),
+        Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("cat",)),
     ),
     accuracy=Accuracy.TEMPORAL,
 )
