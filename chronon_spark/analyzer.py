@@ -175,7 +175,7 @@ def serving_plan(gb: GroupBy) -> dict:
             why = (
                 "element_wise"
                 if p.element_wise
-                else f"bucketed sketch/list op ({p.operation.value})"
+                else f"bucketed sketch op ({p.operation.value})"
                 if p.bucket is not None
                 else f"unbounded exact IR ({p.operation.value})"
             )

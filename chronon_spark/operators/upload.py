@@ -137,11 +137,12 @@ def boundary_millis(end_ds: str) -> int:
     return int(d.timestamp()) * 1000 + MS_DAY
 
 
-# bucketed parts are uploadable for the scalar-algebraic family: the
-# per-(hop, bucket) state is one scalar IR row per OBSERVED bucket, so
-# the upload row stays bounded by hops × distinct-buckets — the same
-# Map[bucket → agg] contract GroupByUpload serves. Sketch/list ops ×
-# bucket stay lambda-tile-only (map-of-sketch hop state).
+# bucketed parts are uploadable for the scalar-algebraic family AND the
+# k-list/capped-set family: the per-(hop, bucket) state is one scalar IR
+# row (or one ≤k list) per OBSERVED bucket, so the upload row stays
+# bounded by hops × distinct-buckets — the same Map[bucket → agg]
+# contract GroupByUpload serves. Sketch ops (HLL, percentile samples,
+# count-maps) × bucket stay lambda-tile-only (map-of-sketch hop state).
 BUCKETABLE = {
     Operation.COUNT,
     Operation.SUM,
@@ -153,6 +154,11 @@ BUCKETABLE = {
     Operation.KURTOSIS,
     Operation.FIRST,
     Operation.LAST,
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+    Operation.FIRST_K,
+    Operation.LAST_K,
+    Operation.BOUNDED_UNIQUE_COUNT,
 }
 
 
@@ -558,6 +564,10 @@ def group_by_upload(
             if st in ("fst", "lst"):
                 sel.append(F.transform("__e", _fx2(sc, "t")).alias(f"{sc}_ts_bu"))
                 sel.append(F.transform("__e", _fx2(sc, "v")).alias(f"{sc}_v_bu"))
+            elif st in _LIST_STATES:
+                # per-bucket ≤k lists → (flat, per-bucket lengths)
+                sel.append(F.flatten(F.transform("__e", _fx(sc))).alias(f"{sc}_bu_f"))
+                sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bu_l"))
             else:
                 sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bu"))
         frames.append(f.select(*sel))
@@ -598,6 +608,10 @@ def group_by_upload(
             if st in ("fst", "lst"):
                 sel.append(F.transform("__e", _fx2(sc, "t")).alias(f"{sc}_ts_bw"))
                 sel.append(F.transform("__e", _fx2(sc, "v")).alias(f"{sc}_v_bw"))
+            elif st in _LIST_STATES:
+                # per-(hop, bucket)-entry ≤k lists → (flat, lengths)
+                sel.append(F.flatten(F.transform("__e", _fx(sc))).alias(f"{sc}_bw_f"))
+                sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bw_l"))
             else:
                 sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bw"))
         frames.append(f.select(*sel))
@@ -1315,6 +1329,9 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
         else np.searchsorted(ets, np.maximum(ws, boundary), side="left")
     )
 
+    if op in _GATHER_B:
+        return _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws)
+
     def _absorb(ent, st, val):
         """Merge one batch state value into a bucket entry; hops are
         absorbed newest→oldest, so fst overwrites (earliest hop wins)
@@ -1478,6 +1495,115 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
                         v = m4 / max(m2, 1e-300) ** 2 - 3.0
             if v is not None:
                 res[b] = v
+        out[i] = res if res else None
+    return out
+
+
+_GATHER_B = {
+    Operation.TOP_K: "topk",
+    Operation.BOTTOM_K: "botk",
+    Operation.FIRST_K: "fstk",
+    Operation.LAST_K: "lstk",
+    Operation.BOUNDED_UNIQUE_COUNT: "uset",
+}
+
+
+def _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws):
+    """Bucketed k-lists / capped sets: Map[bucket → list|count] merged
+    from per-(hop, bucket) ≤k list entries + the head range. Same merge
+    algebra as the unbucketed gather fetch, applied per bucket; batch
+    suffixes accumulate newest→oldest once per distinct window start."""
+    op, o, w, k = c["op"], c["o"], c["w"], c["k"]
+    st = _GATHER_B[op]
+    is_set = op is Operation.BOUNDED_UNIQUE_COUNT
+    nq = len(lo)
+    out = np.empty(nq, dtype=object)
+    out[:] = None
+
+    def _fin(vals):
+        if c["integral"]:
+            return [int(round(float(x))) for x in vals]
+        if c["numeric"]:
+            return [float(x) for x in vals]
+        return [str(x) for x in vals]
+
+    def _lists(suffix_kind):
+        lens = _urow_arr(urow, f"{o}__{st}_{suffix_kind}_l")
+        ln = np.array([0 if not _valid_n(x) else int(x) for x in lens], dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+        flat_raw = urow.get(f"{o}__{st}_{suffix_kind}_f")
+        flat = (
+            np.empty(0, dtype=object)
+            if flat_raw is None
+            or (isinstance(flat_raw, float) and np.isnan(flat_raw))
+            else np.asarray(flat_raw)
+        )
+        return [list(flat[off[t] : off[t + 1]]) for t in range(len(ln))]
+
+    if w is None:
+        bks = _urow_arr(urow, c["bu"])
+        per_b = _lists("bu")
+        base0 = {}
+        for bi, b in enumerate(bks):
+            v = set(per_b[bi]) if is_set else per_b[bi]
+            base0[str(b)] = v
+        snap_by = {None: base0}
+        bkey = [None] * nq
+    else:
+        hh_e = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
+        bf = _urow_arr(urow, c["bf"])
+        per_e = _lists("bw")
+        bidx = np.searchsorted(hh_e, ws, side="left")
+        snap_by = {}
+        cur: dict = {}
+        t = len(hh_e) - 1
+        for nb in sorted({int(b) for b in bidx}, reverse=True):
+            while t >= nb:
+                b = str(bf[t])
+                ent = per_e[t]
+                prev = cur.get(b)
+                # entries absorb newest→oldest: the current entry is
+                # EARLIER than everything merged so far
+                if is_set:
+                    cur[b] = (prev or set()) | set(ent)
+                elif op is Operation.TOP_K:
+                    cur[b] = sorted(ent + (prev or []), reverse=True)[:k]
+                elif op is Operation.BOTTOM_K:
+                    cur[b] = sorted(ent + (prev or []))[:k]
+                elif op is Operation.FIRST_K:
+                    cur[b] = (ent + (prev or []))[:k]
+                else:  # LAST_K — newest-first; older entry goes last
+                    cur[b] = ((prev or []) + ent)[:k]
+                t -= 1
+            snap_by[nb] = {
+                b: (set(v) if is_set else list(v)) for b, v in cur.items()
+            }
+        bkey = bidx
+
+    for i in range(nq):
+        base = snap_by[None if w is None else int(bkey[i])]
+        heads: dict = {}
+        for r_i in range(lo[i], j[i]):
+            heads.setdefault(bvals[r_i], []).append(xv[r_i])
+        res: dict = {}
+        for b in set(base) | set(heads):
+            pre = base.get(b, set() if is_set else [])
+            hd = heads.get(b, [])
+            if is_set:
+                u = set(pre) | set(hd)
+                if u:
+                    res[b] = min(len(u), k)
+                continue
+            if op is Operation.TOP_K:
+                m = sorted(list(pre) + hd, reverse=True)[:k]
+            elif op is Operation.BOTTOM_K:
+                m = sorted(list(pre) + hd)[:k]
+            elif op is Operation.FIRST_K:
+                m = (list(pre) + hd)[:k]
+            else:  # LAST_K
+                m = (hd[::-1] + list(pre))[:k]
+            if m:
+                res[b] = _fin(m)
         out[i] = res if res else None
     return out
 

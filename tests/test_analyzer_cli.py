@@ -267,6 +267,9 @@ def test_serving_plan_classification():
             Aggregation(
                 "v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("b",)
             ),
+            Aggregation(
+                "v", Operation.APPROX_PERCENTILE, windows=(Window(7),), buckets=("b",)
+            ),
             Aggregation("l", Operation.AVERAGE, element_wise=True),
         ),
     )
@@ -276,10 +279,11 @@ def test_serving_plan_classification():
         "v_top_k_3_7d",
         "v_approx_percentile",
         "v_sum_7d_by_b",  # bucketed scalar family is KV-servable
+        "v_top_k_3_7d_by_b",  # bucketed k-lists too
     }
     reasons = {d["column"]: d["reason"] for d in plan["lambda_tile_only"]}
     assert "unbounded exact IR" in reasons["v_unique_count_7d"]
-    assert "bucketed sketch/list op" in reasons["v_top_k_3_7d_by_b"]
+    assert "bucketed sketch op" in reasons["v_approx_percentile_7d_by_b"]
     assert reasons["l_average"] == "element_wise"
     assert plan["fully_kv_servable"] is False
     # an all-bounded config is fully KV-servable

@@ -279,10 +279,10 @@ def test_rejects_non_uploadable(spark):
     ev_df, q_df = _mk(spark)
     with pytest.raises(ValueError, match="lambda-tile"):
         group_by_upload(spark, gb, ev_df, END_DS)
-    # bucketed SCALAR ops are uploadable; bucketed sketch/list ops are not
+    # bucketed scalar/k-list ops are uploadable; bucketed SKETCH ops not
     gb2 = _gb(
         Aggregation(
-            "v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("s",)
+            "v", Operation.APPROX_PERCENTILE, windows=(Window(7),), buckets=("s",)
         )
     )
     with pytest.raises(ValueError):
@@ -531,3 +531,38 @@ def test_fetch_consistency_zero_drift(spark):
     mismatch_cols = [k for k, v in m.items() if k.endswith("_mismatch_sum") and v]
     assert not mismatch_cols, (mismatch_cols, m)
     assert comparison.count() == q_df.count()
+
+
+def test_fetch_bucketed_gather_matches_raw_kernel(spark):
+    """Bucketed k-lists and capped sets through the upload→fetch round
+    trip: Map[bucket → list|count] must equal the raw kernel's
+    per-bucket gather semantics (integer/string inputs keep the
+    comparison exact)."""
+    ev_df, q_df = _mk(spark)
+    ev_df = ev_df.withColumn(
+        "cat", F.when(F.col("s").isNotNull(), F.substring("s", 1, 2))
+    )
+    gb = _gb(
+        Aggregation(
+            "vi", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7), None), buckets=("cat",)
+        ),
+        Aggregation(
+            "vi", Operation.BOTTOM_K, arg_map={"k": 2}, windows=(Window(3),), buckets=("cat",)
+        ),
+        Aggregation(
+            "s", Operation.FIRST_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("cat",)
+        ),
+        Aggregation(
+            "vi", Operation.LAST_K, arg_map={"k": 3}, windows=(Window(7), None), buckets=("cat",)
+        ),
+        Aggregation(
+            "s",
+            Operation.BOUNDED_UNIQUE_COUNT,
+            arg_map={"k": 5},
+            windows=(Window(7), None),
+            buckets=("cat",),
+        ),
+    )
+    got = _fetch(spark, gb, ev_df, q_df)
+    exp = _expected(spark, gb, ev_df, q_df)
+    _cmp_maps(got, exp)
