@@ -127,6 +127,9 @@ _MOMENT_STATES = {
     Operation.BOUNDED_UNIQUE_COUNT: ("uset",),
     Operation.APPROX_PERCENTILE: ("pqs",),
     Operation.APPROX_HISTOGRAM_K: ("mgh",),
+    # only reached by the bucketed frames — the unbucketed HLL flow
+    # builds its register rollups as dedicated two-stage frames
+    Operation.APPROX_UNIQUE_COUNT: ("hreg",),
 }
 
 
@@ -159,6 +162,12 @@ BUCKETABLE = {
     Operation.FIRST_K,
     Operation.LAST_K,
     Operation.BOUNDED_UNIQUE_COUNT,
+    # per-(hop, bucket) (n, ≤S equi-rank sample) / sparse HLL registers —
+    # still bounded per entry. APPROX_HISTOGRAM_K × bucket stays
+    # lambda-tile-only: its output is Map[bucket → Map[key → count]],
+    # a nested-map Arrow output the cogroup writer can't ship.
+    Operation.APPROX_PERCENTILE,
+    Operation.APPROX_UNIQUE_COUNT,
 }
 
 
@@ -187,7 +196,12 @@ def _lookback(p: AggregationPart, boundary: int) -> tuple[int, int]:
     return r, ((boundary - p.window.millis) // r) * r
 
 
-def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> list:
+def _state_aggs(
+    p: AggregationPart,
+    integral: bool,
+    lb: int | None = None,
+    pqs_never_null: bool = False,
+) -> list:
     """Spark aggregate expressions for one part's IR states over a group
     (a hop group or the full prefix), named ``{output}__{state}``.
     ``lb``: when set, only rows with ts ≥ lb contribute — lets parts with
@@ -281,7 +295,7 @@ def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> li
                 equirank_sample_struct,
             )
 
-            if lb is None and p.window is None:
+            if lb is None and p.window is None and not pqs_never_null:
                 # unbounded: one collapsed struct, NULL-when-empty is fine
                 out.append(
                     F.expr(
@@ -314,6 +328,21 @@ def _state_aggs(p: AggregationPart, integral: bool, lb: int | None = None) -> li
             # into parallel (keys, counts) arrays after the agg (maps
             # aren't orderable inside the hop collect struct)
             out.append(_hist_ir_capped(cs, p).alias(f"{o}__mgh"))
+        elif st == "hreg":
+            # sparse per-group HLL register entries (i, r), reduced to
+            # per-register maxima inside the agg — bucketed frames only
+            from chronon_spark.operators.temporal import _hreg_reduce
+
+            idx, rho = hll_idx_rho_exprs(cs)
+            ents = F.sort_array(
+                F.collect_list(
+                    F.when(
+                        idx.isNotNull(),
+                        F.struct(idx.alias("i"), rho.alias("r")),
+                    )
+                )
+            )
+            out.append(_hreg_reduce(ents).alias(f"{o}__hreg"))
     return out
 
 
@@ -357,6 +386,14 @@ def _fx2(name, sub):
 
 def _fxs(name):
     return lambda x: F.size(x[name])
+
+
+def _fxs2(name, sub):
+    return lambda x: F.size(x[name][sub])
+
+
+def _fx_nested(name, sub):
+    return lambda x: F.transform(x[name], lambda e: e[sub])
 
 
 def _explode_tv(df: DataFrame, o: str, st: str) -> DataFrame:
@@ -486,11 +523,11 @@ def group_by_upload(
                 sel.append(F.transform("__e", _ext(sc)).alias(sc))
         frames.append(f.select(*sel))
 
-    # ---- HLL parts: per-part two-stage register rollups
+    # ---- unbucketed HLL parts: per-part two-stage register rollups
     for p in parts:
         o = p.output_column
         integral = _integral(p)
-        if p.operation is Operation.APPROX_UNIQUE_COUNT:
+        if p.operation is Operation.APPROX_UNIQUE_COUNT and p.bucket is None:
             idx, rho = hll_idx_rho_exprs(p.input_column)
             base = ev.select(
                 *keys, F.col(TS_COL), idx.alias("__i"), rho.alias("__r")
@@ -544,7 +581,9 @@ def group_by_upload(
             ).append(p)
 
     for bkcol, group in sorted(bu_by.items()):
-        aggs = [a for p in group for a in _state_aggs(p, _integral(p))]
+        aggs = [
+            a for p in group for a in _state_aggs(p, _integral(p), pqs_never_null=True)
+        ]
         g = (
             ev.filter(F.col(bkcol).isNotNull())
             .groupBy(*keys, F.col(bkcol).cast("string").alias("__bk"))
@@ -568,6 +607,24 @@ def group_by_upload(
                 # per-bucket ≤k lists → (flat, per-bucket lengths)
                 sel.append(F.flatten(F.transform("__e", _fx(sc))).alias(f"{sc}_bu_f"))
                 sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bu_l"))
+            elif st == "pqs":
+                sel.append(F.transform("__e", _fx2(sc, "n")).alias(f"{sc}_n_bu"))
+                sel.append(
+                    F.flatten(F.transform("__e", _fx2(sc, "q"))).alias(f"{sc}_q_bu_f")
+                )
+                sel.append(F.transform("__e", _fxs2(sc, "q")).alias(f"{sc}_q_bu_l"))
+            elif st == "hreg":
+                sel.append(
+                    F.flatten(F.transform("__e", _fx_nested(sc, "i"))).alias(
+                        f"{sc}_i_bu_f"
+                    )
+                )
+                sel.append(
+                    F.flatten(F.transform("__e", _fx_nested(sc, "r"))).alias(
+                        f"{sc}_r_bu_f"
+                    )
+                )
+                sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bu_l"))
             else:
                 sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bu"))
         frames.append(f.select(*sel))
@@ -583,6 +640,7 @@ def group_by_upload(
                 p,
                 _integral(p),
                 lb=None if lbs[p.output_column] == lb_min else lbs[p.output_column],
+                pqs_never_null=True,
             )
         ]
         g = (
@@ -611,6 +669,24 @@ def group_by_upload(
             elif st in _LIST_STATES:
                 # per-(hop, bucket)-entry ≤k lists → (flat, lengths)
                 sel.append(F.flatten(F.transform("__e", _fx(sc))).alias(f"{sc}_bw_f"))
+                sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bw_l"))
+            elif st == "pqs":
+                sel.append(F.transform("__e", _fx2(sc, "n")).alias(f"{sc}_n_bw"))
+                sel.append(
+                    F.flatten(F.transform("__e", _fx2(sc, "q"))).alias(f"{sc}_q_bw_f")
+                )
+                sel.append(F.transform("__e", _fxs2(sc, "q")).alias(f"{sc}_q_bw_l"))
+            elif st == "hreg":
+                sel.append(
+                    F.flatten(F.transform("__e", _fx_nested(sc, "i"))).alias(
+                        f"{sc}_i_bw_f"
+                    )
+                )
+                sel.append(
+                    F.flatten(F.transform("__e", _fx_nested(sc, "r"))).alias(
+                        f"{sc}_r_bw_f"
+                    )
+                )
                 sel.append(F.transform("__e", _fxs(sc)).alias(f"{sc}_bw_l"))
             else:
                 sel.append(F.transform("__e", _fx(sc)).alias(f"{sc}_bw"))
@@ -1308,6 +1384,9 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
     out[:] = None
     integral, numeric = c["integral"], c["numeric"]
 
+    if op is Operation.APPROX_UNIQUE_COUNT:
+        return _fetch_bucketed_hll(c, urow, ev, qt, ws, boundary)
+
     # ---- head pack: (ts, bucket, value), value-tie-ordered like the
     # scalar pack so FIRST/LAST pick the same element on exact ties
     bser = ev[c["bucket"]]
@@ -1329,6 +1408,8 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
         else np.searchsorted(ets, np.maximum(ws, boundary), side="left")
     )
 
+    if op is Operation.APPROX_PERCENTILE:
+        return _fetch_bucketed_pq(c, urow, bvals, xv, lo, j, ws)
     if op in _GATHER_B:
         return _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws)
 
@@ -1604,6 +1685,171 @@ def _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws):
                 m = (hd[::-1] + list(pre))[:k]
             if m:
                 res[b] = _fin(m)
+        out[i] = res if res else None
+    return out
+
+
+def _pct_lists(urow, base, kind):
+    """Per-entry (n, sample) percentile IR lists from flat arrays."""
+    lens = _urow_arr(urow, f"{base}_q_{kind}_l")
+    ln = np.array([0 if not _valid_n(x) else int(x) for x in lens], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+    flat_raw = urow.get(f"{base}_q_{kind}_f")
+    flat = (
+        np.empty(0, dtype=np.float64)
+        if flat_raw is None or (isinstance(flat_raw, float) and np.isnan(flat_raw))
+        else np.asarray(flat_raw, dtype=np.float64)
+    )
+    ns = [
+        0 if not _valid_n(x) else int(x)
+        for x in _urow_arr(urow, f"{base}_n_{kind}")
+    ]
+    return ns, [flat[off[t] : off[t + 1]] for t in range(len(ln))]
+
+
+def _fetch_bucketed_pq(c, urow, bvals, xv, lo, j, ws):
+    """Bucketed APPROX_PERCENTILE: Map[bucket → percentile list] merged
+    from per-(hop, bucket) (n, ≤S equi-rank sample) IRs + head values —
+    exact per bucket while no contributing IR truncated, the op's own
+    weighted-sample contract beyond."""
+    from chronon_spark.operators.temporal import _weighted_pct
+
+    o, w, qs_p = c["o"], c["w"], c["percentiles"]
+    nq = len(lo)
+    out = np.empty(nq, dtype=object)
+    out[:] = None
+
+    if w is None:
+        bks = _urow_arr(urow, c["bu"])
+        ns, qls = _pct_lists(urow, f"{o}__pqs", "bu")
+        base0: dict = {}
+        for bi, b in enumerate(bks):
+            if bi < len(ns) and ns[bi] > 0:
+                base0.setdefault(str(b), []).append((ns[bi], qls[bi]))
+        snap_by = {None: base0}
+        bkey = [None] * nq
+    else:
+        hh_e = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
+        bf = _urow_arr(urow, c["bf"])
+        ns, qls = _pct_lists(urow, f"{o}__pqs", "bw")
+        bidx = np.searchsorted(hh_e, ws, side="left")
+        snap_by = {}
+        cur: dict = {}
+        t = len(hh_e) - 1
+        for nb in sorted({int(b) for b in bidx}, reverse=True):
+            while t >= nb:
+                if ns[t] > 0:
+                    cur.setdefault(str(bf[t]), []).append((ns[t], qls[t]))
+                t -= 1
+            snap_by[nb] = {b: list(v) for b, v in cur.items()}
+        bkey = bidx
+
+    for i in range(nq):
+        base = snap_by[None if w is None else int(bkey[i])]
+        heads: dict = {}
+        for r_i in range(lo[i], j[i]):
+            heads.setdefault(bvals[r_i], []).append(float(xv[r_i]))
+        res: dict = {}
+        for b in set(base) | set(heads):
+            prs = base.get(b, [])
+            head = np.asarray(heads.get(b, []), dtype=np.float64)
+            if not prs and len(head) == 0:
+                continue
+            if all(n_ == len(q_) for n_, q_ in prs):
+                allv = (
+                    np.concatenate([q_ for _, q_ in prs] + [head]) if prs else head
+                )
+                res[b] = [float(np.percentile(allv, q * 100)) for q in qs_p]
+            else:
+                va = np.concatenate([q_ for _, q_ in prs] + [head])
+                wa = np.concatenate(
+                    [np.full(len(q_), n_ / len(q_)) for n_, q_ in prs]
+                    + [np.ones(len(head))]
+                )
+                order = np.argsort(va, kind="mergesort")
+                va, wa = va[order], wa[order]
+                res[b] = [_weighted_pct(va, wa, q) for q in qs_p]
+        out[i] = res if res else None
+    return out
+
+
+def _fetch_bucketed_hll(c, urow, ev, qt, ws, boundary):
+    """Bucketed APPROX_UNIQUE_COUNT: Map[bucket → estimate] from
+    per-(hop, bucket) sparse HLL register entries + per-event head
+    (idx, rho) — register max is associative, so the merged estimate is
+    bit-identical to the raw kernel's per-bucket registers."""
+    o, col, w = c["o"], c["col"], c["w"]
+    nq = len(qt)
+    out = np.empty(nq, dtype=object)
+    out[:] = None
+
+    def _regs(kind):
+        lens = _urow_arr(urow, f"{o}__hreg_{kind}_l")
+        ln = np.array([0 if not _valid_n(x) else int(x) for x in lens], dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+        fi = np.asarray(_urow_arr(urow, f"{o}__hreg_i_{kind}_f"), dtype=np.int64)
+        fr = np.asarray(_urow_arr(urow, f"{o}__hreg_r_{kind}_f"), dtype=np.int64)
+        return ln, off, fi, fr
+
+    # head: (ts, bucket, idx, rho) — idx/rho precomputed JVM-side
+    hi = pd.to_numeric(ev[f"__hi_{col}"], errors="coerce").to_numpy(np.float64)
+    hr = pd.to_numeric(ev[f"__hr_{col}"], errors="coerce").to_numpy(np.float64)
+    bser = ev[c["bucket"]]
+    nn = ~np.isnan(hi) & bser.notna().to_numpy()
+    ets = ev[TS_COL].to_numpy(np.int64)[nn]
+    b_head = np.array([str(x) for x in bser[nn]], dtype=object)
+    ih = hi[nn].astype(np.int64)
+    rh = hr[nn].astype(np.uint8)
+    order = np.argsort(ets, kind="stable")
+    ets, b_head, ih, rh = ets[order], b_head[order], ih[order], rh[order]
+    j = np.searchsorted(ets, qt, side="left")
+    lo = (
+        np.zeros(nq, dtype=np.int64)
+        if ws is None
+        else np.searchsorted(ets, np.maximum(ws, boundary), side="left")
+    )
+
+    if w is None:
+        bks = _urow_arr(urow, c["bu"])
+        ln, off, fi, fr = _regs("bu")
+        base0: dict = {}
+        for bi, b in enumerate(bks):
+            regs = base0.setdefault(str(b), np.zeros(HLL_M, dtype=np.uint8))
+            if bi < len(ln) and ln[bi]:
+                np.maximum.at(
+                    regs, fi[off[bi] : off[bi + 1]], fr[off[bi] : off[bi + 1]].astype(np.uint8)
+                )
+        snap_by = {None: base0}
+        bkey = [None] * nq
+    else:
+        hh_e = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
+        bf = _urow_arr(urow, c["bf"])
+        ln, off, fi, fr = _regs("bw")
+        bidx = np.searchsorted(hh_e, ws, side="left")
+        snap_by = {}
+        cur: dict = {}
+        t = len(hh_e) - 1
+        for nb in sorted({int(b) for b in bidx}, reverse=True):
+            while t >= nb:
+                regs = cur.setdefault(str(bf[t]), np.zeros(HLL_M, dtype=np.uint8))
+                if ln[t]:
+                    np.maximum.at(
+                        regs, fi[off[t] : off[t + 1]], fr[off[t] : off[t + 1]].astype(np.uint8)
+                    )
+                t -= 1
+            snap_by[nb] = {b: r.copy() for b, r in cur.items()}
+        bkey = bidx
+
+    for i in range(nq):
+        base = snap_by[None if w is None else int(bkey[i])]
+        d = {b: r.copy() for b, r in base.items()}
+        for r_i in range(lo[i], j[i]):
+            regs = d.setdefault(b_head[r_i], np.zeros(HLL_M, dtype=np.uint8))
+            if rh[r_i] > regs[ih[r_i]]:
+                regs[ih[r_i]] = rh[r_i]
+        res = {
+            b: int(round(float(hll_estimate(r)))) for b, r in d.items() if r.any()
+        }
         out[i] = res if res else None
     return out
 

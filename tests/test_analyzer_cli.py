@@ -268,7 +268,7 @@ def test_serving_plan_classification():
                 "v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("b",)
             ),
             Aggregation(
-                "v", Operation.APPROX_PERCENTILE, windows=(Window(7),), buckets=("b",)
+                "v", Operation.APPROX_HISTOGRAM_K, windows=(Window(7),), buckets=("b",)
             ),
             Aggregation("l", Operation.AVERAGE, element_wise=True),
         ),
@@ -283,7 +283,7 @@ def test_serving_plan_classification():
     }
     reasons = {d["column"]: d["reason"] for d in plan["lambda_tile_only"]}
     assert "unbounded exact IR" in reasons["v_unique_count_7d"]
-    assert "bucketed sketch op" in reasons["v_approx_percentile_7d_by_b"]
+    assert "bucketed sketch op" in reasons["v_approx_histogram_k_7d_by_b"]
     assert reasons["l_average"] == "element_wise"
     assert plan["fully_kv_servable"] is False
     # an all-bounded config is fully KV-servable

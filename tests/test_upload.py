@@ -279,10 +279,11 @@ def test_rejects_non_uploadable(spark):
     ev_df, q_df = _mk(spark)
     with pytest.raises(ValueError, match="lambda-tile"):
         group_by_upload(spark, gb, ev_df, END_DS)
-    # bucketed scalar/k-list ops are uploadable; bucketed SKETCH ops not
+    # bucketed scalar/k-list/percentile/HLL ops are uploadable; the
+    # map-of-map APPROX_HISTOGRAM_K x bucket is not
     gb2 = _gb(
         Aggregation(
-            "v", Operation.APPROX_PERCENTILE, windows=(Window(7),), buckets=("s",)
+            "v", Operation.APPROX_HISTOGRAM_K, windows=(Window(7),), buckets=("s",)
         )
     )
     with pytest.raises(ValueError):
@@ -566,3 +567,58 @@ def test_fetch_bucketed_gather_matches_raw_kernel(spark):
     got = _fetch(spark, gb, ev_df, q_df)
     exp = _expected(spark, gb, ev_df, q_df)
     _cmp_maps(got, exp)
+
+
+def test_fetch_bucketed_sketch_matches_raw_kernel(spark):
+    """Bucketed APPROX_PERCENTILE (exact regime) and bucketed
+    APPROX_UNIQUE_COUNT (register-identity: upload ∪ head registers ==
+    full-history per-bucket registers) through the round trip."""
+    ev_df, q_df = _mk(spark)
+    ev_df = ev_df.withColumn(
+        "cat", F.when(F.col("s").isNotNull(), F.substring("s", 1, 2))
+    )
+    gb = _gb(
+        Aggregation(
+            "v",
+            Operation.APPROX_PERCENTILE,
+            arg_map={"percentiles": [0.25, 0.5], "accuracy": 1024},
+            windows=(Window(7), None),
+            buckets=("cat",),
+        ),
+        Aggregation(
+            "s",
+            Operation.APPROX_UNIQUE_COUNT,
+            windows=(Window(7), None),
+            buckets=("cat",),
+        ),
+    )
+    got = {r["qid"]: r.asDict() for r in _fetch(spark, gb, ev_df, q_df).collect()}
+    exp = {r["qid"]: r.asDict() for r in _expected(spark, gb, ev_df, q_df).collect()}
+    assert set(got) == set(exp)
+    mism = []
+    for qid, g in got.items():
+        for col, gv in g.items():
+            if col in ("user", "ts", "qid"):
+                continue
+            ev_ = exp[qid][col]
+            if (gv is None) != (ev_ is None):
+                mism.append((qid, col, gv, ev_))
+                continue
+            if gv is None:
+                continue
+            if set(gv) != set(ev_):
+                mism.append((qid, col, gv, ev_))
+                continue
+            for b in gv:
+                a, e = gv[b], ev_[b]
+                if isinstance(a, list):
+                    ok = len(a) == len(e) and all(
+                        x == pytest.approx(y, rel=1e-9, abs=1e-9)
+                        for x, y in zip(a, e)
+                    )
+                else:
+                    # register identity ⇒ same estimate up to rounding
+                    ok = abs(float(a) - float(e)) <= 1.0
+                if not ok:
+                    mism.append((qid, col, b, a, e))
+    assert not mism, mism[:10]
