@@ -1749,6 +1749,16 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(
                 "value_c", Operation.SUM, windows=(Window(7),), buckets=("event_type",)
             ),
+            # bucketed equi-rank percentile — exact regime at sf0.01
+            # (≤3 events per (user, hour) hop), so the per-bucket median
+            # is hash-exact vs DuckDB's quantile_cont
+            Aggregation(
+                "value_c",
+                Operation.APPROX_PERCENTILE,
+                arg_map={"percentiles": [0.5]},
+                windows=(Window(7),),
+                buckets=("event_type",),
+            ),
         ),
         accuracy=Accuracy.TEMPORAL,
     )
@@ -1795,6 +1805,19 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("bsum_7d"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.map_entries("value_c_approx_percentile_7d_by_event_type")
+                ),
+                lambda e: F.concat_ws(
+                    ":",
+                    e["key"],
+                    F.round(F.element_at(e["value"], 1), 6).cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("bmed_7d"),
     )
 
 
@@ -2548,13 +2571,25 @@ bsums AS (
   SELECT event_id,
          string_agg(event_type || ':' || s, ',' ORDER BY event_type) AS bsum_7d
   FROM bsum GROUP BY event_id
+),
+bmed AS (
+  SELECT event_id, event_type, round(quantile_cont(vc, 0.5), 6) AS md
+  FROM pairs WHERE event_type IS NOT NULL AND vc IS NOT NULL
+  GROUP BY event_id, event_type
+),
+bmeds AS (
+  SELECT event_id,
+         string_agg(event_type || ':' || md, ',' ORDER BY event_type) AS bmed_7d
+  FROM bmed GROUP BY event_id
 )
 SELECT a.event_id, a.top3_7d, a.bot3_7d, a.first3_7d, a.last3_7d,
-       a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all, b.bsum_7d
+       a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all, b.bsum_7d,
+       p.bmed_7d
 FROM agg a
 LEFT JOIN mgs m ON m.event_id = a.event_id
 LEFT JOIN agg_all u ON u.event_id = a.event_id
 LEFT JOIN bsums b ON b.event_id = a.event_id
+LEFT JOIN bmeds p ON p.event_id = a.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc

@@ -397,3 +397,52 @@ def test_upload_shares_one_hop_frame_per_resolution(spark):
     # none (both sides already hash-partitioned on the keys)
     assert 0 < n_ex <= 3, f"upload shuffles O(parts): {n_ex} exchanges\n{plan[:2000]}"
     assert up.count() == 4  # one row per key
+
+
+def test_upload_bucketed_frame_two_exchanges(spark):
+    """A bucketed windowed part plans exactly 2 exchanges (the
+    (keys, hop, bucket) partial-aggregated groupBy + the per-key
+    collect) — the per-entry hop layout skips the (keys, hop) middle
+    grouping (operators/upload.py bucketed frames)."""
+    import numpy as np
+
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.upload import group_by_upload
+
+    rng = np.random.default_rng(9)
+    n = 300
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": [f"u{i}" for i in rng.integers(0, 4, n)],
+                "ts": (1_700_006_400_000 + rng.integers(0, 9 * 86_400_000, n)).astype(
+                    "int64"
+                ),
+                "v": rng.normal(10, 3, n),
+                "b": rng.choice(["x", "y", "z"], n),
+            }
+        )
+    )
+    gb = GroupBy(
+        name="pc_upb",
+        sources=(EventSource(table="ev"),),
+        key_columns=("user",),
+        aggregations=(
+            Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("b",)),
+            Aggregation("v", Operation.AVERAGE, windows=(Window(7),), buckets=("b",)),
+        ),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    up = group_by_upload(spark, gb, ev, "2023-11-24")
+    plan = _plan(up, execute=True)
+    final = plan.split("Initial Plan", 1)[0]
+    n_ex = final.count("Exchange ")
+    assert n_ex == 2, f"bucketed frame exchanges: {n_ex}\n{final[:1500]}"
+    assert up.count() == 4
