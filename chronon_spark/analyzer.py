@@ -168,12 +168,16 @@ def serving_plan(gb: GroupBy) -> dict:
 
     kv, tile_only = [], []
     for p in gb.unpacked():
-        ok_op = p.operation in (BUCKETABLE if p.bucket is not None else UPLOADABLE)
-        if ok_op and not p.element_wise:
+        # bucketed AND element-wise (positional-bucket rewrite) parts
+        # ride the bucketed IR frames — same op support
+        ok_op = p.operation in (
+            BUCKETABLE if (p.bucket is not None or p.element_wise) else UPLOADABLE
+        )
+        if ok_op:
             kv.append(p.output_column)
         else:
             why = (
-                "element_wise"
+                f"element-wise sketch/exact op ({p.operation.value})"
                 if p.element_wise
                 else f"bucketed sketch op ({p.operation.value})"
                 if p.bucket is not None

@@ -404,6 +404,49 @@ def _explode_tv(df: DataFrame, o: str, st: str) -> DataFrame:
     ).drop(col)
 
 
+def _ew_subconfigs(gb: GroupBy):
+    """Element-wise parts re-expressed as positional-bucket sub-configs —
+    the same rewrite the temporal path uses (temporal.py
+    _attach_elementwise_temporal): per input column, every element-wise
+    aggregation becomes a bucketed agg over (__pos, __ewv) plus ONE
+    observed-tensor-size MAX per distinct window (trailing all-null
+    positions null-pad per the reference contract)."""
+    import dataclasses
+
+    from chronon_spark.api.types import Aggregation
+
+    ew_aggs = [a for a in gb.aggregations if a.element_wise]
+    for col in sorted({a.input_column for a in ew_aggs}):
+        col_ew = [a for a in ew_aggs if a.input_column == col]
+        tsz_windows = tuple({w for a in col_ew for w in (a.windows or (None,))})
+        tsz_agg = Aggregation("__tsz", Operation.MAX, {}, tsz_windows)
+        tsz_col = {
+            p.window: p.output_column
+            for p in dataclasses.replace(tsz_agg, element_wise=False).unpack()
+        }
+        col_aggs = tuple(
+            Aggregation("__ewv", a.operation, dict(a.arg_map), a.windows, ("__pos",))
+            for a in col_ew
+        ) + (tsz_agg,)
+        sub_gb = dataclasses.replace(
+            gb, name=f"{gb.name}__ew_{col}", aggregations=col_aggs, derivations=None
+        )
+        yield col, sub_gb, tsz_col, col_ew
+
+
+def _ew_explode(df: DataFrame, gb: GroupBy, col: str) -> DataFrame:
+    keys = list(gb.key_columns)
+    return df.select(
+        *keys, TS_COL, F.posexplode(F.col(col)).alias("__posn", "__ewv")
+    ).select(
+        *keys,
+        TS_COL,
+        F.col("__posn").cast("string").alias("__pos"),
+        (F.col("__posn") + 1).alias("__tsz"),
+        "__ewv",
+    )
+
+
 def group_by_upload(
     spark: SparkSession,
     gb: GroupBy,
@@ -414,6 +457,42 @@ def group_by_upload(
     one row per key; every hop-IR column is a flat primitive array (see
     module docstring). ``events`` carries the GroupBy's key columns, an
     epoch-millis ``ts``, and each aggregation's input column."""
+    import dataclasses
+
+    keys_all = list(gb.key_columns)
+    if any(a.element_wise for a in gb.aggregations):
+        # element-wise rides the positional-bucket machinery: one
+        # exploded sub-upload per input column, columns prefixed so two
+        # array columns can't collide, all joined on the keys
+        frames_ew: list[DataFrame] = []
+        base_aggs = tuple(a for a in gb.aggregations if not a.element_wise)
+        if base_aggs:
+            frames_ew.append(
+                group_by_upload(
+                    spark,
+                    dataclasses.replace(gb, aggregations=base_aggs, derivations=None),
+                    events,
+                    end_ds,
+                )
+            )
+        for idx, (col, sub_gb, _, _) in enumerate(_ew_subconfigs(gb)):
+            sub_up = group_by_upload(spark, sub_gb, _ew_explode(events, gb, col), end_ds)
+            pre = f"__ew{idx}__"
+            frames_ew.append(
+                sub_up.select(
+                    *keys_all,
+                    *[
+                        F.col(c).alias(pre + c)
+                        for c in sub_up.columns
+                        if c not in keys_all
+                    ],
+                )
+            )
+        out = frames_ew[0]
+        for f in frames_ew[1:]:
+            out = out.join(f, on=keys_all, how="outer")
+        return out
+
     parts = _check_parts(gb)
     keys = list(gb.key_columns)
     boundary = boundary_millis(end_ds)
@@ -730,6 +809,78 @@ def fetch_features(
     ignored — they are the upload's job). Extra query columns pass
     through. One shuffle on the keys; per-key work is O(hops + head)
     via prefix/suffix state merges, never a history scan."""
+    import dataclasses
+
+    if any(a.element_wise for a in gb.aggregations):
+        from chronon_spark.operators.collections import pos_map_to_array_sized
+
+        keys_all = list(gb.key_columns)
+        # pin a row id so the per-column sub-fetches join back 1:1 even
+        # when (keys, ts) duplicate (localCheckpoint makes the
+        # monotonically_increasing_id deterministic for every consumer)
+        q2 = queries.withColumn(
+            "__fuid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        base_aggs = tuple(a for a in gb.aggregations if not a.element_wise)
+        if base_aggs:
+            out = fetch_features(
+                spark,
+                dataclasses.replace(gb, aggregations=base_aggs, derivations=None),
+                uploaded,
+                streamed,
+                q2,
+                end_ds,
+            )
+        else:
+            out = q2.drop(TS_COL)
+        for idx, (col, sub_gb, tsz_col, col_ew) in enumerate(_ew_subconfigs(gb)):
+            pre = f"__ew{idx}__"
+            sub_up = uploaded.select(
+                *keys_all,
+                *[
+                    F.col(c).alias(c[len(pre):])
+                    for c in uploaded.columns
+                    if c.startswith(pre)
+                ],
+            )
+            sub_out = fetch_features(
+                spark,
+                sub_gb,
+                sub_up,
+                _ew_explode(streamed, gb, col),
+                q2.select(*keys_all, TS_COL, "__fuid"),
+                end_ds,
+            )
+            renames = []
+            for a in col_ew:
+                for p_sub, p_out in zip(
+                    dataclasses.replace(
+                        a, input_column="__ewv", buckets=("__pos",), element_wise=False
+                    ).unpack(),
+                    a.unpack(),
+                ):
+                    renames.append(
+                        F.expr(
+                            pos_map_to_array_sized(
+                                p_sub.output_column, tsz_col[p_sub.window]
+                            )
+                        ).alias(p_out.output_column)
+                    )
+            out = out.join(sub_out.select("__fuid", *renames), "__fuid", "left")
+        out = out.drop("__fuid")
+        if gb.derivations:
+            feature_names = {p.output_column for p in gb.unpacked()}
+            base = (
+                ["*"]
+                if "*" in gb.derivations
+                else [c for c in out.columns if c not in feature_names]
+            )
+            exprs = base + [
+                f"{e} AS {a}" for a, e in gb.derivations.items() if a != "*"
+            ]
+            out = out.selectExpr(*exprs)
+        return out
+
     parts = _check_parts(gb)
     keys = list(gb.key_columns)
     boundary = boundary_millis(end_ds)

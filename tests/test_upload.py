@@ -622,3 +622,37 @@ def test_fetch_bucketed_sketch_matches_raw_kernel(spark):
                 if not ok:
                     mism.append((qid, col, b, a, e))
     assert not mism, mism[:10]
+
+
+def test_fetch_elementwise_matches_temporal(spark):
+    """Element-wise parts through the upload→fetch round trip: the
+    positional-bucket rewrite + observed-tensor-size densify must equal
+    temporal_events' element-wise output (incl. trailing-null padding
+    and the empty-window NULL contract)."""
+    rng = np.random.default_rng(17)
+    n = 500
+    lens = rng.integers(0, 4, n)  # 0 → null/empty arrays never update
+    arrs = [
+        None if L == 0 else [float(x) for x in rng.normal(5, 2, L)] for L in lens
+    ]
+    ev = pd.DataFrame(
+        {
+            "user": [f"u{i}" for i in rng.integers(0, 4, n)],
+            "ts": (T0 + rng.integers(0, 12 * MS_DAY, n)).astype(np.int64),
+            "emb": arrs,
+            "v": rng.normal(10, 3, n),
+        }
+    )
+    ev_df = spark.createDataFrame(
+        ev, "user string, ts long, emb array<double>, v double"
+    )
+    _, q_df = _mk(spark, n_users=4)
+    gb = _gb(
+        Aggregation("emb", Operation.AVERAGE, windows=(Window(7),), element_wise=True),
+        Aggregation("emb", Operation.SUM, windows=(None,), element_wise=True),
+        Aggregation("emb", Operation.MAX, windows=(Window(3),), element_wise=True),
+        Aggregation("v", Operation.SUM, windows=(Window(7),)),  # mixed config
+    )
+    got = _fetch(spark, gb, ev_df, q_df)
+    exp = _expected(spark, gb, ev_df, q_df)
+    _cmp(got, exp)
