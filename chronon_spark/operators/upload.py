@@ -39,12 +39,16 @@ APPROX_HISTOGRAM_K (≤8k-entry capped Misra-Gries count-map with error
 sentinel). Hop-list states ship as parallel (flat primitive array,
 per-hop lengths) columns — nested array<array<>> cogroup inputs
 segfault pyarrow's arrow_to_pandas just like the struct-of-array shape.
-Bucketed SCALAR aggregations are served too — Map[bucket → agg] built
-from per-(hop, bucket) scalar IR entry rows (one flat entry list per
-key, the HLL frame's layout), exactly the BucketedColumnAggregator
-contract. Bucketed sketch/list ops, element-wise, and exact
-UNIQUE_COUNT/HISTOGRAM (truly unbounded state) are rejected — those
-are served offline by the lambda-tile path (streaming/lambda_tiles.py +
+Bucketed aggregations are served too — Map[bucket → agg] built from
+per-(hop, bucket) IR entry rows (one flat entry list per key, the HLL
+frame's layout), exactly the BucketedColumnAggregator contract — for
+the scalar family, k-lists, capped sets, equi-rank percentile samples
+and HLL registers. Element-wise parts ride the same machinery via the
+positional-bucket rewrite (posexplode → __pos buckets → densify with
+the observed tensor size). The only rejections left are exact
+UNIQUE_COUNT/HISTOGRAM (truly unbounded state), bucketed/element-wise
+sketch ops whose output would be a nested map, — all served offline by
+the lambda-tile path (streaming/lambda_tiles.py +
 operators/tilestore.py), which covers every op at per-(key, tile)
 granularity; this module exists for the bounded per-key serving LAYOUT.
 
