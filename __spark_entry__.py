@@ -84,12 +84,19 @@ def q_groupby_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = snapshot_events(spark, gb, ev, start, end)
+    # avg pinned as integer micro-units via exact integer division: values
+    # have 2 decimals, so sum*100 is an exact integer on both engines and
+    # (cents * 10000) DIV count is tie-free — round(avg, 6) lands on exact
+    # .5 boundaries (e.g. 1333.61/32) where Spark HALF_UP and the oracle's
+    # double path disagree by 1 ulp at sf0.1
     return out.select(
         "user_id",
         "ds",
         F.col("value_count_7d").alias("value_count_7d"),
         F.round("value_sum_7d", 6).alias("value_sum_7d"),
-        F.round("value_average_7d", 6).alias("value_avg_7d"),
+        F.expr(
+            "(CAST(round(value_sum_7d * 100) AS BIGINT) * 10000) DIV value_count_7d"
+        ).alias("value_avg_7d_micro"),
         F.round("value_min_7d", 6).alias("value_min_7d"),
         F.round("value_max_7d", 6).alias("value_max_7d"),
     )
@@ -583,7 +590,10 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.similarity import ivf_top_k
 
-    return _ann_recall_gate(spark, sf_dir, lambda e, q: ivf_top_k(e, q, k=10, n_probe=6), 0.4)
+    # n_probe=8/16: measured deterministic hits min 6/10 at sf0.01 and
+    # 5/10 at sf0.1 — n_probe=6 dips to 2/10 at sf0.1 (cell geometry
+    # shifts with the corpus), below the 0.4 gate
+    return _ann_recall_gate(spark, sf_dir, lambda e, q: ivf_top_k(e, q, k=10, n_probe=8), 0.4)
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,8 +734,10 @@ def q_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     land within 10% of the exact distinct count (measured max deviation at
     sf0.01: 7.5%); the boolean + exact count are what DuckDB adjudicates."""
     ev = _events(spark, sf_dir)
+    # rsd=0.02 (~4096 registers): the default 0.05 leaves no tail margin —
+    # at sf0.1 (~1100 users) 5 estimates crossed the 10% band
     agg = ev.groupBy("user_id").agg(
-        F.approx_count_distinct("value").alias("est"),
+        F.approx_count_distinct("value", 0.02).alias("est"),
         F.countDistinct("value").alias("ex"),
     )
     return agg.select(
@@ -784,9 +796,19 @@ def q_elementwise_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from chronon_spark.operators.temporal import temporal_events
 
+    # integer-cents elements + micro-unit integer division: %.6f of the
+    # float averages hits exact .5 rounding boundaries at sf0.1 (same
+    # 41.6753125 tie as groupby_snapshot); with integral elements the
+    # window sum is recoverable exactly from avg*count, and
+    # (sum*10000) DIV count is tie-free on both engines
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts",
-        F.expr("array(value, value * 2, value + 1)").alias("vec"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        F.expr(
+            "array(CAST(round(value * 100) AS BIGINT), "
+            "CAST(round(value * 100) AS BIGINT) * 2, "
+            "CAST(round(value * 100) AS BIGINT) + 100)"
+        ).alias("vec"),
     )
     gb = GroupBy(
         name="ew",
@@ -794,17 +816,19 @@ def q_elementwise_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_columns=("user_id",),
         aggregations=(
             Aggregation("vec", Operation.AVERAGE, windows=(Window(7),), element_wise=True),
+            Aggregation("vc", Operation.COUNT, windows=(Window(7),)),
         ),
         accuracy=Accuracy.TEMPORAL,
     )
     q = ev.select("event_id", "user_id", "ts")
-    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "vec"))
+    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "vec", "vc"))
     return out.select(
         "event_id",
         F.expr(
             "CASE WHEN vec_average_7d IS NOT NULL THEN "
-            "concat_ws(',', transform(vec_average_7d, x -> format_string('%.6f', x))) END"
-        ).alias("vec_avg_7d"),
+            "concat_ws(',', transform(vec_average_7d, x -> "
+            "CAST((CAST(round(x * vc_count_7d) AS BIGINT) * 10000) DIV vc_count_7d AS STRING))) END"
+        ).alias("vec_avg_7d_micro"),
     )
 
 
@@ -2017,7 +2041,8 @@ SELECT s.user_id,
        strftime(DATE '1970-01-01' + to_days(CAST(s.od AS INT)), '%Y-%m-%d') AS ds,
        NULLIF(count(e.value), 0) AS value_count_7d,
        round(sum(e.value), 6) AS value_sum_7d,
-       round(avg(e.value), 6) AS value_avg_7d,
+       (CAST(round(sum(e.value) * 100) AS BIGINT) * 10000)
+         // NULLIF(count(e.value), 0) AS value_avg_7d_micro,
        round(min(e.value), 6) AS value_min_7d,
        round(max(e.value), 6) AS value_max_7d
 FROM spine s JOIN ev e ON e.user_id = s.user_id AND e.dd BETWEEN s.od - 6 AND s.od
@@ -2243,13 +2268,17 @@ WITH e AS (
 SELECT label, array_to_string(list(printf('%.6f', a) ORDER BY pos), ',') AS emb_mean FROM p GROUP BY label
 """,
         "elementwise_windowed": f"""
-WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events)
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                   CAST(round(value * 100) AS BIGINT) AS vc FROM events)
 SELECT q.event_id,
-       CASE WHEN count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) > 0 THEN
-         printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END))
-         || ',' || printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value * 2 END))
-         || ',' || printf('%.6f', avg(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value + 1 END))
-       END AS vec_avg_7d
+       CASE WHEN count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) > 0 THEN
+         CAST((sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) * 10000)
+              // count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS VARCHAR)
+         || ',' || CAST((sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc * 2 END) * 10000)
+              // count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS VARCHAR)
+         || ',' || CAST((sum(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc + 100 END) * 10000)
+              // count(CASE WHEN e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.vc END) AS VARCHAR)
+       END AS vec_avg_7d_micro
 FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.tms < q.tms
 GROUP BY q.event_id
 """,

@@ -131,14 +131,14 @@ def skew_advice(gb: GroupBy, df: DataFrame, min_share: float = 0.01) -> list[str
     blockers = [
         p.output_column
         for p in gb.unpacked()
-        if p.window is None
-        and (p.operation not in _BASELINE_OPS or p.bucket is not None)
+        if p.window is None and p.operation not in _BASELINE_OPS
     ]
     return [
-        f"hot keys: {desc} — time slicing NOT available (exact set-like or "
-        f"bucketed unbounded state in {blockers}); window those "
-        "aggregations, or exclude the keys via skew_keys (the reference's "
-        "only recourse)"
+        f"hot keys: {desc} — time slicing NOT available (exact set-like "
+        f"unbounded state — UNIQUE_COUNT/HISTOGRAM — in {blockers}; "
+        "bucketed unbounded parts DO slice via per-(slice, bucket) "
+        "baseline IRs); window those aggregations, or exclude the keys "
+        "via skew_keys (the reference's only recourse)"
     ]
 
 

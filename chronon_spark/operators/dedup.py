@@ -113,17 +113,46 @@ def minhash_signature_udf(n_hashes: int = 64, seed: int = 7):
     a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64)[:, None]
     b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64)[:, None]
 
+    # Chunk so the (n_hashes × flat_shingles) work matrix stays L2/L3
+    # resident (~4 MB at 64 hashes). Measured: larger chunks (128 MB)
+    # anti-scale 2-6x from cache blowout; per-row form ties this at long
+    # shingle lists (the 64×L kernel amortizes the loop) and loses ~1.3x
+    # at short lists, where batch concatenation amortizes loop overhead.
+    flat_limit = max(256, (1 << 19) // max(1, n_hashes))
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
-                out.append([int(MERSENNE)] * int(a.shape[0]))
-                continue
-            x = np.asarray(sh, dtype=np.int64) % MERSENNE
-            m = ((a * x[None, :] + b) % MERSENNE).min(axis=1)
-            out.append(m.tolist())
-        return pd.Series(out)
+        vals = shingles.to_numpy()
+        n = len(vals)
+        k = int(a.shape[0])
+        out = np.full((n, k), MERSENNE, dtype=np.int64)
+        lens = np.fromiter(
+            (0 if sh is None else len(sh) for sh in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        nonempty = np.flatnonzero(lens)
+        # one concatenate + one broadcast + one reduceat per chunk: the
+        # whole Arrow batch is hashed in a handful of numpy kernel calls
+        # instead of one (k × len) broadcast per row
+        start = 0
+        while start < len(nonempty):
+            end, tot = start, 0
+            while end < len(nonempty) and (tot == 0 or tot + lens[nonempty[end]] <= flat_limit):
+                tot += lens[nonempty[end]]
+                end += 1
+            rows = nonempty[start:end]
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in rows]
+            ) % MERSENNE
+            hashed = a * flat[None, :]
+            hashed += b
+            hashed %= MERSENNE
+            offs = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[rows][:-1], out=offs[1:])
+            out[rows] = np.minimum.reduceat(hashed, offs, axis=1).T
+            start = end
+        return pd.Series([r.tolist() for r in out])
 
     return sig
 

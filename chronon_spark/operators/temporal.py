@@ -627,6 +627,41 @@ def _cast_feature(out_vals: np.ndarray, part: AggregationPart, input_type: T.Dat
     return out_vals
 
 
+def _parse_bucketed_base(qdf: pd.DataFrame, mapping: dict) -> dict:
+    """Per-bucket baseline state dicts from the parallel-array columns
+    _build_baselines assembles for a bucketed unbounded part: scalar
+    states aligned to the bucket-label array, list states as (lengths,
+    flat values) pairs. Returns {bucket label: {skey: value}}."""
+    def _cell(name):
+        return qdf[name].iloc[0] if name in qdf.columns else None
+
+    def _isna(v):
+        return v is None or (isinstance(v, float) and v != v)
+
+    bks = _cell(mapping["__bk"])
+    if _isna(bks):
+        return {}
+    bks = list(bks)
+    per: list[dict] = [dict() for _ in bks]
+    for skey, name in mapping.items():
+        if skey == "__bk":
+            continue
+        if skey in _LIST_SKEYS:
+            ln, fl = _cell(f"{name}_l"), _cell(f"{name}_f")
+            lens = [0] * len(bks) if _isna(ln) else [int(x) for x in ln]
+            flat = [] if _isna(fl) else list(fl)
+            off = 0
+            for t, L in enumerate(lens):
+                per[t][skey] = flat[off : off + L]
+                off += L
+        else:
+            arr = _cell(name)
+            vals = None if _isna(arr) else list(arr)
+            for t in range(len(bks)):
+                per[t][skey] = None if vals is None else vals[t]
+    return {str(b): d for b, d in zip(bks, per)}
+
+
 def make_temporal_kernel(
     gb: GroupBy,
     events_schema: T.StructType,
@@ -667,6 +702,16 @@ def make_temporal_kernel(
 
         cols: dict[str, _EventCol] = {}
         bucket_groups: dict[str, dict] = {}
+
+        def get_groups(bcol: str) -> dict:
+            if bcol not in bucket_groups:
+                bmask = edf[bcol].notna()
+                groups = {}
+                for bval, sub in edf[bmask].groupby(bcol, sort=False):
+                    sub = sub.reset_index(drop=True)
+                    groups[str(bval)] = (sub, sub[TS_COL].to_numpy(dtype=np.int64))
+                bucket_groups[bcol] = groups
+            return bucket_groups[bcol]
 
         def event_col(name: str, frame: pd.DataFrame = None) -> _EventCol:
             if frame is None:
@@ -729,6 +774,55 @@ def make_temporal_kernel(
             if p.window is None:
                 ub_i += 1
                 if slice_lo is not None and baseline_cols and ub_i in baseline_cols:
+                    if "__bk" in baseline_cols[ub_i]:
+                        # bucketed sliced hot group: merge each bucket's
+                        # baseline IR with that bucket's slice-local
+                        # events — same per-bucket algebra as unsliced,
+                        # same merge rules as the plain sliced path
+                        base_by_b = _parse_bucketed_base(qdf, baseline_cols[ub_i])
+                        groups = get_groups(p.bucket)
+                        stripped = AggregationPart(
+                            p.input_column, p.operation, p.arg_map, None, None
+                        )
+                        maps = [dict() for _ in range(nq)]
+                        zero = np.zeros(nq, dtype=np.int64)
+                        empty_sub = edf.iloc[0:0]
+                        for bval in set(groups) | set(base_by_b):
+                            base_b = base_by_b.get(bval, {})
+                            if bval in groups:
+                                sub, sub_ts = groups[bval]
+                                sub_lo = np.full(
+                                    nq,
+                                    np.searchsorted(sub_ts, slice_lo, side="left"),
+                                    dtype=np.int64,
+                                )
+                                sub_head = np.searchsorted(sub_ts, qt, side="left")
+                            else:
+                                sub, sub_ts = empty_sub, np.empty(0, dtype=np.int64)
+                                sub_lo = sub_head = zero
+                            if p.operation is Operation.APPROX_UNIQUE_COUNT:
+                                raw = hll_eval(
+                                    sub, p.input_column, sub_lo, sub_head,
+                                    base_b.get("hreg"),
+                                )
+                            else:
+                                scol = _EventCol(
+                                    sub[p.input_column],
+                                    numeric_cols[p.input_column],
+                                    integral_cols[p.input_column],
+                                    ts=sub_ts,
+                                )
+                                raw = _merge_unbounded(
+                                    stripped, scol, sub_lo, sub_head, base_b
+                                )
+                            vals = _cast_feature(
+                                raw, stripped, input_types[p.input_column]
+                            )
+                            for qi, v in enumerate(vals):
+                                if v is not None and v is not pd.NA:
+                                    maps[qi][bval] = v
+                        out[p.output_column] = [m if m else None for m in maps]
+                        continue
                     # sliced hot group: local range is [slice_start, qt),
                     # everything earlier comes from the baseline IR row
                     lo = np.full(
@@ -767,14 +861,7 @@ def make_temporal_kernel(
                 # bucketed: per distinct bucket value, compute on the event
                 # subset and assemble Map[bucket → value] per query
                 # (BucketedColumnAggregator semantics)
-                if p.bucket not in bucket_groups:
-                    bmask = edf[p.bucket].notna()
-                    groups = {}
-                    for bval, sub in edf[bmask].groupby(p.bucket, sort=False):
-                        sub = sub.reset_index(drop=True)
-                        groups[str(bval)] = (sub, sub[TS_COL].to_numpy(dtype=np.int64))
-                    bucket_groups[p.bucket] = groups
-                groups = bucket_groups[p.bucket]
+                groups = get_groups(p.bucket)
                 maps = [dict() for _ in range(nq)]
                 stripped = AggregationPart(p.input_column, p.operation, p.arg_map, p.window, None)
                 for bval, (sub, sub_ts) in groups.items():
@@ -1115,7 +1202,7 @@ def _temporal_events_impl(
             raise ValueError(
                 "hot-key time slicing requires windowed or mergeable-IR "
                 "unbounded aggregations — exact set-like unbounded state "
-                "(UNIQUE_COUNT, HISTOGRAM, bucketed unbounded) needs the "
+                "(UNIQUE_COUNT, HISTOGRAM, plain or bucketed) needs the "
                 "full event prefix in every slice"
             )
         max_w, ub_parts = cls
@@ -1126,14 +1213,28 @@ def _temporal_events_impl(
         w_eff = (max_w + 86_400_000) if max_w else 0
 
         def _is_hot(frame_keys=keys):
-            m = None
+            # Flat/balanced forms only: a left-deep OR chain over the
+            # detection cap (1000 keys) overflows the JVM stack during
+            # Catalyst conversion. Single key → one In/InSet node;
+            # multi-key → pairwise-balanced OR tree (depth O(log n)).
+            if len(frame_keys) == 1:
+                vals = [
+                    kt[0] if isinstance(kt, (tuple, list)) else kt for kt in hot_keys
+                ]
+                return F.col(frame_keys[0]).isin(vals)
+            terms = []
             for kt in hot_keys:
                 c = None
                 for k, v in zip(frame_keys, kt if isinstance(kt, (tuple, list)) else (kt,)):
                     e = F.col(k) == F.lit(v)
                     c = e if c is None else (c & e)
-                m = c if m is None else (m | c)
-            return m
+                terms.append(c)
+            while len(terms) > 1:
+                terms = [
+                    terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                    for i in range(0, len(terms), 2)
+                ]
+            return terms[0]
 
         if ub_parts:
             base_q, baseline_cols = _build_baselines(
@@ -1224,14 +1325,19 @@ _BASELINE_OPS = {
 
 def slice_classification(gb: GroupBy) -> "tuple[int, list[AggregationPart]] | None":
     """(max windowed millis, unbounded-but-baseline-able parts), or None
-    when some part is neither windowed nor baseline-able (set-like
-    unbounded state, or bucketed unbounded — the per-bucket baseline map
-    is itself unbounded)."""
+    when some part is neither windowed nor baseline-able (exact set-like
+    unbounded state: UNIQUE_COUNT / HISTOGRAM, plain or bucketed).
+
+    Bucketed unbounded parts slice when their op is baseline-able: the
+    per-(slice, bucket) IR is bounded (scalar moments, HLL registers, ≤k
+    sets/lists, MG maps, equi-rank samples), so the baseline row carries
+    ≤ #buckets × max-IR — the same per-key bucket map the UNSLICED kernel
+    must hold in memory anyway; slicing never widens it."""
     max_w = 0
     ub: list[AggregationPart] = []
     for p in gb.unpacked():
         if p.window is None:
-            if p.operation not in _BASELINE_OPS or p.bucket is not None:
+            if p.operation not in _BASELINE_OPS:
                 return None
             ub.append(p)
         else:
@@ -1414,6 +1520,139 @@ def _mg_truncate(m: "Column", cap: int) -> "Column":
     )
 
 
+def _canon_skey(st: str) -> str:
+    """Canonical state key the kernel reads: k-lists drop the k suffix,
+    integral s1 folds into s1, fst/lst mean the VALUE (struct flattened
+    after the running merge)."""
+    if st.startswith(("fstk", "lstk", "topk", "botk")):
+        return st[:4]
+    if st.startswith("uset"):
+        return "uset"
+    if st.startswith(("pqv", "pqw", "mgk", "mgv")):
+        return st[:3]
+    if st == "s1i":
+        return "s1"
+    return st
+
+
+# states whose cumulative column is an ARRAY (per-bucket baselines ship
+# them as parallel lengths + flattened-values columns)
+_LIST_SKEYS = frozenset(
+    {"hreg", "uset", "fstk", "lstk", "topk", "botk", "pqv", "pqw", "mgk", "mgv"}
+)
+
+
+def _baseline_state_exprs(c: str, st: str):
+    """(per-slice partial agg, running-merge builder) for one baseline
+    state over input column ``c``. The partial agg is None for 'hreg'
+    (built as a side frame by the caller); the merge builder takes the
+    slice window and the column name. Shared by the plain per-key and
+    per-(key, bucket) baseline paths — the IR algebra is identical, only
+    the grouping differs."""
+    struct = f"CASE WHEN {c} IS NOT NULL THEN named_struct('t', {TS_COL}, 'v', {c}) END"
+    if st == "n":
+        return F.expr(f"count({c})"), lambda w, n: F.sum(n).over(w)
+    if st == "s1i":
+        return F.expr(f"sum({c})"), lambda w, n: F.sum(n).over(w)
+    if st in ("s1", "s2", "s3", "s4"):
+        pw = int(st[1])
+        prod = " * ".join([f"CAST({c} AS DOUBLE)"] * pw)
+        return F.expr(f"sum({prod})"), lambda w, n: F.sum(n).over(w)
+    if st == "mn":
+        return F.expr(f"min({c})"), lambda w, n: F.min(n).over(w)
+    if st == "mx":
+        return F.expr(f"max({c})"), lambda w, n: F.max(n).over(w)
+    if st == "fst":
+        return F.expr(f"min({struct})"), lambda w, n: F.min(n).over(w)
+    if st == "lst":
+        return F.expr(f"max({struct})"), lambda w, n: F.max(n).over(w)
+    if st == "hreg":
+        # sparse HLL register entries need a per-(slice, register) max
+        # first — built as a side frame by the caller; cumulative =
+        # concatenation reduced back to per-register maxima
+        # (_hreg_reduce), so the baseline column stays ≤ HLL_M entries no
+        # matter how many slices contributed; register max is associative
+        # so the merge is bit-identical to unsliced
+        return None, lambda w, n: _hreg_reduce(F.flatten(F.collect_list(n).over(w)))
+    if st.startswith("uset"):
+        kk = int(st[4:])
+        # capped distinct set: if any cap is hit the answer is pinned at
+        # k, otherwise the set is complete — exact merge
+        return (
+            F.expr(f"slice(array_sort(array_distinct(collect_list({c}))), 1, {kk})"),
+            lambda w, n, kk=kk: F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(n).over(w)))),
+                1,
+                kk,
+            ),
+        )
+    if st.startswith(("pqv", "pqw")):
+        from chronon_spark.functions.aggregations import equirank_sample_struct
+
+        ss = int(st[3:])
+        # per-slice (n, ≤S equi-rank sample) — the tiled kernel's own tile
+        # IR (functions/aggregations._pct_ir); the cumulative flattens to
+        # PARALLEL flat arrays (values / weights, weight = n_slice/
+        # |q_slice| per aggregations._pct_merge) because pyarrow segfaults
+        # on an array<struct<…, array>> cogroup input column
+        sa = F.expr(
+            equirank_sample_struct(f"sort_array(collect_list(CAST({c} AS DOUBLE)))", ss)
+        )
+        if st.startswith("pqv"):
+            return sa, lambda w, n, sb=ss: _pq_flatten(F.collect_list(n).over(w), sb, True)
+        return sa, lambda w, n, sb=ss: _pq_flatten(F.collect_list(n).over(w), sb, False)
+    if st.startswith(("mgk", "mgv")):
+        from chronon_spark.functions.aggregations import _hist_ir_capped, _hist_map_merge
+
+        mk = int(st[3:])
+        synth = AggregationPart(c, Operation.APPROX_HISTOGRAM_K, {"k": mk}, None, None)
+        # per-slice capped count-map (Misra-Gries day IR with error
+        # sentinel); cumulative = the op's own entry-sum merge, truncated
+        # back to the cap (_mg_truncate — bounded column width at any
+        # slice count), split into parallel (keys, counts) flat arrays
+        sa = _hist_ir_capped(c, synth)
+        mg_cap = 8 * mk
+        if st.startswith("mgk"):
+            return sa, lambda w, n, cp=mg_cap: F.map_keys(
+                _mg_truncate(_hist_map_merge(n).over(w), cp)
+            )
+        return sa, lambda w, n, cp=mg_cap: F.map_values(
+            _mg_truncate(_hist_map_merge(n).over(w), cp)
+        )
+    kk = int(st[4:])
+    if st.startswith("fstk"):
+        return (
+            F.expr(
+                f"transform(slice(array_sort(collect_list({struct})), 1, {kk}), x -> x.v)"
+            ),
+            lambda w, n, kk=kk: F.slice(F.flatten(F.collect_list(n).over(w)), 1, kk),
+        )
+    if st.startswith("lstk"):
+        # latest slice first; each slice list already newest-first
+        return (
+            F.expr(
+                f"transform(slice(reverse(array_sort(collect_list({struct}))), 1, {kk}), x -> x.v)"
+            ),
+            lambda w, n, kk=kk: F.slice(
+                F.flatten(F.reverse(F.collect_list(n).over(w))), 1, kk
+            ),
+        )
+    if st.startswith("topk"):
+        return (
+            F.expr(f"slice(reverse(array_sort(collect_list({c}))), 1, {kk})"),
+            lambda w, n, kk=kk: F.slice(
+                F.reverse(F.array_sort(F.flatten(F.collect_list(n).over(w)))), 1, kk
+            ),
+        )
+    # botk
+    return (
+        F.expr(f"slice(array_sort(collect_list({c})), 1, {kk})"),
+        lambda w, n, kk=kk: F.slice(
+            F.array_sort(F.flatten(F.collect_list(n).over(w))), 1, kk
+        ),
+    )
+
+
 def _build_baselines(
     events: DataFrame,
     qlite: DataFrame,
@@ -1433,220 +1672,183 @@ def _build_baselines(
     construction); (3) an as-of mapping to the distinct QUERY slices so
     gap slices read the latest earlier state. Returns (frame keyed by
     keys+__qs, {part_index: {state: column}}).
-    """
+
+    Bucketed unbounded parts get the same treatment per (key, bucket):
+    the per-slice groupBy adds the bucket column, the running merge
+    windows over (keys, bucket), and the per-(key, query-slice) row ships
+    the bucket axis as parallel arrays — one bucket-label array plus one
+    aligned column per scalar state and (lengths, flat-values) pairs per
+    list state (the upload fetch path's flat-frame trick, upload.py).
+    Each per-bucket IR is bounded, so the baseline row is ≤ #buckets ×
+    max-IR wide — exactly the state the UNSLICED kernel would hold for
+    one (key, bucket) anyway. The kernel merges per bucket with the
+    slice-local events (``__bk`` marks the mapping as bucketed)."""
     from pyspark.sql.window import Window as W
 
     integral = {f.name: isinstance(f.dataType, _INTEGRAL) for f in ev_schema.fields}
-    # state → (per-slice partial agg, running merge over the slice window)
-    slice_aggs: dict[str, Column] = {}
-    cum_exprs: dict[str, "callable"] = {}
-    hreg_specs: dict[str, str] = {}  # baseline col → input col (HLL states)
     col_map: dict[int, dict[str, str]] = {}
-    for i, p in enumerate(ub_parts):
-        c = p.input_column
-        ci = f"__b_{c}"
-        mapping = {}
-        for st in _baseline_states(p, integral.get(c, False)):
-            name = f"{ci}_{st}"
-            # canonical state key the kernel reads: k-lists drop the k
-            # suffix, integral s1 folds into s1, fst/lst mean the VALUE
-            # (struct flattened below)
-            if st.startswith(("fstk", "lstk", "topk", "botk")):
-                skey = st[:4]
-            elif st.startswith("uset"):
-                skey = "uset"
-            elif st.startswith(("pqv", "pqw", "mgk", "mgv")):
-                skey = st[:3]
-            elif st == "s1i":
-                skey = "s1"
-            else:
-                skey = st
-            mapping[skey] = name
-            if name in slice_aggs or name in hreg_specs:
-                continue
-            struct = f"CASE WHEN {c} IS NOT NULL THEN named_struct('t', {TS_COL}, 'v', {c}) END"
-            if st == "n":
-                slice_aggs[name] = F.expr(f"count({c})")
-                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
-            elif st == "s1i":
-                slice_aggs[name] = F.expr(f"sum({c})")
-                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
-            elif st in ("s1", "s2", "s3", "s4"):
-                pw = int(st[1])
-                prod = " * ".join([f"CAST({c} AS DOUBLE)"] * pw)
-                slice_aggs[name] = F.expr(f"sum({prod})")
-                cum_exprs[name] = lambda w, n=name: F.sum(n).over(w)
-            elif st == "mn":
-                slice_aggs[name] = F.expr(f"min({c})")
-                cum_exprs[name] = lambda w, n=name: F.min(n).over(w)
-            elif st == "mx":
-                slice_aggs[name] = F.expr(f"max({c})")
-                cum_exprs[name] = lambda w, n=name: F.max(n).over(w)
-            elif st == "fst":
-                slice_aggs[name] = F.expr(f"min({struct})")
-                cum_exprs[name] = lambda w, n=name: F.min(n).over(w)
-            elif st == "lst":
-                slice_aggs[name] = F.expr(f"max({struct})")
-                cum_exprs[name] = lambda w, n=name: F.max(n).over(w)
-            elif st == "hreg":
-                # sparse HLL register entries need a per-(slice, register)
-                # max first — built as a side frame below, joined onto the
-                # per-slice row; cumulative = concatenation reduced back
-                # to per-register maxima (_hreg_reduce), so the baseline
-                # column stays ≤ HLL_M entries no matter how many slices
-                # contributed; register max is associative so the merge is
-                # bit-identical to unsliced
-                hreg_specs[name] = c
-                cum_exprs[name] = lambda w, n=name: _hreg_reduce(
-                    F.flatten(F.collect_list(n).over(w))
-                )
-            elif st.startswith("uset"):
-                kk = int(st[4:])
-                # capped distinct set: if any cap is hit the answer is
-                # pinned at k, otherwise the set is complete — exact merge
-                slice_aggs[name] = F.expr(
-                    f"slice(array_sort(array_distinct(collect_list({c}))), 1, {kk})"
-                )
-                cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
-                    F.array_sort(F.array_distinct(F.flatten(F.collect_list(n).over(w)))),
-                    1,
-                    kk,
-                )
-            elif st.startswith(("pqv", "pqw")):
-                from chronon_spark.functions.aggregations import (
-                    equirank_sample_struct,
-                )
-
-                ss = int(st[3:])
-                # per-slice (n, ≤S equi-rank sample) — the tiled kernel's
-                # own tile IR (functions/aggregations._pct_ir); the
-                # cumulative flattens to PARALLEL flat arrays (values /
-                # weights, weight = n_slice/|q_slice| per
-                # aggregations._pct_merge) because pyarrow segfaults on an
-                # array<struct<…, array>> cogroup input column
-                slice_aggs[name] = F.expr(
-                    equirank_sample_struct(
-                        f"sort_array(collect_list(CAST({c} AS DOUBLE)))", ss
-                    )
-                )
-                if st.startswith("pqv"):
-                    cum_exprs[name] = lambda w, n=name, sb=ss: _pq_flatten(
-                        F.collect_list(n).over(w), sb, True
-                    )
-                else:
-                    cum_exprs[name] = lambda w, n=name, sb=ss: _pq_flatten(
-                        F.collect_list(n).over(w), sb, False
-                    )
-            elif st.startswith(("mgk", "mgv")):
-                from chronon_spark.functions.aggregations import (
-                    _hist_ir_capped,
-                    _hist_map_merge,
-                )
-
-                mk = int(st[3:])
-                synth = AggregationPart(
-                    c, Operation.APPROX_HISTOGRAM_K, {"k": mk}, None, None
-                )
-                # per-slice capped count-map (Misra-Gries day IR with error
-                # sentinel); cumulative = the op's own entry-sum merge,
-                # truncated back to the cap (_mg_truncate — bounded column
-                # width at any slice count), split into parallel
-                # (keys, counts) flat arrays
-                slice_aggs[name] = _hist_ir_capped(c, synth)
-                mg_cap = 8 * mk
-                if st.startswith("mgk"):
-                    cum_exprs[name] = lambda w, n=name, cp=mg_cap: F.map_keys(
-                        _mg_truncate(_hist_map_merge(n).over(w), cp)
-                    )
-                else:
-                    cum_exprs[name] = lambda w, n=name, cp=mg_cap: F.map_values(
-                        _mg_truncate(_hist_map_merge(n).over(w), cp)
-                    )
-            else:
-                kk = int(st[4:])
-                if st.startswith("fstk"):
-                    slice_aggs[name] = F.expr(
-                        f"transform(slice(array_sort(collect_list({struct})), 1, {kk}), x -> x.v)"
-                    )
-                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
-                        F.flatten(F.collect_list(n).over(w)), 1, kk
-                    )
-                elif st.startswith("lstk"):
-                    slice_aggs[name] = F.expr(
-                        f"transform(slice(reverse(array_sort(collect_list({struct}))), 1, {kk}), x -> x.v)"
-                    )
-                    # latest slice first; each slice list already newest-first
-                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
-                        F.flatten(F.reverse(F.collect_list(n).over(w))), 1, kk
-                    )
-                elif st.startswith("topk"):
-                    slice_aggs[name] = F.expr(
-                        f"slice(reverse(array_sort(collect_list({c}))), 1, {kk})"
-                    )
-                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
-                        F.reverse(F.array_sort(F.flatten(F.collect_list(n).over(w)))), 1, kk
-                    )
-                else:  # botk
-                    slice_aggs[name] = F.expr(f"slice(array_sort(collect_list({c})), 1, {kk})")
-                    cum_exprs[name] = lambda w, n=name, kk=kk: F.slice(
-                        F.array_sort(F.flatten(F.collect_list(n).over(w))), 1, kk
-                    )
-        col_map[i] = mapping
-
-    hot_ev = events.filter(is_hot)
-    # always keep one plain agg so an all-HLL config still groups cleanly
-    per_slice = (
-        hot_ev.withColumn("__es", (F.col(TS_COL) / slice_ms).cast("long"))
-        .groupBy(*keys, "__es")
-        .agg(
-            F.count(F.lit(1)).alias("__b_rows"),
-            *[sa.alias(n) for n, sa in slice_aggs.items()],
-        )
+    hot_ev = events.filter(is_hot).withColumn(
+        "__es", (F.col(TS_COL) / slice_ms).cast("long")
     )
-    # HLL states: per-(slice, register) max → sparse entry list per slice,
-    # joined onto the slim per-slice row (both sides are ≤ #keys × #slices
-    # rows; the heavy reduction is the map-side-combinable groupBy)
-    for name, c in hreg_specs.items():
-        reg = (
-            hot_ev.withColumn("__es", (F.col(TS_COL) / slice_ms).cast("long"))
-            .withColumn("__ri", F.col(f"__hh_{c}_idx"))
+    # as-of mapping target: each distinct hot QUERY slice reads the
+    # cumulative state at the greatest event slice strictly before it
+    qslices = (
+        qlite.filter(is_hot)
+        .select(*keys, (F.col(TS_COL) / slice_ms).cast("long").alias("__qs"))
+        .distinct()
+    )
+
+    def collect_specs(parts, name_of):
+        """(slice_aggs, cum builders, hreg side-frame specs) shared across
+        parts; fills col_map for each part index."""
+        slice_aggs: dict[str, Column] = {}
+        cum_exprs: dict[str, "callable"] = {}
+        hreg_specs: dict[str, str] = {}
+        for i, p in parts:
+            c = p.input_column
+            mapping = col_map.setdefault(i, {})
+            for st in _baseline_states(p, integral.get(c, False)):
+                name = name_of(p, st)
+                mapping[_canon_skey(st)] = name
+                if name in slice_aggs or name in hreg_specs:
+                    continue
+                sa, cf = _baseline_state_exprs(c, st)
+                if sa is None:
+                    hreg_specs[name] = c
+                else:
+                    slice_aggs[name] = sa
+                cum_exprs[name] = cf
+        return slice_aggs, cum_exprs, hreg_specs
+
+    def hreg_frame(name, c, grp_cols):
+        # HLL states: per-(slice, register) max → sparse entry list per
+        # slice group (both sides are ≤ #keys × #slices (× #buckets) rows;
+        # the heavy reduction is the map-side-combinable groupBy)
+        return (
+            hot_ev.withColumn("__ri", F.col(f"__hh_{c}_idx"))
             .filter(F.col("__ri").isNotNull())
-            .groupBy(*keys, "__es", "__ri")
+            .groupBy(*grp_cols, "__ri")
             .agg(F.max(f"__hh_{c}_rho").alias("__rr"))
-            .groupBy(*keys, "__es")
+            .groupBy(*grp_cols)
             .agg(
                 F.collect_list(
                     F.struct(F.col("__ri").alias("i"), F.col("__rr").alias("r"))
                 ).alias(name)
             )
         )
-        per_slice = per_slice.join(reg, keys + ["__es"], "left")
-    w = W.partitionBy(*keys).orderBy("__es").rowsBetween(W.unboundedPreceding, 0)
-    cum = per_slice.select(
-        *keys, "__es", *[cum_exprs[n](w).alias(n) for n in cum_exprs]
-    )
-    # flatten (t, v) structs to value scalars (ties across the slice
-    # boundary are impossible — the boundary separates ts strictly)
-    flat_cols = []
-    for n in cum_exprs:
-        if n.endswith("_fst") or n.endswith("_lst"):
-            flat_cols.append(F.col(f"{n}.v").alias(n))
-        else:
-            flat_cols.append(F.col(n))
-    cum = cum.select(*keys, "__es", *flat_cols)
 
-    # as-of mapping: each distinct hot QUERY slice reads the cumulative
-    # state at the greatest event slice strictly before it
-    qslices = (
-        qlite.filter(is_hot)
-        .select(*keys, (F.col(TS_COL) / slice_ms).cast("long").alias("__qs"))
-        .distinct()
-    )
-    j = qslices.join(cum.select(*keys, "__es"), keys, "inner").filter(
-        F.col("__es") < F.col("__qs")
-    )
-    best = j.groupBy(*keys, "__qs").agg(F.max("__es").alias("__es"))
-    base_q = best.join(cum, keys + ["__es"], "inner").drop("__es")
+    def flatten_fst_lst(cum, id_cols, cum_exprs):
+        # flatten (t, v) structs to value scalars (ties across the slice
+        # boundary are impossible — the boundary separates ts strictly)
+        flat_cols = []
+        for n in cum_exprs:
+            if n.endswith("_fst") or n.endswith("_lst"):
+                flat_cols.append(F.col(f"{n}.v").alias(n))
+            else:
+                flat_cols.append(F.col(n))
+        return cum.select(*id_cols, *flat_cols)
+
+    def asof_to_queries(cum, id_extra):
+        on = keys + id_extra
+        j = qslices.join(cum.select(*on, "__es"), keys, "inner").filter(
+            F.col("__es") < F.col("__qs")
+        )
+        best = j.groupBy(*on, "__qs").agg(F.max("__es").alias("__es"))
+        return best.join(cum, on + ["__es"], "inner").drop("__es")
+
+    plain = [(i, p) for i, p in enumerate(ub_parts) if p.bucket is None]
+    bucketed = [(i, p) for i, p in enumerate(ub_parts) if p.bucket is not None]
+    base_q = None
+
+    if plain:
+        slice_aggs, cum_exprs, hreg_specs = collect_specs(
+            plain, lambda p, st: f"__b_{p.input_column}_{st}"
+        )
+        # always keep one plain agg so an all-HLL config still groups cleanly
+        per_slice = hot_ev.groupBy(*keys, "__es").agg(
+            F.count(F.lit(1)).alias("__b_rows"),
+            *[sa.alias(n) for n, sa in slice_aggs.items()],
+        )
+        for name, c in hreg_specs.items():
+            per_slice = per_slice.join(
+                hreg_frame(name, c, keys + ["__es"]), keys + ["__es"], "left"
+            )
+        w = W.partitionBy(*keys).orderBy("__es").rowsBetween(W.unboundedPreceding, 0)
+        cum = per_slice.select(
+            *keys, "__es", *[cum_exprs[n](w, n).alias(n) for n in cum_exprs]
+        )
+        cum = flatten_fst_lst(cum, keys + ["__es"], cum_exprs)
+        base_q = asof_to_queries(cum, [])
+
+    # per-bucket baselines, one pass per distinct bucket column
+    for g in sorted({p.bucket for _, p in bucketed}):
+        parts_g = [(i, p) for i, p in bucketed if p.bucket == g]
+        bk_name = f"__bb_{g}_bk"
+        for i, _ in parts_g:
+            col_map.setdefault(i, {})["__bk"] = bk_name
+        slice_aggs, cum_exprs, hreg_specs = collect_specs(
+            parts_g, lambda p, st: f"__bb_{g}__{p.input_column}_{st}"
+        )
+        hot_g = hot_ev.filter(F.col(g).isNotNull()).withColumn(
+            "__bk", F.col(g).cast("string")
+        )
+        per_slice = hot_g.groupBy(*keys, "__es", "__bk").agg(
+            F.count(F.lit(1)).alias("__bb_rows"),
+            *[sa.alias(n) for n, sa in slice_aggs.items()],
+        )
+        for name, c in hreg_specs.items():
+            reg = (
+                hot_g.withColumn("__ri", F.col(f"__hh_{c}_idx"))
+                .filter(F.col("__ri").isNotNull())
+                .groupBy(*keys, "__es", "__bk", "__ri")
+                .agg(F.max(f"__hh_{c}_rho").alias("__rr"))
+                .groupBy(*keys, "__es", "__bk")
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col("__ri").alias("i"), F.col("__rr").alias("r"))
+                    ).alias(name)
+                )
+            )
+            per_slice = per_slice.join(reg, keys + ["__es", "__bk"], "left")
+        w = (
+            W.partitionBy(*keys, "__bk")
+            .orderBy("__es")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cum = per_slice.select(
+            *keys, "__bk", "__es", *[cum_exprs[n](w, n).alias(n) for n in cum_exprs]
+        )
+        cum = flatten_fst_lst(cum, keys + ["__bk", "__es"], cum_exprs)
+        state_b = asof_to_queries(cum, ["__bk"])
+        # assemble the bucket axis into parallel arrays per (key, __qs):
+        # scalar states ride aligned arrays; list states ride (lengths,
+        # flat values) pairs — null list = 0 elements on both
+        rows = F.collect_list(
+            F.struct(F.col("__bk").alias("bk"), *[F.col(n).alias(n) for n in cum_exprs])
+        )
+        asm = state_b.groupBy(*keys, "__qs").agg(rows.alias("__rows"))
+        sel = [F.col(k) for k in keys] + [F.col("__qs")]
+        sel.append(F.expr("transform(__rows, r -> r.bk)").alias(bk_name))
+        for n in cum_exprs:
+            # derive list-ness from the trailing state token
+            tail = n.rsplit("_", 1)[-1]
+            is_list = _canon_skey(tail) in _LIST_SKEYS
+            if is_list:
+                sel.append(
+                    F.expr(
+                        f"transform(__rows, r -> CASE WHEN r.{n} IS NULL THEN 0 ELSE size(r.{n}) END)"
+                    ).alias(f"{n}_l")
+                )
+                sel.append(
+                    F.expr(
+                        f"flatten(transform(filter(__rows, r -> r.{n} IS NOT NULL), r -> r.{n}))"
+                    ).alias(f"{n}_f")
+                )
+            else:
+                sel.append(F.expr(f"transform(__rows, r -> r.{n})").alias(n))
+        asm = asm.select(*sel)
+        base_q = asm if base_q is None else base_q.join(asm, keys + ["__qs"], "full")
+
     return base_q, col_map
 
 
@@ -1678,6 +1880,10 @@ def auto_hot_factor(ub_parts) -> int:
     flagship, where hot keys at 2.5× fair share lost ~25s of tail but
     slicing added >60s of overhead)."""
     for p in ub_parts or ():
+        if p.bucket is not None:
+            # per-query cost is O(#buckets) — superlinear in hot-key size
+            # like sketch state; slice at fair share
+            return 1
         for st in _baseline_states(p, False):
             base = st[:4] if st.startswith(("fstk", "lstk", "topk", "botk", "uset")) else st
             base = base[:3] if base.startswith(("pqv", "pqw", "mgk", "mgv")) else base

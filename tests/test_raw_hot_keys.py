@@ -232,6 +232,97 @@ def test_unbounded_baseline_slicing_bit_identical(spark, seed):
     assert pf[GB_UB.unpacked()[0].output_column] is not None  # unbounded count present
 
 
+# bucketed unbounded parts (round-6: per-(slice, bucket) baseline IRs) —
+# every baseline-able op with a bucket axis, mixed with windowed and plain
+# unbounded parts; integral-valued prices keep float sums order-exact so
+# sliced ≡ plain is bit-identical
+AGGS_BUB = (
+    Aggregation("price", Operation.SUM, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.COUNT, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.AVERAGE, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.MIN, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.MAX, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.VARIANCE, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.FIRST, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.LAST, windows=(None,), buckets=("cat",)),
+    Aggregation("price", Operation.TOP_K, windows=(None,), arg_map={"k": 3}, buckets=("cat",)),
+    Aggregation("price", Operation.BOTTOM_K, windows=(None,), arg_map={"k": 2}, buckets=("cat",)),
+    Aggregation("price", Operation.FIRST_K, windows=(None,), arg_map={"k": 2}, buckets=("cat",)),
+    Aggregation("price", Operation.LAST_K, windows=(None,), arg_map={"k": 2}, buckets=("cat",)),
+    Aggregation("cat2", Operation.APPROX_UNIQUE_COUNT, windows=(None,), buckets=("cat",)),
+    Aggregation(
+        "cat2", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 2},
+        buckets=("cat",),
+    ),
+    Aggregation(
+        "price", Operation.APPROX_PERCENTILE, windows=(None,),
+        arg_map={"percentiles": [0.25, 0.9]}, buckets=("cat",),
+    ),
+    Aggregation(
+        "cat2", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 2},
+        buckets=("cat",),
+    ),
+    # coexistence: windowed + plain unbounded parts share the slice plan
+    Aggregation("price", Operation.SUM, windows=(Window(7),)),
+    Aggregation("price", Operation.COUNT, windows=(None,)),
+    Aggregation("price", Operation.SUM, windows=(Window(7),), buckets=("cat",)),
+)
+
+GB_BUB = GroupBy(
+    name="raw_hot_bub", sources=(EventSource(table="ev"),), key_columns=("user",),
+    aggregations=AGGS_BUB,
+)
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_bucketed_unbounded_slicing_bit_identical(spark, seed):
+    """Bucketed unbounded parts slice via per-(slice, bucket) baseline
+    IRs (round-6 verdict #3): sliced ≡ plain bit-identically, including
+    buckets whose events all predate the query slice (baseline-only
+    buckets), null buckets, and the HLL / capped-set / percentile /
+    Misra-Gries sketch families in their exact regimes."""
+    ev, q = _gen(seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    ev["cat2"] = rng.choice(["x", "y", "z", None], len(ev), p=[0.4, 0.3, 0.25, 0.05])
+    hot_q = pd.concat(
+        [q] + [q[q.user == "u0"].assign(ts=lambda d: d.ts + i) for i in range(1, 9)],
+        ignore_index=True,
+    )
+    ev_df = spark.createDataFrame(ev)
+    q_df = spark.createDataFrame(hot_q)
+    plain = temporal_events(spark, GB_BUB, q_df, ev_df, mode="raw")
+    sliced = temporal_events(
+        spark, GB_BUB, q_df, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=4 * MS_DAY,
+    )
+    assert _norm(plain.collect()) == _norm(sliced.collect())
+    # baseline-only regime: a query far beyond the last event answers the
+    # full bucket map from the per-(slice, bucket) baselines alone
+    far_q = spark.createDataFrame(
+        pd.DataFrame([{"user": "u0", "ts": int(ev.ts.max()) + 40 * MS_DAY}])
+    )
+    pf = temporal_events(spark, GB_BUB, far_q, ev_df, mode="raw").first()
+    sf = temporal_events(
+        spark, GB_BUB, far_q, ev_df, mode="raw",
+        hot_keys=[("u0",)], hot_slice_ms=4 * MS_DAY,
+    ).first()
+    bucket_cols = [
+        p.output_column
+        for p in GB_BUB.unpacked()
+        if p.bucket is not None and p.window is None
+    ]
+    for c in bucket_cols:
+        pv, sv = pf[c], sf[c]
+        assert pv is not None, c
+        assert set(pv) == set(sv), (c, pv, sv)
+        for b in pv:
+            a_, b_ = pv[b], sv[b]
+            if isinstance(a_, float) and a_ != a_:
+                assert isinstance(b_, float) and b_ != b_, (c, b, a_, b_)
+            else:
+                assert a_ == b_, (c, b, a_, b_)
+
+
 def test_tie_break_parity_raw_vs_tiled(spark):
     """Events sharing an exact timestamp: FIRST/LAST/FIRST_K/LAST_K pick
     the SAME element on both execution paths — the documented (ts, value)
@@ -321,6 +412,9 @@ def test_slicing_fuzz(spark):
             Aggregation("price", Operation.BOUNDED_UNIQUE_COUNT, windows=(None,), arg_map={"k": 3}),
             Aggregation("price", Operation.APPROX_PERCENTILE, windows=(None,), arg_map={"percentiles": [0.5]}),
             Aggregation("price", Operation.APPROX_HISTOGRAM_K, windows=(None,), arg_map={"k": 3}),
+            # bucketed unbounded (round-6): per-(slice, bucket) baselines
+            Aggregation("price", Operation.APPROX_UNIQUE_COUNT, windows=(None,), buckets=("b",)),
+            Aggregation("price", Operation.SUM, windows=(None,), buckets=("b",)),
         ),
     )
 
@@ -340,6 +434,7 @@ def test_slicing_fuzz(spark):
                 "user": ["u0"] * n,
                 "ts": [T0 + day_off[i] * MS_DAY + in_day[i] for i in range(n)],
                 "price": [None if nulls[i] else float(vals[i]) for i in range(n)],
+                "b": [("even" if vals[i] % 2 == 0 else "odd") for i in range(n)],
             }
         )
         q = pd.DataFrame({"user": ["u0"] * len(q_off), "ts": [T0 + o for o in q_off]})
