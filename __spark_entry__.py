@@ -1783,6 +1783,17 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
                 windows=(Window(7),),
                 buckets=("event_type",),
             ),
+            # bucketed capped count-map (round-6: the last bucketed KV
+            # refusal closed) — Map[event_type → Map[cents → count]] via
+            # the flat-column densify; exact regime (distinct cents per
+            # (user, hour, type) hop << the 8k cap)
+            Aggregation(
+                "value_c",
+                Operation.APPROX_HISTOGRAM_K,
+                arg_map={"k": 2},
+                windows=(Window(7),),
+                buckets=("event_type",),
+            ),
         ),
         accuracy=Accuracy.TEMPORAL,
     )
@@ -1842,6 +1853,37 @@ def q_kv_upload_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("bmed_7d"),
+        # nested Map[bucket → Map[key → count]] canonicalized: buckets
+        # sorted asc (key-only comparator — a struct holding a map field
+        # is not orderable), entries by (count desc, key asc string order)
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.map_entries("value_c_approx_histogram_k_7d_by_event_type"),
+                    lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                    .when(a["key"] > b["key"], F.lit(1))
+                    .otherwise(F.lit(0)),
+                ),
+                lambda e: F.concat_ws(
+                    "=",
+                    e["key"],
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.map_entries(e["value"]),
+                                lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+                                .when(a["value"] < b["value"], F.lit(1))
+                                .when(a["key"] < b["key"], F.lit(-1))
+                                .otherwise(F.lit(1)),
+                            ),
+                            lambda x: F.concat_ws(":", x["key"], x["value"].cast("string")),
+                        ),
+                        "|",
+                    ),
+                ),
+            ),
+            ",",
+        ).alias("bmg_7d"),
     )
 
 
@@ -2610,15 +2652,37 @@ bmeds AS (
   SELECT event_id,
          string_agg(event_type || ':' || md, ',' ORDER BY event_type) AS bmed_7d
   FROM bmed GROUP BY event_id
+),
+bmgc AS (
+  SELECT event_id, event_type, CAST(vc AS VARCHAR) AS vk, count(*) AS n
+  FROM pairs WHERE event_type IS NOT NULL AND vc IS NOT NULL
+  GROUP BY event_id, event_type, vc
+),
+bmgr AS (
+  SELECT event_id, event_type, vk, n,
+         row_number() OVER (PARTITION BY event_id, event_type
+                            ORDER BY n DESC, vk) AS rn
+  FROM bmgc
+),
+bmge AS (
+  SELECT event_id, event_type,
+         string_agg(vk || ':' || n, '|' ORDER BY n DESC, vk) AS es
+  FROM bmgr WHERE rn <= 2 GROUP BY event_id, event_type
+),
+bmgs AS (
+  SELECT event_id,
+         string_agg(event_type || '=' || es, ',' ORDER BY event_type) AS bmg_7d
+  FROM bmge GROUP BY event_id
 )
 SELECT a.event_id, a.top3_7d, a.bot3_7d, a.first3_7d, a.last3_7d,
        a.buc10_7d, a.med_7d, m.mg3_7d, u.top3_all, u.buc10_all, b.bsum_7d,
-       p.bmed_7d
+       p.bmed_7d, g.bmg_7d
 FROM agg a
 LEFT JOIN mgs m ON m.event_id = a.event_id
 LEFT JOIN agg_all u ON u.event_id = a.event_id
 LEFT JOIN bsums b ON b.event_id = a.event_id
 LEFT JOIN bmeds p ON p.event_id = a.event_id
+LEFT JOIN bmgs g ON g.event_id = a.event_id
 """,
         "minhash_near_dups": """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jacc

@@ -177,9 +177,9 @@ def serving_plan(gb: GroupBy) -> dict:
             kv.append(p.output_column)
         else:
             why = (
-                f"element-wise sketch/exact op ({p.operation.value})"
+                f"element-wise exact op ({p.operation.value})"
                 if p.element_wise
-                else f"bucketed sketch op ({p.operation.value})"
+                else f"bucketed exact op ({p.operation.value})"
                 if p.bucket is not None
                 else f"unbounded exact IR ({p.operation.value})"
             )

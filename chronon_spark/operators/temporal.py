@@ -336,7 +336,13 @@ def _compute_part(
             qs = part.arg_map.get("percentiles", [0.5])
             out[i] = [float(np.percentile(sl.astype(np.float64), q * 100)) for q in qs]
         elif op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
-            uniq, counts = np.unique(sl.astype(str), return_counts=True)
+            # integral columns key as their SQL string form ('14', not the
+            # pandas-float artifact '14.0') — the reference stringifies by
+            # column type (ItemsSketch<String> via .toString), and the
+            # JVM-side IRs (snapshot, tiles, upload, slicing baselines)
+            # all CAST the original type
+            keyed = sl.astype(np.int64) if col.integral else sl
+            uniq, counts = np.unique(keyed.astype(str), return_counts=True)
             d = {str(u): int(c) for u, c in zip(uniq, counts)}
             kk = part.arg_map.get("k")
             if kk:
@@ -554,7 +560,10 @@ def _merge_unbounded(
             d = dict(mg_base)
             d.pop(MG_ERR_KEY, None)
             if b > a:
-                uniq, counts = np.unique(sl.astype(str), return_counts=True)
+                # integral keys in SQL string form, matching the JVM
+                # baseline IRs (see _compute_part's histogram branch)
+                keyed = sl.astype(np.int64) if col.integral else sl
+                uniq, counts = np.unique(keyed.astype(str), return_counts=True)
                 for u_, c_ in zip(uniq, counts):
                     d[str(u_)] = d.get(str(u_), 0) + int(c_)
             if not d:

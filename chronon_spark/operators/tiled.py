@@ -809,13 +809,24 @@ def _eval_collection(p, ctx, t_lo, t_hi, hl, h_hi, q_order, nq, input_types, cas
         return cast_fn(res, p, input_types[col])
 
     if op in _COUNTER_OPS:
+        from chronon_spark.operators.temporal import _INTEGRAL
+
         tmaps = ctx.ctile[(col, "cnt")]
         kk = p.arg_map.get("k")
+        # integral keys print in SQL string form ('14') even when pandas
+        # float-coerced a nullable head batch to 14.0 — Python dicts fold
+        # 14 and 14.0 into one counter key, but str() of whichever landed
+        # first would leak the artifact (see temporal.py histogram branch)
+        int_keys = isinstance(input_types[col], _INTEGRAL)
         for i, cnt, nz in _slide_counter(tmaps, hvals, hmask, t_lo, t_hi, hl, h_hi, q_order):
             if nz == 0:
                 continue
             if op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
-                d = {str(v): int(c) for v, c in cnt.items() if c > 0}
+                d = {
+                    (str(int(v)) if int_keys else str(v)): int(c)
+                    for v, c in cnt.items()
+                    if c > 0
+                }
                 if kk:
                     d = dict(sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)])
                 res[i] = d
@@ -1360,9 +1371,16 @@ def make_tiled_kernel(
                     elif p.operation is Operation.BOUNDED_UNIQUE_COUNT:
                         m = {str(b): int(min(len(sub), k)) for b, sub in live.items() if sub}
                     else:  # HISTOGRAM / APPROX_HISTOGRAM_K
+                        # integral value keys in SQL string form — see the
+                        # unbucketed counter finalize above
+                        int_keys = isinstance(input_types[p.input_column], _INTEGRAL)
                         m = {}
                         for b, sub in live.items():
-                            d = {str(v): int(c) for v, c in sub.items() if c > 0}
+                            d = {
+                                (str(int(v)) if int_keys else str(v)): int(c)
+                                for v, c in sub.items()
+                                if c > 0
+                            }
                             if kk:
                                 d = dict(
                                     sorted(d.items(), key=lambda x: (-x[1], x[0]))[: int(kk)]

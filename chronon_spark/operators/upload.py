@@ -42,15 +42,18 @@ segfault pyarrow's arrow_to_pandas just like the struct-of-array shape.
 Bucketed aggregations are served too — Map[bucket → agg] built from
 per-(hop, bucket) IR entry rows (one flat entry list per key, the HLL
 frame's layout), exactly the BucketedColumnAggregator contract — for
-the scalar family, k-lists, capped sets, equi-rank percentile samples
-and HLL registers. Element-wise parts ride the same machinery via the
-positional-bucket rewrite (posexplode → __pos buckets → densify with
-the observed tensor size). The only rejections left are exact
-UNIQUE_COUNT/HISTOGRAM (truly unbounded state), bucketed/element-wise
-sketch ops whose output would be a nested map, — all served offline by
-the lambda-tile path (streaming/lambda_tiles.py +
-operators/tilestore.py), which covers every op at per-(key, tile)
-granularity; this module exists for the bounded per-key serving LAYOUT.
+the scalar family, k-lists, capped sets, equi-rank percentile samples,
+HLL registers, and capped Misra-Gries count-maps (whose nested
+Map[bucket → Map] output can't cross the Arrow cogroup boundary, so
+the kernel ships four parallel flat columns and a post-kernel
+higher-order-function select densifies them). Element-wise parts ride
+the same machinery via the positional-bucket rewrite (posexplode →
+__pos buckets → densify with the observed tensor size). The only
+rejections left are exact UNIQUE_COUNT/HISTOGRAM (truly unbounded
+state) — served offline by the lambda-tile path
+(streaming/lambda_tiles.py + operators/tilestore.py), which covers
+every op at per-(key, tile) granularity; this module exists for the
+bounded per-key serving LAYOUT.
 
 At 100 TB: the upload is one groupBy per aggregation over the tail
 range (partition-pruned scan: only ``window`` days of history are read
@@ -166,12 +169,14 @@ BUCKETABLE = {
     Operation.FIRST_K,
     Operation.LAST_K,
     Operation.BOUNDED_UNIQUE_COUNT,
-    # per-(hop, bucket) (n, ≤S equi-rank sample) / sparse HLL registers —
-    # still bounded per entry. APPROX_HISTOGRAM_K × bucket stays
-    # lambda-tile-only: its output is Map[bucket → Map[key → count]],
-    # a nested-map Arrow output the cogroup writer can't ship.
+    # per-(hop, bucket) (n, ≤S equi-rank sample) / sparse HLL registers /
+    # ≤8k-entry count-maps — all bounded per entry. APPROX_HISTOGRAM_K's
+    # Map[bucket → Map[key → count]] output cannot cross the Arrow
+    # cogroup boundary, so the kernel ships it as four parallel flat
+    # columns and fetch_features densifies them in a post-kernel select.
     Operation.APPROX_PERCENTILE,
     Operation.APPROX_UNIQUE_COUNT,
+    Operation.APPROX_HISTOGRAM_K,
 }
 
 
@@ -186,10 +191,10 @@ def _check_parts(gb: GroupBy) -> list[AggregationPart]:
     ]
     if bad:
         raise ValueError(
-            f"not KV-uploadable (op outside the bounded-IR family, bucketed "
-            f"sketch/list op, or element-wise): {bad}; serve these via the "
-            f"lambda-tile path (operators/tilestore.py + "
-            f"streaming/lambda_tiles.py) instead"
+            f"not KV-uploadable (exact unbounded set state — "
+            f"UNIQUE_COUNT/HISTOGRAM — or element-wise at the part level): "
+            f"{bad}; serve these via the lambda-tile path "
+            f"(operators/tilestore.py + streaming/lambda_tiles.py) instead"
         )
     return parts
 
@@ -672,6 +677,7 @@ def group_by_upload(
             .groupBy(*keys, F.col(bkcol).cast("string").alias("__bk"))
             .agg(*aggs)
         )
+        g = _split_map_states(g, group)
         state_cols = [c for c in g.columns if c not in keys and c != "__bk"]
         f = g.groupBy(*keys).agg(
             F.sort_array(
@@ -731,6 +737,7 @@ def group_by_upload(
             .groupBy(*keys, hop, F.col(bkcol).cast("string").alias("__bk"))
             .agg(*aggs)
         )
+        g = _split_map_states(g, group)
         state_cols = [c for c in g.columns if c not in keys and c not in ("__h", "__bk")]
         # ONE per-key collect of (hop, bucket) entry rows, sorted by
         # (hop, bucket) — per-ENTRY hop/bucket arrays (the HLL frame's
@@ -966,6 +973,16 @@ def fetch_features(
     out_fields += [T.StructField(c, q_types[c]) for c in passthrough]
     for c in cfg:
         op = c["op"]
+        if c["bucket"] is not None and op is Operation.APPROX_HISTOGRAM_K:
+            # nested Map[bucket → Map] can't cross the Arrow boundary:
+            # ship four parallel flat columns, densified post-kernel
+            out_fields += [
+                T.StructField(f"{c['o']}__bk", T.ArrayType(T.StringType())),
+                T.StructField(f"{c['o']}__ln", T.ArrayType(T.IntegerType())),
+                T.StructField(f"{c['o']}__k", T.ArrayType(T.StringType())),
+                T.StructField(f"{c['o']}__v", T.ArrayType(T.LongType())),
+            ]
+            continue
         if op in (Operation.COUNT, Operation.APPROX_UNIQUE_COUNT):
             t = T.LongType()
         elif op is Operation.SUM:
@@ -1051,7 +1068,12 @@ def fetch_features(
             else:
                 ws = ((qt - w) // r) * r
             if c["bucket"] is not None:
-                res[o] = _fetch_bucketed(c, urow, ev, qt, ws, boundary)
+                r_b = _fetch_bucketed(c, urow, ev, qt, ws, boundary)
+                if isinstance(r_b, dict):  # bucketed MG: four flat columns
+                    for sfx, arr in r_b.items():
+                        res[f"{o}__{sfx}"] = arr
+                else:
+                    res[o] = r_b
                 continue
             if op is Operation.APPROX_UNIQUE_COUNT:
                 res[o] = _fetch_hll(c, urow, ev, qt, ws, boundary)
@@ -1118,6 +1140,10 @@ def fetch_features(
             out[c] = q[c].to_numpy()
         pdf = pd.DataFrame(out)
         for c in cfg:
+            if c["bucket"] is not None and c["op"] is Operation.APPROX_HISTOGRAM_K:
+                for sfx in ("bk", "ln", "k", "v"):
+                    pdf[f"{c['o']}__{sfx}"] = res[f"{c['o']}__{sfx}"]
+                continue
             vals = res[c["o"]]
             if c["o"] in long_cols:
                 s = pd.array(
@@ -1162,6 +1188,30 @@ def fetch_features(
         .cogroup(uploaded.groupby(*keys))
         .applyInPandas(kernel, schema=out_schema)
     )
+    # densify bucketed MG flat columns to Map[bucket → Map[key → count]]
+    # (driver-free: pure higher-order-function select)
+    mg_b = [
+        c
+        for c in cfg
+        if c["bucket"] is not None and c["op"] is Operation.APPROX_HISTOGRAM_K
+    ]
+    if mg_b:
+        exprs, drop = [], set()
+        for c in mg_b:
+            o = c["o"]
+            off = f"aggregate(slice({o}__ln, 1, i), 0, (a, x) -> a + x)"
+            exprs.append(
+                F.expr(
+                    f"CASE WHEN {o}__bk IS NULL THEN NULL ELSE "
+                    f"map_from_entries(transform({o}__bk, (b, i) -> struct(b, "
+                    f"map_from_entries(zip_with("
+                    f"slice({o}__k, {off} + 1, element_at({o}__ln, i + 1)), "
+                    f"slice({o}__v, {off} + 1, element_at({o}__ln, i + 1)), "
+                    f"(kk, vv) -> struct(kk, vv)))))) END"
+                ).alias(o)
+            )
+            drop |= {f"{o}__bk", f"{o}__ln", f"{o}__k", f"{o}__v"}
+        res = res.select(*[x for x in res.columns if x not in drop], *exprs)
     if gb.derivations:
         # the reference's fetcher applies derivations at serve time
         # (online/Fetcher.scala derive step) — same selectExpr contract
@@ -1503,10 +1553,14 @@ def _fetch_gather(c, urow, cv, lo, j, ws):
             if t in need:
                 map_by[t] = dict(curd)
         bkey = bidx
+    # integral head values key in SQL string form ('14'): the union with
+    # null-input query rows float-coerces the pandas column to 14.0, but
+    # the JVM day IRs CAST the original type (temporal.py histogram branch)
+    int_keys = c["integral"]
     for i in range(nq):
         d = dict(map_by[None if w is None else int(bkey[i])])
         for x in cv[lo[i] : j[i]]:
-            sx = str(x)
+            sx = str(int(x)) if int_keys else str(x)
             d[sx] = d.get(sx, 0) + 1
         d.pop(_MG_ERR_KEY, None)
         if not d:
@@ -1543,13 +1597,16 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
         return _fetch_bucketed_hll(c, urow, ev, qt, ws, boundary)
 
     # ---- head pack: (ts, bucket, value), value-tie-ordered like the
-    # scalar pack so FIRST/LAST pick the same element on exact ties
+    # scalar pack so FIRST/LAST pick the same element on exact ties.
+    # MG count-maps keep original typed values (stringified at merge
+    # time, like the raw kernel), never float-coerced
+    numeric_pack = numeric and op is not Operation.APPROX_HISTOGRAM_K
     bser = ev[c["bucket"]]
     vser = ev[c["col"]]
     m = (bser.notna() & vser.notna()).to_numpy()
     ets = ev[TS_COL].to_numpy(np.int64)[m]
     bvals = np.array([str(x) for x in bser[m]], dtype=object)
-    if numeric:
+    if numeric_pack:
         xv = pd.to_numeric(vser[m]).to_numpy(np.float64)
         order = np.lexsort((xv, ets))
     else:
@@ -1565,6 +1622,8 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
 
     if op is Operation.APPROX_PERCENTILE:
         return _fetch_bucketed_pq(c, urow, bvals, xv, lo, j, ws)
+    if op is Operation.APPROX_HISTOGRAM_K:
+        return _fetch_bucketed_mg(c, urow, bvals, xv, lo, j, ws)
     if op in _GATHER_B:
         return _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws)
 
@@ -1842,6 +1901,95 @@ def _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws):
                 res[b] = _fin(m)
         out[i] = res if res else None
     return out
+
+
+def _fetch_bucketed_mg(c, urow, bvals, xv, lo, j, ws):
+    """Bucketed APPROX_HISTOGRAM_K: per bucket, entry-sum merge of the
+    per-(hop, bucket) capped Misra-Gries count-maps + exact head counts,
+    truncated to k by (count desc, key asc) — the unbucketed MG fetch
+    algebra applied per bucket. Because Map[bucket → Map[key → count]]
+    cannot cross the Arrow cogroup boundary, the result ships as FOUR
+    parallel flat columns per query ({o}__bk bucket labels, {o}__ln
+    per-bucket entry counts, {o}__k flat keys, {o}__v flat counts) and
+    fetch_features densifies them to the nested map in a post-kernel
+    select — the same flat-frame trick as the upload rows themselves."""
+    o, w, k = c["o"], c["w"], c["k"]
+    nq = len(lo)
+
+    def _pair_lists(kind):
+        def one(st):
+            lens = _urow_arr(urow, f"{o}__{st}_{kind}_l")
+            ln = np.array(
+                [0 if not _valid_n(x) else int(x) for x in lens], dtype=np.int64
+            )
+            off = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+            flat_raw = urow.get(f"{o}__{st}_{kind}_f")
+            flat = (
+                np.empty(0, dtype=object)
+                if flat_raw is None
+                or (isinstance(flat_raw, float) and np.isnan(flat_raw))
+                else np.asarray(flat_raw)
+            )
+            return [flat[off[t] : off[t + 1]] for t in range(len(ln))]
+
+        return one("mgk"), one("mgv")
+
+    def _absorb_entry(d, ks_, vs_):
+        for k_, v_ in zip(ks_.tolist(), vs_.tolist()):
+            sk = str(k_)
+            d[sk] = d.get(sk, 0) + int(v_)
+
+    if w is None:
+        bks = _urow_arr(urow, c["bu"])
+        kls, vls = _pair_lists("bu")
+        base0: dict = {}
+        for bi, b in enumerate(bks):
+            _absorb_entry(base0.setdefault(str(b), {}), kls[bi], vls[bi])
+        snap_by = {None: base0}
+        bkey = [None] * nq
+    else:
+        hh_e = np.asarray(_urow_arr(urow, c["hop"]), dtype=np.int64)
+        bf = _urow_arr(urow, c["bf"])
+        kls, vls = _pair_lists("bw")
+        bidx = np.searchsorted(hh_e, ws, side="left")
+        snap_by = {}
+        cur: dict = {}
+        t = len(hh_e) - 1
+        for nb in sorted({int(b) for b in bidx}, reverse=True):
+            while t >= nb:
+                _absorb_entry(cur.setdefault(str(bf[t]), {}), kls[t], vls[t])
+                t -= 1
+            snap_by[nb] = {b: dict(e) for b, e in cur.items()}
+        bkey = bidx
+
+    outs = {s: np.empty(nq, dtype=object) for s in ("bk", "ln", "k", "v")}
+    for arr in outs.values():
+        arr[:] = None
+    # integral head values key in SQL string form — see the unbucketed
+    # MG fetch above
+    int_keys = c["integral"]
+    for i in range(nq):
+        base = snap_by[None if w is None else int(bkey[i])]
+        d = {b: dict(e) for b, e in base.items()}
+        for r_i in range(lo[i], j[i]):
+            ent = d.setdefault(bvals[r_i], {})
+            sx = str(int(xv[r_i])) if int_keys else str(xv[r_i])
+            ent[sx] = ent.get(sx, 0) + 1
+        bks_o, lns, fks, fvs = [], [], [], []
+        for b in sorted(d):
+            ent = d[b]
+            ent.pop(_MG_ERR_KEY, None)
+            if not ent:
+                continue
+            items = sorted(ent.items(), key=lambda e: (-e[1], e[0]))[:k]
+            bks_o.append(b)
+            lns.append(len(items))
+            fks.extend(x[0] for x in items)
+            fvs.extend(int(x[1]) for x in items)
+        if bks_o:
+            outs["bk"][i], outs["ln"][i] = bks_o, lns
+            outs["k"][i], outs["v"][i] = fks, fvs
+    return outs
 
 
 def _pct_lists(urow, base, kind):

@@ -281,12 +281,12 @@ def test_serving_plan_classification():
         "v_approx_percentile",
         "v_sum_7d_by_b",  # bucketed scalar family is KV-servable
         "v_top_k_3_7d_by_b",  # bucketed k-lists too
+        "v_approx_histogram_k_7d_by_b",  # round-6: flat-column densify
         "l_average",  # element-wise rides the positional-bucket frames
     }
     reasons = {d["column"]: d["reason"] for d in plan["lambda_tile_only"]}
     assert "unbounded exact IR" in reasons["v_unique_count_7d"]
-    assert "bucketed sketch op" in reasons["v_approx_histogram_k_7d_by_b"]
-    assert "element-wise sketch/exact op" in reasons["l_unique_count"]
+    assert "element-wise exact op" in reasons["l_unique_count"]
     assert plan["fully_kv_servable"] is False
     # an all-bounded config is fully KV-servable
     gb2 = GroupBy(

@@ -279,12 +279,11 @@ def test_rejects_non_uploadable(spark):
     ev_df, q_df = _mk(spark)
     with pytest.raises(ValueError, match="lambda-tile"):
         group_by_upload(spark, gb, ev_df, END_DS)
-    # bucketed scalar/k-list/percentile/HLL ops are uploadable; the
-    # map-of-map APPROX_HISTOGRAM_K x bucket is not
+    # exact UNIQUE_COUNT/HISTOGRAM are the only refusals left — bucketed
+    # too (round-6: bucketed APPROX_HISTOGRAM_K now serves via the
+    # flat-column densify)
     gb2 = _gb(
-        Aggregation(
-            "v", Operation.APPROX_HISTOGRAM_K, windows=(Window(7),), buckets=("s",)
-        )
+        Aggregation("s", Operation.HISTOGRAM, windows=(Window(7),), buckets=("s",))
     )
     with pytest.raises(ValueError):
         group_by_upload(spark, gb2, ev_df, END_DS)
@@ -622,6 +621,56 @@ def test_fetch_bucketed_sketch_matches_raw_kernel(spark):
                 if not ok:
                     mism.append((qid, col, b, a, e))
     assert not mism, mism[:10]
+
+
+def test_fetch_bucketed_histogram_matches_raw_kernel(spark):
+    """Bucketed APPROX_HISTOGRAM_K through the upload→fetch round trip
+    (round-6: the last bucketed KV refusal): the kernel ships four flat
+    columns (nested Map[bucket → Map] can't cross the Arrow cogroup
+    boundary) and fetch_features densifies them — the result must equal
+    the raw kernel's per-bucket count-maps exactly (distinct values per
+    (hop, bucket) stay under the 8k MG cap → exact regime)."""
+    ev_df, q_df = _mk(spark)
+    ev_df = ev_df.withColumn(
+        "cat", F.when(F.col("s").isNotNull(), F.substring("s", 1, 2))
+    )
+    gb = _gb(
+        Aggregation(
+            "s", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 4},
+            windows=(Window(7), None), buckets=("cat",),
+        ),
+        Aggregation(
+            "vi", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 3},
+            windows=(Window(3),), buckets=("cat",),
+        ),
+        # mixed config: a scalar bucketed part shares the bucket frames
+        Aggregation("vi", Operation.SUM, windows=(Window(7),), buckets=("cat",)),
+    )
+    got = {r["qid"]: r.asDict() for r in _fetch(spark, gb, ev_df, q_df).collect()}
+    exp = {r["qid"]: r.asDict() for r in _expected(spark, gb, ev_df, q_df).collect()}
+    assert set(got) == set(exp)
+    mism = []
+    for qid, g in got.items():
+        for col, gv in g.items():
+            if col in ("user", "ts", "qid"):
+                continue
+            ev_ = exp[qid][col]
+            if (gv is None) != (ev_ is None):
+                mism.append((qid, col, gv, ev_))
+                continue
+            if gv is None:
+                continue
+            if isinstance(gv, dict) and gv and isinstance(next(iter(gv.values())), dict):
+                ok = set(gv) == set(ev_) and all(
+                    dict(gv[b]) == dict(ev_[b]) for b in gv
+                )
+            else:
+                ok = gv == ev_ or (
+                    isinstance(gv, dict) and dict(gv) == dict(ev_)
+                )
+            if not ok:
+                mism.append((qid, col, gv, ev_))
+    assert not mism, mism[:8]
 
 
 def test_fetch_elementwise_matches_temporal(spark):
