@@ -271,14 +271,21 @@ class GroupBy:
 
 @dataclass(frozen=True)
 class JoinPart:
-    """api.thrift:318-326. ``key_mapping``: left column → right key column."""
+    """api.thrift:318-326. ``key_mapping``: left column → right key column.
+    ``full_prefix_override``: set by the ExternalPart → synthetic-JoinPart
+    rewrite so offline-computable external features keep the reference's
+    ``ext_{source}`` column naming (Extensions.scala:1042-1051
+    ExternalJoinPart)."""
 
     group_by: GroupBy
     key_mapping: dict[str, str] | None = None
     prefix: str | None = None
+    full_prefix_override: str | None = None
 
     @property
     def full_prefix(self) -> str:
+        if self.full_prefix_override:
+            return self.full_prefix_override
         base = self.group_by.name.replace(".", "_")
         return f"{self.prefix}_{base}" if self.prefix else base
 
@@ -286,6 +293,56 @@ class JoinPart:
         mapping = self.key_mapping or {}
         inverse = {v: k for k, v in mapping.items()}
         return {k: inverse.get(k, k) for k in self.group_by.key_columns}
+
+
+@dataclass(frozen=True)
+class ExternalSource:
+    """api.thrift:119-126 ExternalSource: a serving-time feature source
+    the warehouse cannot compute (a model server, an RPC service, request
+    context). ``key_schema``/``value_schema`` map column name → Spark DDL
+    type string. ``offline_group_by``, when set, makes the part
+    offline-computable — the backfill rewrites it to a synthetic JoinPart
+    (Extensions.scala:1042-1051); without it the part is online-only and
+    backfills null-padded (BootstrapInfo.scala:123-130)."""
+
+    name: str
+    key_schema: dict[str, str]
+    value_schema: dict[str, str]
+    offline_group_by: "GroupBy | None" = None
+
+
+# the reference's Constants.ContextualSourceName: a pseudo external source
+# whose "features" are the request-context fields themselves
+CONTEXTUAL_SOURCE = "contextual"
+
+
+@dataclass(frozen=True)
+class ExternalPart:
+    """api.thrift:320-326 ExternalPart. ``key_mapping``: left column →
+    source key column. Output columns are named
+    ``ext_[{prefix}_]{source}_{value_col}`` (Extensions.scala:708-748
+    ExternalPartOps.fullName / valueSchemaFull)."""
+
+    source: ExternalSource
+    key_mapping: dict[str, str] | None = None
+    prefix: str | None = None
+
+    @property
+    def full_name(self) -> str:
+        base = self.source.name.replace(".", "_").replace("-", "_")
+        pre = f"{self.prefix}_" if self.prefix else ""
+        return f"ext_{pre}{base}"
+
+    def value_columns(self) -> dict[str, str]:
+        """{output column: Spark DDL type} for this part's features."""
+        return {
+            f"{self.full_name}_{c}": t for c, t in self.source.value_schema.items()
+        }
+
+    def left_key_columns(self) -> list[str]:
+        """Left-side columns the part's keys read (key_mapping applied)."""
+        inverse = {v: k for k, v in (self.key_mapping or {}).items()}
+        return [inverse.get(k, k) for k in self.source.key_schema]
 
 
 @dataclass(frozen=True)
@@ -321,6 +378,12 @@ class Join:
     derivations: dict[str, str] | None = None
     bootstrap_parts: tuple[BootstrapPart, ...] = ()
     label_part: "LabelPart | None" = None
+    # api.thrift:341 onlineExternalParts: serving-time feature sources.
+    # Offline, online-only parts land in the output schema null-padded
+    # (bootstrap tables with logged values fill them via the fold's
+    # coalesce); parts whose source carries offline_group_by compute as
+    # synthetic join parts under the ext_ naming.
+    online_external_parts: "tuple[ExternalPart, ...]" = ()
 
     def semantic_hash(self) -> str:
         blob = json.dumps(_plain(self), sort_keys=True, default=str)

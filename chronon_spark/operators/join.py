@@ -418,6 +418,41 @@ def join_backfill(
     # monotonic uid keeps duplicate left rows distinct through temporal parts
     left = left.withColumn(ROW_UID, F.monotonically_increasing_id())
 
+    # onlineExternalParts (api.thrift:341; BootstrapInfo.scala:123-130):
+    # online-only parts contribute SCHEMA — their ext_{source}_{col}
+    # columns land on the left null-padded BEFORE the bootstrap fold, so a
+    # bootstrap table carrying logged external values fills them via the
+    # fold's coalesce while unlogged rows stay null (the reference's
+    # exact offline contract for external features). Parts whose source
+    # declares offline_group_by instead rewrite to synthetic join parts
+    # (Extensions.scala:1042-1051 ExternalJoinPart) computed below under
+    # the same ext_ naming.
+    right_parts = list(join.right_parts)
+    for ep in join.online_external_parts or ():
+        if ep.source.offline_group_by is not None:
+            right_parts.append(
+                JoinPart(
+                    group_by=ep.source.offline_group_by,
+                    key_mapping=ep.key_mapping,
+                    full_prefix_override=ep.full_name,
+                )
+            )
+            continue
+        from chronon_spark.api.types import CONTEXTUAL_SOURCE
+
+        missing = [c for c in ep.left_key_columns() if c not in left.columns]
+        if missing and ep.source.name != CONTEXTUAL_SOURCE:
+            # the fetcher's KeyMissingException contract
+            # (Extensions.scala:715-726): contextual sources null-pad
+            # silently, every other source requires its keys on the left
+            raise ValueError(
+                f"external part {ep.full_name}: left is missing key "
+                f"column(s) {missing} (key_mapping={ep.key_mapping})"
+            )
+        for col, typ in ep.value_columns().items():
+            if col not in left.columns:
+                left = left.withColumn(col, F.lit(None).cast(typ))
+
     # bootstrap fold BEFORE parts: precomputed values land on the left and
     # win the later coalesce against computed part columns; per-row match
     # markers enable covering-set skip-recompute below
@@ -435,7 +470,7 @@ def join_backfill(
     left = left.persist()
     _ACTIVE_CACHES.append(left)
     # ONE small-mode probe per backfill, shared across parts
-    left_is_small = _probe_left_small(left) if join.right_parts else False
+    left_is_small = _probe_left_small(left) if right_parts else False
 
     def part_input(part: JoinPart) -> DataFrame:
         """Rows the part must actually compute: bootstrap-covered rows are
@@ -487,11 +522,11 @@ def join_backfill(
             return table, join_cols
 
         with ThreadPoolExecutor(max_workers=part_parallelism) as pool:
-            results = list(pool.map(materialize, join.right_parts))
+            results = list(pool.map(materialize, right_parts))
         for table, join_cols in results:
             out = coalesced_join(out, part_warehouse.read(table), join_cols, "left")
     else:
-        for part in join.right_parts:
+        for part in right_parts:
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,

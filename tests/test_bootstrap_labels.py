@@ -178,3 +178,90 @@ def test_latest_label_view(spark, env):
             assert lat == o1, (u, ds, lat, o1)
         else:
             assert lat is None, (u, ds, lat)
+
+
+def test_external_parts_offline_plumbing(spark, env):
+    """onlineExternalParts (api.thrift:320; BootstrapInfo.scala:123-130):
+    online-only external features land in the backfill output null-padded
+    under the reference's ext_[prefix_]{source}_{col} naming; a bootstrap
+    table carrying logged external values fills them (bootstrap-wins
+    coalesce) while unlogged rows stay null; a source with
+    offline_group_by computes as a synthetic join part under the same
+    ext_ naming (Extensions.scala:1042-1051)."""
+    from chronon_spark.api.types import ExternalPart, ExternalSource
+
+    # logged external values for u1 on two days only
+    logged = spark.createDataFrame(
+        [
+            ("u1", "2023-11-25", 0.91, 3),
+            ("u1", "2023-11-26", 0.87, 5),
+        ],
+        "user string, ds string, ext_risk_model_score double, ext_risk_model_rank int",
+    )
+    logged.createOrReplaceTempView("bl_ext_log")
+    risk = ExternalSource(
+        name="risk_model",
+        key_schema={"user_id": "string"},
+        value_schema={"score": "double", "rank": "int"},
+    )
+    offline_src = ExternalSource(
+        name="amt_svc",
+        key_schema={"user": "string"},
+        value_schema={"amount_sum_7d": "double"},
+        offline_group_by=GB,
+    )
+    join = Join(
+        name="blj_ext",
+        left=EventSource(table="bl_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(GB),),
+        bootstrap_parts=(BootstrapPart(table="bl_ext_log", key_columns=("user", "ds")),),
+        online_external_parts=(
+            ExternalPart(risk, key_mapping={"user": "user_id"}),
+            ExternalPart(offline_src),
+        ),
+    )
+    out = join_backfill(spark, join, START, END)
+    cols = set(out.columns)
+    # reference naming: ext_{source}_{value_col}
+    assert {"ext_risk_model_score", "ext_risk_model_rank", "ext_amt_svc_amount_sum_7d"} <= cols
+    rows = out.collect()
+    assert rows
+    seen_logged = 0
+    for r in rows:
+        if r["user"] == "u1" and r["ds"] in ("2023-11-25", "2023-11-26"):
+            exp = 0.91 if r["ds"] == "2023-11-25" else 0.87
+            assert r["ext_risk_model_score"] == exp and r["ext_risk_model_rank"] in (3, 5)
+            seen_logged += 1
+        else:
+            # online-only external features null-pad where nothing was logged
+            assert r["ext_risk_model_score"] is None and r["ext_risk_model_rank"] is None
+        # the offline-computable external equals the regular join part
+        a, b = r["ext_amt_svc_amount_sum_7d"], r["amt_amount_sum_7d"]
+        assert (a is None and b is None) or a == b, (r["user"], r["ds"], a, b)
+    assert seen_logged > 0
+
+    # missing key columns refuse (the fetcher's KeyMissingException
+    # contract) — except the contextual pseudo-source, which null-pads
+    bad = ExternalSource(
+        name="needs_ip", key_schema={"ip": "string"}, value_schema={"geo": "string"}
+    )
+    join_bad = Join(
+        name="blj_ext_bad",
+        left=EventSource(table="bl_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(GB),),
+        online_external_parts=(ExternalPart(bad),),
+    )
+    with pytest.raises(ValueError, match="missing key"):
+        join_backfill(spark, join_bad, START, END)
+    ctx = ExternalSource(
+        name="contextual", key_schema={"ip": "string"}, value_schema={"ip": "string"}
+    )
+    join_ctx = Join(
+        name="blj_ext_ctx",
+        left=EventSource(table="bl_events", query=Query(selects={"user": None}, time_column="ts")),
+        right_parts=(JoinPart(GB),),
+        online_external_parts=(ExternalPart(ctx, prefix="req"),),
+    )
+    out_ctx = join_backfill(spark, join_ctx, START, END)
+    assert "ext_req_contextual_ip" in out_ctx.columns
+    assert out_ctx.filter(F.col("ext_req_contextual_ip").isNotNull()).count() == 0
