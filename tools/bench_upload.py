@@ -51,8 +51,9 @@ MS_DAY = 86_400_000
 T0 = 1_700_006_400_000  # 2023-11-15 00:00 UTC, day-aligned
 DAYS = 60
 END_DS = "2024-01-12"  # upload boundary = start of the last (serving) day
-MODE = sys.argv[1] if len(sys.argv) > 1 else "full"
-QUICK = MODE == "quick"
+_args = sys.argv[1:]
+QUICK = "quick" in _args
+MODE = next((a for a in _args if a != "quick"), "full")
 N_EVENTS = 200_000 if QUICK else 2_000_000
 N_USERS = 500 if QUICK else 2_000
 N_QUERIES = 20_000 if QUICK else 200_000
@@ -162,6 +163,68 @@ def run_once(spark, n_events, days):
     }
 
 
+GB_HIBUCK = GroupBy(
+    name="bench_serving_hibuck",
+    sources=(EventSource(table="ev"),),
+    key_columns=("user",),
+    aggregations=(
+        # one part per bucketed fetch family over a ~400-distinct bucket
+        # column: scalar (_fetch_bucketed), gather (_fetch_bucketed_gather),
+        # count-map (_fetch_bucketed_mg), percentile (_fetch_bucketed_pq)
+        Aggregation("v", Operation.SUM, windows=(Window(7),), buckets=("hib",)),
+        Aggregation(
+            "v", Operation.TOP_K, arg_map={"k": 3}, windows=(Window(7),), buckets=("hib",)
+        ),
+        Aggregation(
+            "cat", Operation.APPROX_HISTOGRAM_K, arg_map={"k": 3},
+            windows=(Window(7),), buckets=("hib",),
+        ),
+        Aggregation(
+            "v", Operation.APPROX_PERCENTILE, arg_map={"percentiles": [0.5]},
+            windows=(Window(7),), buckets=("hib",),
+        ),
+    ),
+    accuracy=Accuracy.TEMPORAL,
+)
+
+
+def run_hibuck(spark, n_events, days, n_buckets=400):
+    """High-cardinality-bucket fetch: per-key upload rows carry
+    O(hops × observed buckets) entries, and every query's output map is
+    O(observed buckets) wide — the entry-walk stress case."""
+    end_ds = _end_ds(days)
+    ev, q = make_frames(spark, n_events=n_events, days=days, end_ds=end_ds)
+    rng = np.random.default_rng(13)
+    from pyspark.sql import functions as F
+
+    ev = ev.withColumn(
+        "hib", F.concat(F.lit("b"), F.pmod(F.xxhash64("ts", "v"), F.lit(n_buckets)))
+    ).persist()
+    boundary = boundary_millis(end_ds)
+    head = ev.filter(f"ts >= {boundary}")
+    ev.count(), q.count()
+    t0 = time.monotonic()
+    up = group_by_upload(spark, GB_HIBUCK, ev, end_ds).persist()
+    n_keys = up.count()
+    t_upload = time.monotonic() - t0
+    t0 = time.monotonic()
+    fetched = fetch_features(spark, GB_HIBUCK, up, head, q, end_ds)
+    n_fetched = fetched.count()
+    t_fetch = time.monotonic() - t0
+    assert n_fetched == N_QUERIES
+    for df in (ev, q, up):
+        df.unpersist()
+    return {
+        "n_events": n_events,
+        "n_buckets": n_buckets,
+        "n_queries": N_QUERIES,
+        "n_upload_keys": n_keys,
+        "upload_build_s": round(t_upload, 2),
+        "fetch_s": round(t_fetch, 2),
+        "fetch_per_s": round(N_QUERIES / t_fetch),
+    }
+
+
 def main():
     spark = build_session(app_name="bench_upload_serving")
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,7 +234,9 @@ def main():
         "cost must stay flat while the rescan grows with history",
         "master": spark.sparkContext.master,
     }
-    if MODE == "hist":
+    if MODE == "hibuck":
+        rec["runs"] = [run_hibuck(spark, N_EVENTS, DAYS)]
+    elif MODE == "hist":
         rec["runs"] = [
             run_once(spark, 2_000_000, 60),
             run_once(spark, 12_000_000, 360),
