@@ -1584,8 +1584,9 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
     BucketedColumnAggregator contract (temporal.py kernel :766-798):
     buckets keyed by string form, an entry only when the merged value is
     non-None, NaN finalizations (skew n<3 etc.) kept, empty map → None.
-    Batch suffix dicts are accumulated once per distinct window-start
-    hop; per-query work is O(buckets + head-range)."""
+    Batch suffix dicts are accumulated AND finalized once per distinct
+    window-start hop; per-query work is O(head-range + touched buckets),
+    independent of the bucket cardinality."""
     op, o, w = c["op"], c["o"], c["w"]
     states = _MOMENT_STATES[op]
     nq = len(qt)
@@ -1701,7 +1702,13 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
             snap_by[nb] = {b: dict(e) for b, e in cur.items()}
         bkey = bidx
 
-    # ---- per query: copy suffix dict, fold the head range, finalize
+    # ---- finalize-once + head-touched recompute: the per-query work is
+    # O(head-range + touched buckets) instead of O(all buckets). Each
+    # suffix snapshot is finalized ONCE; a query with an empty head range
+    # shares that dict, and otherwise only the buckets its head rows touch
+    # are re-merged from the raw IR entry. Identical (snapshot, lo, j)
+    # triples — common when many queries land between the same two events
+    # — are memoized. Output dicts are shared across rows, never mutated.
     def _fin_val(v):
         if v is None:
             return None
@@ -1711,12 +1718,8 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
             return float(v)
         return str(v)
 
-    for i in range(nq):
-        base = snap_by[None if w is None else int(bkey[i])]
-        d = {b: dict(e) for b, e in base.items()}
-        for r_i in range(lo[i], j[i]):
-            ent = d.setdefault(bvals[r_i], _new_ent())
-            x = xv[r_i]
+    def _fold_head(ent, hvals):
+        for x in hvals:
             ent["n"] += 1
             if op is Operation.SUM:
                 ent["s"] = ent.get("s", 0.0) + float(x)
@@ -1743,54 +1746,82 @@ def _fetch_bucketed(c, urow, ev, qt, ws, boundary):
                     ent["fst"] = x
             elif op is Operation.LAST:
                 ent["lst"] = x
-        res: dict = {}
-        for b, ent in d.items():
-            n = ent["n"]
-            if op is Operation.FIRST:
-                v = _fin_val(ent.get("fst"))
-            elif op is Operation.LAST:
-                v = _fin_val(ent.get("lst"))
-            elif n <= 0:
-                v = None
-            elif op is Operation.COUNT:
-                v = int(n)
-            elif op is Operation.SUM:
-                v = int(round(ent.get("s", 0.0))) if integral else float(ent.get("s", 0.0))
-            elif op is Operation.AVERAGE:
-                v = float(ent.get("s1", 0.0)) / n
-            elif op is Operation.MIN:
-                v = _fin_val(ent.get("mn"))
-            elif op is Operation.MAX:
-                v = _fin_val(ent.get("mx"))
-            else:  # VARIANCE / SKEW / KURTOSIS
-                s1 = ent.get("s1", 0.0)
-                s2 = ent.get("s2", 0.0)
-                m1 = s1 / n
-                m2 = s2 / n - m1 * m1
-                if op is Operation.VARIANCE:
-                    v = max(m2, 0.0)
-                elif op is Operation.SKEW:
-                    s3 = ent.get("s3", 0.0)
-                    if n < 3 or m2 <= 0:
-                        v = float("nan")
-                    else:
-                        m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1**3
-                        v = m3 / max(m2, 1e-300) ** 1.5
-                else:
-                    s3, s4 = ent.get("s3", 0.0), ent.get("s4", 0.0)
-                    if n < 4 or m2 <= 0:
-                        v = float("nan")
-                    else:
-                        m4 = (
-                            s4 / n
-                            - 4 * m1 * s3 / n
-                            + 6 * m1**2 * s2 / n
-                            - 3 * m1**4
-                        )
-                        v = m4 / max(m2, 1e-300) ** 2 - 3.0
+
+    def _fin_ent(ent):
+        n = ent["n"]
+        if op is Operation.FIRST:
+            return _fin_val(ent.get("fst"))
+        if op is Operation.LAST:
+            return _fin_val(ent.get("lst"))
+        if n <= 0:
+            return None
+        if op is Operation.COUNT:
+            return int(n)
+        if op is Operation.SUM:
+            return int(round(ent.get("s", 0.0))) if integral else float(ent.get("s", 0.0))
+        if op is Operation.AVERAGE:
+            return float(ent.get("s1", 0.0)) / n
+        if op is Operation.MIN:
+            return _fin_val(ent.get("mn"))
+        if op is Operation.MAX:
+            return _fin_val(ent.get("mx"))
+        # VARIANCE / SKEW / KURTOSIS
+        s1 = ent.get("s1", 0.0)
+        s2 = ent.get("s2", 0.0)
+        m1 = s1 / n
+        m2 = s2 / n - m1 * m1
+        if op is Operation.VARIANCE:
+            return max(m2, 0.0)
+        if op is Operation.SKEW:
+            s3 = ent.get("s3", 0.0)
+            if n < 3 or m2 <= 0:
+                return float("nan")
+            m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1**3
+            return m3 / max(m2, 1e-300) ** 1.5
+        s3, s4 = ent.get("s3", 0.0), ent.get("s4", 0.0)
+        if n < 4 or m2 <= 0:
+            return float("nan")
+        m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1**2 * s2 / n - 3 * m1**4
+        return m4 / max(m2, 1e-300) ** 2 - 3.0
+
+    fin_by = {}
+    for nb, base in snap_by.items():
+        r = {}
+        for b, ent in base.items():
+            v = _fin_ent(ent)
             if v is not None:
+                r[b] = v
+        fin_by[nb] = r
+
+    memo: dict = {}
+    for i in range(nq):
+        nb = None if w is None else int(bkey[i])
+        l_, r_ = int(lo[i]), int(j[i])
+        if l_ >= r_:
+            fin = fin_by[nb]
+            out[i] = fin if fin else None
+            continue
+        mk = (nb, l_, r_)
+        if mk in memo:
+            out[i] = memo[mk]
+            continue
+        base = snap_by[nb]
+        res = dict(fin_by[nb])
+        touched: dict = {}
+        for r_i in range(l_, r_):
+            touched.setdefault(bvals[r_i], []).append(xv[r_i])
+        for b, hvals in touched.items():
+            pre = base.get(b)
+            ent = dict(pre) if pre is not None else _new_ent()
+            _fold_head(ent, hvals)
+            v = _fin_ent(ent)
+            if v is None:
+                res.pop(b, None)
+            else:
                 res[b] = v
-        out[i] = res if res else None
+        res = res if res else None
+        memo[mk] = res
+        out[i] = res
     return out
 
 
@@ -1875,31 +1906,58 @@ def _fetch_bucketed_gather(c, urow, bvals, xv, lo, j, ws):
             }
         bkey = bidx
 
+    def _merge_bucket(pre, hd):
+        if is_set:
+            u = set(pre) | set(hd)
+            return min(len(u), k) if u else None
+        if op is Operation.TOP_K:
+            m = sorted(list(pre) + hd, reverse=True)[:k]
+        elif op is Operation.BOTTOM_K:
+            m = sorted(list(pre) + hd)[:k]
+        elif op is Operation.FIRST_K:
+            m = (list(pre) + hd)[:k]
+        else:  # LAST_K
+            m = (hd[::-1] + list(pre))[:k]
+        return _fin(m) if m else None
+
+    # finalize-once + head-touched recompute (see _fetch_bucketed): per
+    # query O(head + touched buckets), empty-head queries share the
+    # snapshot's finalized dict, (snapshot, lo, j) memoized
+    fin_by = {}
+    for nb, base in snap_by.items():
+        r = {}
+        for b, pre in base.items():
+            v = _merge_bucket(pre, [])
+            if v is not None:
+                r[b] = v
+        fin_by[nb] = r
+
+    memo: dict = {}
     for i in range(nq):
-        base = snap_by[None if w is None else int(bkey[i])]
+        nb = None if w is None else int(bkey[i])
+        l_, r_ = int(lo[i]), int(j[i])
+        if l_ >= r_:
+            fin = fin_by[nb]
+            out[i] = fin if fin else None
+            continue
+        mk = (nb, l_, r_)
+        if mk in memo:
+            out[i] = memo[mk]
+            continue
+        base = snap_by[nb]
         heads: dict = {}
-        for r_i in range(lo[i], j[i]):
+        for r_i in range(l_, r_):
             heads.setdefault(bvals[r_i], []).append(xv[r_i])
-        res: dict = {}
-        for b in set(base) | set(heads):
-            pre = base.get(b, set() if is_set else [])
-            hd = heads.get(b, [])
-            if is_set:
-                u = set(pre) | set(hd)
-                if u:
-                    res[b] = min(len(u), k)
-                continue
-            if op is Operation.TOP_K:
-                m = sorted(list(pre) + hd, reverse=True)[:k]
-            elif op is Operation.BOTTOM_K:
-                m = sorted(list(pre) + hd)[:k]
-            elif op is Operation.FIRST_K:
-                m = (list(pre) + hd)[:k]
-            else:  # LAST_K
-                m = (hd[::-1] + list(pre))[:k]
-            if m:
-                res[b] = _fin(m)
-        out[i] = res if res else None
+        res = dict(fin_by[nb])
+        for b, hd in heads.items():
+            v = _merge_bucket(base.get(b, set() if is_set else []), hd)
+            if v is None:
+                res.pop(b, None)
+            else:
+                res[b] = v
+        res = res if res else None
+        memo[mk] = res
+        out[i] = res
     return out
 
 
@@ -1968,27 +2026,73 @@ def _fetch_bucketed_mg(c, urow, bvals, xv, lo, j, ws):
     # integral head values key in SQL string form — see the unbucketed
     # MG fetch above
     int_keys = c["integral"]
-    for i in range(nq):
-        base = snap_by[None if w is None else int(bkey[i])]
-        d = {b: dict(e) for b, e in base.items()}
-        for r_i in range(lo[i], j[i]):
-            ent = d.setdefault(bvals[r_i], {})
-            sx = str(int(xv[r_i])) if int_keys else str(xv[r_i])
-            ent[sx] = ent.get(sx, 0) + 1
+
+    def _items_of(ent):
+        e = {k_: v_ for k_, v_ in ent.items() if k_ != _MG_ERR_KEY}
+        if not e:
+            return None
+        return sorted(e.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def _assemble(itm):
         bks_o, lns, fks, fvs = [], [], [], []
-        for b in sorted(d):
-            ent = d[b]
-            ent.pop(_MG_ERR_KEY, None)
-            if not ent:
-                continue
-            items = sorted(ent.items(), key=lambda e: (-e[1], e[0]))[:k]
+        for b in sorted(itm):
+            items = itm[b]
             bks_o.append(b)
             lns.append(len(items))
             fks.extend(x[0] for x in items)
             fvs.extend(int(x[1]) for x in items)
-        if bks_o:
-            outs["bk"][i], outs["ln"][i] = bks_o, lns
-            outs["k"][i], outs["v"][i] = fks, fvs
+        return (bks_o, lns, fks, fvs) if bks_o else None
+
+    # finalize-once + head-touched recompute (see _fetch_bucketed): the
+    # per-bucket truncated item lists are computed once per snapshot;
+    # a query re-sorts only head-touched buckets, and identical
+    # (snapshot, lo, j) triples share one assembled flat tuple
+    fin_items = {}
+    fin_asm = {}
+    for nb, base in snap_by.items():
+        itm = {}
+        for b, ent in base.items():
+            it = _items_of(ent)
+            if it is not None:
+                itm[b] = it
+        fin_items[nb] = itm
+        fin_asm[nb] = _assemble(itm)
+
+    def _store(i, asm):
+        if asm is not None:
+            outs["bk"][i], outs["ln"][i] = asm[0], asm[1]
+            outs["k"][i], outs["v"][i] = asm[2], asm[3]
+
+    memo: dict = {}
+    for i in range(nq):
+        nb = None if w is None else int(bkey[i])
+        l_, r_ = int(lo[i]), int(j[i])
+        if l_ >= r_:
+            _store(i, fin_asm[nb])
+            continue
+        mk = (nb, l_, r_)
+        if mk in memo:
+            _store(i, memo[mk])
+            continue
+        base = snap_by[nb]
+        touched: dict = {}
+        for r_i in range(l_, r_):
+            ent = touched.setdefault(bvals[r_i], {})
+            sx = str(int(xv[r_i])) if int_keys else str(xv[r_i])
+            ent[sx] = ent.get(sx, 0) + 1
+        itm = dict(fin_items[nb])
+        for b, hcounts in touched.items():
+            ent = dict(base.get(b, ()))
+            for sk, n_ in hcounts.items():
+                ent[sk] = ent.get(sk, 0) + n_
+            it = _items_of(ent)
+            if it is None:
+                itm.pop(b, None)
+            else:
+                itm[b] = it
+        asm = _assemble(itm)
+        memo[mk] = asm
+        _store(i, asm)
     return outs
 
 
@@ -2047,32 +2151,58 @@ def _fetch_bucketed_pq(c, urow, bvals, xv, lo, j, ws):
             snap_by[nb] = {b: list(v) for b, v in cur.items()}
         bkey = bidx
 
+    def _pct_of(prs, head):
+        if not prs and len(head) == 0:
+            return None
+        if all(n_ == len(q_) for n_, q_ in prs):
+            allv = np.concatenate([q_ for _, q_ in prs] + [head]) if prs else head
+            return [float(np.percentile(allv, q * 100)) for q in qs_p]
+        va = np.concatenate([q_ for _, q_ in prs] + [head])
+        wa = np.concatenate(
+            [np.full(len(q_), n_ / len(q_)) for n_, q_ in prs]
+            + [np.ones(len(head))]
+        )
+        order = np.argsort(va, kind="mergesort")
+        va, wa = va[order], wa[order]
+        return [_weighted_pct(va, wa, q) for q in qs_p]
+
+    # finalize-once + head-touched recompute (see _fetch_bucketed)
+    _EMPTY = np.empty(0, dtype=np.float64)
+    fin_by = {}
+    for nb, base in snap_by.items():
+        r = {}
+        for b, prs in base.items():
+            v = _pct_of(prs, _EMPTY)
+            if v is not None:
+                r[b] = v
+        fin_by[nb] = r
+
+    memo: dict = {}
     for i in range(nq):
-        base = snap_by[None if w is None else int(bkey[i])]
+        nb = None if w is None else int(bkey[i])
+        l_, r_ = int(lo[i]), int(j[i])
+        if l_ >= r_:
+            fin = fin_by[nb]
+            out[i] = fin if fin else None
+            continue
+        mk = (nb, l_, r_)
+        if mk in memo:
+            out[i] = memo[mk]
+            continue
+        base = snap_by[nb]
         heads: dict = {}
-        for r_i in range(lo[i], j[i]):
+        for r_i in range(l_, r_):
             heads.setdefault(bvals[r_i], []).append(float(xv[r_i]))
-        res: dict = {}
-        for b in set(base) | set(heads):
-            prs = base.get(b, [])
-            head = np.asarray(heads.get(b, []), dtype=np.float64)
-            if not prs and len(head) == 0:
-                continue
-            if all(n_ == len(q_) for n_, q_ in prs):
-                allv = (
-                    np.concatenate([q_ for _, q_ in prs] + [head]) if prs else head
-                )
-                res[b] = [float(np.percentile(allv, q * 100)) for q in qs_p]
+        res = dict(fin_by[nb])
+        for b, hd in heads.items():
+            v = _pct_of(base.get(b, []), np.asarray(hd, dtype=np.float64))
+            if v is None:
+                res.pop(b, None)
             else:
-                va = np.concatenate([q_ for _, q_ in prs] + [head])
-                wa = np.concatenate(
-                    [np.full(len(q_), n_ / len(q_)) for n_, q_ in prs]
-                    + [np.ones(len(head))]
-                )
-                order = np.argsort(va, kind="mergesort")
-                va, wa = va[order], wa[order]
-                res[b] = [_weighted_pct(va, wa, q) for q in qs_p]
-        out[i] = res if res else None
+                res[b] = v
+        res = res if res else None
+        memo[mk] = res
+        out[i] = res
     return out
 
 
@@ -2143,17 +2273,44 @@ def _fetch_bucketed_hll(c, urow, ev, qt, ws, boundary):
             snap_by[nb] = {b: r.copy() for b, r in cur.items()}
         bkey = bidx
 
-    for i in range(nq):
-        base = snap_by[None if w is None else int(bkey[i])]
-        d = {b: r.copy() for b, r in base.items()}
-        for r_i in range(lo[i], j[i]):
-            regs = d.setdefault(b_head[r_i], np.zeros(HLL_M, dtype=np.uint8))
-            if rh[r_i] > regs[ih[r_i]]:
-                regs[ih[r_i]] = rh[r_i]
-        res = {
-            b: int(round(float(hll_estimate(r)))) for b, r in d.items() if r.any()
+    # finalize-once + head-touched recompute (see _fetch_bucketed): the
+    # per-bucket estimates are computed once per snapshot; a query copies
+    # and re-estimates only head-touched buckets' registers
+    fin_by = {}
+    for nb, base in snap_by.items():
+        fin_by[nb] = {
+            b: int(round(float(hll_estimate(r)))) for b, r in base.items() if r.any()
         }
-        out[i] = res if res else None
+
+    memo: dict = {}
+    for i in range(nq):
+        nb = None if w is None else int(bkey[i])
+        l_, r_ = int(lo[i]), int(j[i])
+        if l_ >= r_:
+            fin = fin_by[nb]
+            out[i] = fin if fin else None
+            continue
+        mk = (nb, l_, r_)
+        if mk in memo:
+            out[i] = memo[mk]
+            continue
+        base = snap_by[nb]
+        touched: dict = {}
+        for r_i in range(l_, r_):
+            touched.setdefault(b_head[r_i], []).append(r_i)
+        res = dict(fin_by[nb])
+        for b, rows in touched.items():
+            pre = base.get(b)
+            regs = pre.copy() if pre is not None else np.zeros(HLL_M, dtype=np.uint8)
+            idx = np.array(rows, dtype=np.int64)
+            np.maximum.at(regs, ih[idx], rh[idx])
+            if regs.any():
+                res[b] = int(round(float(hll_estimate(regs))))
+            else:
+                res.pop(b, None)
+        res = res if res else None
+        memo[mk] = res
+        out[i] = res
     return out
 
 
