@@ -1116,6 +1116,94 @@ def q_bootstrap_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_external_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """onlineExternalParts offline contract (api.thrift:320;
+    BootstrapInfo.scala:41-64,123-130; Extensions.scala:708-748,1042-1051)
+    under the driver's oracle: an online-only external source lands in the
+    backfill null-padded under ext_{source}_{col} naming and a bootstrap
+    table carrying logged values fills it (every third user, score =
+    user_id/4 — an exact binary fraction — and tier = user_id % 7); a
+    source declaring offline_group_by computes as a synthetic join part
+    whose values must equal the regular part's; the contextual
+    pseudo-source null-pads silently. The oracle recomputes the sawtooth
+    7d sum and replays the logging rule row-for-row."""
+    _utc(spark)
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        BootstrapPart,
+        EventSource,
+        ExternalPart,
+        ExternalSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.join import join_backfill
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    boot = (
+        ev.filter("user_id % 3 = 0")
+        .select("user_id", "ds")
+        .distinct()
+        .withColumn("ext_risk_score", F.expr("CAST(user_id AS DOUBLE) / 4"))
+        .withColumn("ext_risk_tier", F.expr("CAST(user_id % 7 AS BIGINT)"))
+    )
+    boot.createOrReplaceTempView("ext_boot")
+    gb = GroupBy(
+        name="xp",
+        sources=(EventSource(table="events", query=Query(time_column="ts")),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window(7),)),),
+        accuracy=Accuracy.TEMPORAL,
+    )
+    risk = ExternalSource(
+        name="risk",
+        key_schema={"uid": "bigint"},
+        value_schema={"score": "double", "tier": "bigint"},
+    )
+    off = ExternalSource(
+        name="off",
+        key_schema={"user_id": "bigint"},
+        value_schema={"value_sum_7d": "double"},
+        offline_group_by=gb,
+    )
+    ctx = ExternalSource(
+        name="contextual", key_schema={"ip": "string"}, value_schema={"ip": "string"}
+    )
+    join = Join(
+        name="xpj",
+        left=EventSource(
+            table="events",
+            query=Query(
+                selects={"event_id": None, "user_id": None, "ds": None},
+                time_column="ts",
+            ),
+        ),
+        right_parts=(JoinPart(gb),),
+        bootstrap_parts=(BootstrapPart(table="ext_boot", key_columns=("user_id", "ds")),),
+        online_external_parts=(
+            ExternalPart(risk, key_mapping={"user_id": "uid"}),
+            ExternalPart(off),
+            ExternalPart(ctx, prefix="req"),
+        ),
+    )
+    lo, hi = ev.agg(F.min("ds"), F.max("ds")).first()
+    out = join_backfill(spark, join, lo, hi)
+    return out.select(
+        "event_id",
+        F.expr("CAST(round(ext_risk_score * 100) AS BIGINT)").alias("risk_cents"),
+        F.col("ext_risk_tier").alias("risk_tier"),
+        F.expr("CAST(round(ext_off_value_sum_7d * 100) AS BIGINT)").alias("off_cents"),
+        F.expr("CAST(round(xp_value_sum_7d * 100) AS BIGINT)").alias("reg_cents"),
+        F.col("ext_req_contextual_ip").alias("ctx_ip"),
+    )
+
+
 def q_sliced_hotkey_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key time slicing under the driver's oracle (round 5): every
     key is forced hot (hot_key_threshold=1) so the raw kernel slices ALL
@@ -1939,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_join": q_entity_join,
         "cumulative_source": q_cumulative_source,
         "bootstrap_label_join": q_bootstrap_label_join,
+        "external_parts": q_external_parts,
         "staging_query": q_staging_query,
         "sliced_hotkey_backfill": q_sliced_hotkey_backfill,
         "union_skew_scan": q_union_skew_scan,
@@ -2429,6 +2518,22 @@ SELECT f.event_id,
             ELSE CAST(round(f.comp * 100) AS BIGINT) END AS bs_cents_7d,
        l.lbl AS label_cnt
 FROM feat f JOIN lab l ON l.event_id = f.event_id
+""",
+        "external_parts": f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events),
+feat AS (
+  SELECT q.event_id, q.user_id,
+         sum(CASE WHEN e.tms < q.tms AND e.tms >= ((q.tms - {MS_7D}) // {HOP_1H}) * {HOP_1H} THEN e.value END) AS comp
+  FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.event_id, q.user_id
+)
+SELECT event_id,
+       CASE WHEN user_id % 3 = 0 THEN CAST(user_id * 25 AS BIGINT) END AS risk_cents,
+       CASE WHEN user_id % 3 = 0 THEN CAST(user_id % 7 AS BIGINT) END AS risk_tier,
+       CAST(round(comp * 100) AS BIGINT) AS off_cents,
+       CAST(round(comp * 100) AS BIGINT) AS reg_cents,
+       CAST(NULL AS VARCHAR) AS ctx_ip
+FROM feat
 """,
         "sliced_hotkey_backfill": f"""
 WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type,
