@@ -319,6 +319,47 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 29th doc
+    plays the held-out eval set; training docs are flagged when they
+    share >= 3 distinct word 4-grams with it. Gram identity is by
+    xxhash64 on the Spark side and by the gram string in the oracle —
+    equality of distinct counts adjudicates the whole explode/broadcast
+    join/count pipeline (collision-free at these cardinalities)."""
+    from chronon_spark.operators.decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    return decontaminate(
+        d.filter("doc_id % 29 != 0"),
+        d.filter("doc_id % 29 = 0"),
+        n=4,
+        min_hits=3,
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): per
+    source stream in doc_id order, each doc's offset in the EOS-joined
+    token stream and the 512-token packs it spans — the oracle replays
+    the same running sum with a window."""
+    from chronon_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512).select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stream_offset").cast("long").alias("stream_offset"),
+        "pack_first",
+        "pack_last",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.textstats import lang_id
 
@@ -1995,6 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
+        "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -2299,6 +2342,37 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "decontamination": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+      FROM w, UNNEST(range(1, len(w) - 4 + 2)) AS t(i)
+      WHERE len(w) >= 4),
+b AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+h AS (SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+      FROM g JOIN b USING (g) WHERE g.doc_id % 29 != 0 GROUP BY 1)
+SELECT w.doc_id,
+       CAST(CASE WHEN len(w.w) >= 4 THEN len(w.w) - 3 ELSE 0 END AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) >= 3 AS BIGINT) AS contaminated
+FROM w LEFT JOIN h USING (doc_id)
+WHERE w.doc_id % 29 != 0
+""",
+        "sequence_packing": """
+WITH t AS (SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
+      FROM t)
+SELECT source, doc_id, n_tokens, stream_offset,
+       stream_offset // 512 AS pack_first,
+       (stream_offset + n_tokens - 1) // 512 AS pack_last,
+       stream_offset % 512 AS pack_offset
+FROM c
 """,
         "lang_id": f"""
 WITH s AS (SELECT doc_id, {lang_scores} FROM documents)

@@ -312,3 +312,56 @@ def test_image_resize_real(spark):
     got_b = _decode_pixels(rb).reshape(8, 8, 3)
     top_down_rgb = bpx[::-1][:, :, [2, 1, 0]]
     assert np.array_equal(got_b, top_down_rgb)  # identity resize round-trips
+
+
+def test_decontaminate(spark, docs):
+    """Flagged docs share >= min_hits distinct 4-grams with the benchmark
+    (python-set oracle per doc); benchmark-vs-itself is fully flagged."""
+    from chronon_spark.operators.decontam import decontaminate
+
+    bench = docs.filter("doc_id % 7 = 0")
+    train = docs.filter("doc_id % 7 != 0")
+    out = decontaminate(train, bench, n=4, min_hits=2).collect()
+
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + 4]) for i in range(len(w) - 3)]
+
+    bg = set()
+    for r in bench.select("text").collect():
+        bg |= set(grams(r[0]))
+    texts = {r["doc_id"]: r["text"] for r in train.select("doc_id", "text").collect()}
+    assert len(out) == len(texts)
+    for r in out:
+        g = grams(texts[r["doc_id"]])
+        hits = len(set(g) & bg)  # hits are DISTINCT; n_grams counts positions
+        assert r["n_hits"] == hits and r["n_grams"] == len(g)
+        assert r["contaminated"] == int(hits >= 2)
+
+    # a benchmark doc checked against the benchmark is always flagged
+    self_hit = decontaminate(bench, bench, n=4, min_hits=1)
+    assert self_hit.filter("contaminated = 0").count() == 0
+
+
+def test_pack_sequences(spark, docs):
+    """Pack layout is a running sum in (group, doc_id) order: offsets
+    are contiguous (prev offset + prev tokens), pack indices are the
+    stream positions' floor-div, and a doc never spans more packs than
+    its token count requires."""
+    from chronon_spark.operators.packing import pack_sequences
+
+    L = 128
+    rows = pack_sequences(docs, seq_len=L).collect()
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        off = by_group.get(r["source"], 0)
+        assert r["stream_offset"] == off
+        assert r["pack_first"] == off // L
+        assert r["pack_last"] == (off + r["n_tokens"] - 1) // L
+        assert r["pack_offset"] == off % L
+        by_group[r["source"]] = off + r["n_tokens"]
+    # +1 EOS over the whitespace token count
+    d0 = docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    ns = {r["doc_id"]: r["n"] for r in d0}
+    for r in rows:
+        assert r["n_tokens"] == ns[r["doc_id"]] + 1
