@@ -319,6 +319,24 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textstats.py): duplicate
+    2/3-gram position fraction and the max character mass of any single
+    repeated gram — Spark computes them shuffle-free via a run-length
+    aggregate over sorted gram arrays; the oracle rebuilds the per-doc
+    frequency table with UNNEST + GROUP BY."""
+    from chronon_spark.operators.textstats import repetition_features
+
+    out = repetition_features(_docs(spark, sf_dir), ns=(2, 3))
+    return out.select(
+        "doc_id",
+        "frac_dup_2gram",
+        "top_2gram_char_frac",
+        "frac_dup_3gram",
+        "top_3gram_char_frac",
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): every 29th doc
     plays the held-out eval set; training docs are flagged when they
@@ -2036,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
+        "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "lang_id": q_lang_id,
@@ -2342,6 +2361,40 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "repetition_stats": """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                              x -> x != '') AS w
+           FROM documents),
+tc AS (SELECT doc_id, strlen(array_to_string(w, ' ')) AS total_chars FROM t),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM t, UNNEST(range(1, len(w) - 2 + 2)) AS r(i) WHERE len(w) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id,
+              1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS frac_dup,
+              max(c * strlen(g)) AS best
+       FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM t, UNNEST(range(1, len(w) - 3 + 2)) AS r(i) WHERE len(w) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (SELECT doc_id,
+              1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS frac_dup,
+              max(c * strlen(g)) AS best
+       FROM c3 GROUP BY 1)
+SELECT t.doc_id,
+       round(COALESCE(a2.frac_dup, 0.0), 6) AS frac_dup_2gram,
+       round(CASE WHEN tc.total_chars > 0
+                  THEN CAST(COALESCE(a2.best, 0) AS DOUBLE) / tc.total_chars
+                  ELSE 0.0 END, 6) AS top_2gram_char_frac,
+       round(COALESCE(a3.frac_dup, 0.0), 6) AS frac_dup_3gram,
+       round(CASE WHEN tc.total_chars > 0
+                  THEN CAST(COALESCE(a3.best, 0) AS DOUBLE) / tc.total_chars
+                  ELSE 0.0 END, 6) AS top_3gram_char_frac
+FROM t
+JOIN tc USING (doc_id)
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
 """,
         "decontamination": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

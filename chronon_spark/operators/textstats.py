@@ -115,6 +115,63 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, F.expr(expr))
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per word n-gram
+    size in ``ns``:
+
+    - ``frac_dup_{n}gram``: fraction of n-gram positions whose gram also
+      occurs elsewhere in the document (``1 - distinct/total``).
+    - ``top_{n}gram_char_frac``: the largest character mass any single
+      repeated n-gram accounts for — ``max over grams of count *
+      len(gram)`` divided by the normalized text length. (Gopher takes
+      the count of the single most frequent gram; the max-mass form is
+      equivalent in spirit and tie-free, so it gates deterministically.)
+
+    100 TB shape: zero shuffle. The frequency table a per-doc mode needs
+    is replaced by run-lengths over ``array_sort(grams)`` folded with a
+    struct-accumulator ``aggregate`` — everything stays inside
+    whole-stage codegen; document text is read once per scan task.
+    """
+    toks = tokens_sql(text_col)
+    total_chars = f"length(concat_ws(' ', {toks}))"
+    for n in ns:
+        g = (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), "
+            f"          i -> array_join(slice({toks}, i, {n}), ' ')) "
+            f"ELSE array() END"
+        )
+        df = df.withColumn(
+            f"frac_dup_{n}gram",
+            F.expr(
+                f"round(CASE WHEN size({g}) > 0 THEN "
+                f"1.0 - CAST(size(array_distinct({g})) AS DOUBLE) / size({g}) "
+                f"ELSE 0.0 END, 6)"
+            ),
+        )
+        # run-length fold over the sorted grams: equal grams are adjacent,
+        # so the running (prev, run) pair recovers every gram's count
+        best = (
+            f"aggregate(array_sort({g}), "
+            f"named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+            f"(acc, x) -> named_struct("
+            f"  'prev', x, "
+            f"  'run', IF(x = acc.prev, acc.run + 1L, 1L), "
+            f"  'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L) * length(x))), "
+            f"acc -> acc.best)"
+        )
+        df = df.withColumn(
+            f"top_{n}gram_char_frac",
+            F.expr(
+                f"round(CASE WHEN {total_chars} > 0 THEN "
+                f"CAST({best} AS DOUBLE) / {total_chars} ELSE 0.0 END, 6)"
+            ),
+        )
+    return df
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit document fingerprint: xxhash64 of the normalized token stream
     (a deterministic rolling-hash equivalent for exact-content identity)."""

@@ -365,3 +365,40 @@ def test_pack_sequences(spark, docs):
     ns = {r["doc_id"]: r["n"] for r in d0}
     for r in rows:
         assert r["n_tokens"] == ns[r["doc_id"]] + 1
+
+
+def test_repetition_features(spark, docs):
+    """Counter-oracle per doc: dup-position fraction and max count*len
+    char mass for 2-grams, plus edge cases (too-short doc, all-same doc)."""
+    from collections import Counter
+
+    from chronon_spark.operators.textstats import repetition_features
+
+    import re
+
+    rows = repetition_features(docs, ns=(2,)).select(
+        "doc_id", "frac_dup_2gram", "top_2gram_char_frac"
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        w = [t for t in re.sub(r"\s+", " ", texts[r["doc_id"]].lower().strip()).split(" ") if t]
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        c = Counter(grams)
+        frac = 1.0 - len(c) / len(grams) if grams else 0.0
+        best = max((n * len(g) for g, n in c.items()), default=0)
+        total = len(" ".join(w))
+        # compare unrounded with a half-ulp-of-6dp tolerance: python round()
+        # is banker's, Spark round() is HALF_UP, and power-of-two token
+        # sums make exact .5 ties real (0.0703125 showed up in testdata)
+        assert abs(r["frac_dup_2gram"] - frac) <= 5.1e-7
+        assert abs(r["top_2gram_char_frac"] - (best / total if total else 0.0)) <= 5.1e-7
+
+    edge = spark.createDataFrame(
+        [(1, "one"), (2, "go go go go"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in repetition_features(edge, ns=(2,)).collect()}
+    assert out[1]["frac_dup_2gram"] == 0.0 and out[1]["top_2gram_char_frac"] == 0.0
+    # "go go" occupies 3 of 3 positions, 2 distinct-less: 1 - 1/3; mass 3*5/11
+    assert abs(out[2]["frac_dup_2gram"] - round(1 - 1 / 3, 6)) < 1e-9
+    assert abs(out[2]["top_2gram_char_frac"] - round(15 / 11, 6)) < 1e-9
+    assert out[3]["frac_dup_2gram"] == 0.0 and out[3]["top_2gram_char_frac"] == 0.0
