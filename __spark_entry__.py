@@ -337,6 +337,41 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/redact.py): documents get deterministic
+    synthetic PII appended (an email per doc, an IPv4 on even ids, a
+    phone on ids % 3 == 0) — the SAME construction in the oracle — then
+    Spark masks/counts with Java regex and DuckDB with RE2; the gate
+    compares the redacted strings byte-for-byte."""
+    from chronon_spark.operators.redact import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.when(
+                F.expr("doc_id % 2 = 0"),
+                F.concat(F.lit("10.0."), F.expr("CAST(doc_id % 256 AS STRING)"), F.lit(".7")),
+            ),
+            F.when(
+                F.expr("doc_id % 3 = 0"),
+                F.concat(F.lit("+1 415 "), F.expr("lpad(CAST(doc_id % 10000 AS STRING), 4, '0')")),
+            ),
+        ).alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("pii_total").cast("long").alias("pii_total"),
+        F.col("text_redacted").alias("redacted"),
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): every 29th doc
     plays the held-out eval set; training docs are flagged when they
@@ -2055,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "lang_id": q_lang_id,
@@ -2162,6 +2198,8 @@ FROM z
 
 
 def oracle_sql() -> dict[str, str]:
+    from chronon_spark.operators.redact import PII_PATTERNS as _pii
+
     toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
     tris = (
         f"CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform(range(len({toks}) - 2), "
@@ -2361,6 +2399,31 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "pii_redaction": f"""
+WITH a AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+           CASE WHEN doc_id % 2 = 0
+                THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END,
+           CASE WHEN doc_id % 3 = 0
+                THEN '+1 415 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+         ) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_pii["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_pii["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_pii["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_pii["email"]}'))
+            + len(regexp_extract_all(t, '{_pii["ipv4"]}'))
+            + len(regexp_extract_all(t, '{_pii["phone"]}')) AS BIGINT) AS pii_total,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_pii["email"]}', '<email>', 'g'),
+           '{_pii["ipv4"]}', '<ipv4>', 'g'),
+         '{_pii["phone"]}', '<phone>', 'g') AS redacted
+FROM a
 """,
         "repetition_stats": """
 WITH t AS (SELECT doc_id,

@@ -402,3 +402,33 @@ def test_repetition_features(spark, docs):
     assert abs(out[2]["frac_dup_2gram"] - round(1 - 1 / 3, 6)) < 1e-9
     assert abs(out[2]["top_2gram_char_frac"] - round(15 / 11, 6)) < 1e-9
     assert out[3]["frac_dup_2gram"] == 0.0 and out[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    """Counts are pre-redaction per kind; masking replaces every
+    occurrence; clean text passes through byte-identical."""
+    from chronon_spark.operators.redact import redact_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org now"),
+        (2, "srv 192.168.0.1 peer 10.0.0.255"),
+        (3, "call +1 (415) 555-0123 or +44 20 7946 0958"),
+        (4, "plain words only"),
+        (5, "mix a@b.io 10.0.0.1 +1 415 555 0123"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[1]["text_redacted"] == "mail <email> and <email> now"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert out[2]["text_redacted"] == "srv <ipv4> peer <ipv4>"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 2)
+    assert out[3]["text_redacted"] == "call <phone> or <phone>"
+    assert out[4]["pii_total"] == 0
+    assert out[4]["text_redacted"] == "plain words only"
+    assert out[5]["pii_total"] == 3
+    assert out[5]["text_redacted"] == "mix <email> <ipv4> <phone>"
