@@ -337,6 +337,29 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/valid/test split
+    (operators/sampling.py): membership is md5(key:seed)-uniform, so the
+    oracle reproduces the exact survivor set row-for-row. Split weights
+    are binary-exact (0.75/0.125/0.125) so cumulative edges carry no
+    float drift between engines."""
+    from chronon_spark.operators.sampling import sample_stratified, split_assign
+
+    rates = {"src0": 0.1, "src1": 0.9, "src2": 0.5, "src3": 0.75}
+    s = sample_stratified(
+        _docs(spark, sf_dir), rates, seed=7, default_rate=0.25
+    )
+    out = split_assign(
+        s, {"train": 0.75, "valid": 0.125, "test": 0.125}, seed=11
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("sample_weight", 6).alias("sample_weight"),
+        "split",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/redact.py): documents get deterministic
     synthetic PII appended (an email per doc, an IPv4 on even ids, a
@@ -2090,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -2399,6 +2423,24 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "stratified_sample": """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.9
+                          WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
+                          ELSE 0.25 END AS DOUBLE) AS rate,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8)) AS BIGINT)
+              AS DOUBLE) / 4294967296.0 AS u7,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8)) AS BIGINT)
+              AS DOUBLE) / 4294967296.0 AS u11
+  FROM documents)
+SELECT doc_id, source,
+       round(CAST(1.0 AS DOUBLE) / rate, 6) AS sample_weight,
+       CASE WHEN u11 < 0.75 THEN 'train'
+            WHEN u11 < 0.875 THEN 'valid'
+            ELSE 'test' END AS split
+FROM r WHERE u7 < rate
 """,
         "pii_redaction": f"""
 WITH a AS (

@@ -432,3 +432,40 @@ def test_redact_pii(spark):
     assert out[4]["text_redacted"] == "plain words only"
     assert out[5]["pii_total"] == 3
     assert out[5]["text_redacted"] == "mix <email> <ipv4> <phone>"
+
+
+def test_sampling_deterministic_and_partition_stable(spark, docs):
+    """Hash sampling: identical survivor sets under any partition layout
+    (the property DataFrame.sample lacks), rates within binomial
+    tolerance, weights = 1/rate; splits disjoint, exhaustive, stable."""
+    from chronon_spark.operators.sampling import sample_stratified, split_assign
+
+    rates = {"src0": 0.9, "src1": 0.1}
+    a = sample_stratified(docs, rates, seed=3, default_rate=0.5)
+    b = sample_stratified(docs.repartition(17, "lang"), rates, seed=3, default_rate=0.5)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b and len(ids_a) > 0
+
+    w = {r["doc_id"]: r["sample_weight"] for r in a.select("doc_id", "sample_weight").collect()}
+    srcs = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    for i, wt in w.items():
+        exp = rates.get(srcs[i], 0.5)
+        assert abs(wt - 1.0 / exp) < 1e-9
+    n0 = docs.filter("source = 'src0'").count()
+    k0 = sum(1 for i in ids_a if srcs[i] == "src0")
+    assert abs(k0 / n0 - 0.9) < 4 * (0.9 * 0.1 / n0) ** 0.5 + 0.05
+
+    sp = split_assign(docs, {"train": 0.75, "valid": 0.125, "test": 0.125}, seed=5)
+    counts = {r["split"]: r["count"] for r in sp.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()
+    sp2 = split_assign(docs.repartition(5), {"train": 0.75, "valid": 0.125, "test": 0.125}, seed=5)
+    m1 = {r["doc_id"]: r["split"] for r in sp.select("doc_id", "split").collect()}
+    m2 = {r["doc_id"]: r["split"] for r in sp2.select("doc_id", "split").collect()}
+    assert m1 == m2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, {"a": 0.5, "b": 0.4})
