@@ -337,6 +337,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urltools.py): deterministic messy
+    URLs (case-soup hosts, default/explicit ports, tracking params,
+    fragments, trailing slashes) built from doc_id on both sides; the
+    gate compares every decomposed column and the canonical string
+    byte-for-byte."""
+    from chronon_spark.operators.urltools import url_normalize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN concat('HTTPS://WWW.Site', CAST(doc_id % 50 AS STRING), "
+            "  '.Example.COM:443/a/', CAST(doc_id AS STRING), '/?utm_source=feed&b=2&a=1#x') "
+            "WHEN 1 THEN concat('http://site', CAST(doc_id % 50 AS STRING), "
+            "  '.example.org:80/p/', CAST(doc_id AS STRING)) "
+            "WHEN 2 THEN concat('https://site', CAST(doc_id % 50 AS STRING), "
+            "  '.example.net:8443/q?z=9&fbclid=abc', CAST(doc_id AS STRING)) "
+            "ELSE concat('https://cdn', CAST(doc_id % 7 AS STRING), '.assets.io') END"
+        ).alias("url"),
+    )
+    return url_normalize(d).select(
+        "doc_id",
+        "url_norm",
+        "url_scheme",
+        "url_host",
+        "url_domain",
+        "url_path",
+        "url_query",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling + train/valid/test split
     (operators/sampling.py): membership is md5(key:seed)-uniform, so the
@@ -2113,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
@@ -2423,6 +2456,46 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "url_normalize": """
+WITH a AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.Example.COM:443/a/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#x'
+           WHEN 1 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org:80/p/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.net:8443/q?z=9&fbclid=abc' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.assets.io'
+         END AS u
+  FROM documents),
+b AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '/$', '') AS path,
+         COALESCE(regexp_extract(u, '\\?([^#]*)', 1), '') AS qraw
+  FROM a),
+c AS (
+  SELECT doc_id, scheme, path,
+         CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+              ELSE auth END AS hostport,
+         COALESCE(array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+           p -> p != '' AND NOT regexp_matches(p || '=',
+                  '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)='))), '&'), '') AS kept
+  FROM b)
+SELECT doc_id,
+       scheme || '://' || hostport || path
+         || CASE WHEN kept != '' THEN '?' || kept ELSE '' END AS url_norm,
+       scheme AS url_scheme,
+       regexp_replace(hostport, ':[0-9]+$', '') AS url_host,
+       regexp_extract(regexp_replace(hostport, ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1) AS url_domain,
+       path AS url_path,
+       kept AS url_query
+FROM c
 """,
         "stratified_sample": """
 WITH r AS (

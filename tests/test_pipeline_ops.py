@@ -469,3 +469,32 @@ def test_sampling_deterministic_and_partition_stable(spark, docs):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         split_assign(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_url_normalize(spark):
+    """Case-folds scheme/host only, strips default ports and fragments,
+    drops tracking params, sorts survivors, trims trailing slash."""
+    from chronon_spark.operators.urltools import url_normalize
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://site.org:80/p"),
+        (3, "http://site.org:8080/p/"),
+        (4, "https://a.b.co.uk/x?fbclid=1&z=9&utm_campaign"),
+        (5, "https://x.example"),
+        (6, "https://x.example/?gclid=2"),
+    ]
+    out = {
+        r["id"]: r
+        for r in url_normalize(spark.createDataFrame(rows, ["id", "url"])).collect()
+    }
+    assert out[1]["url_norm"] == "https://www.example.com/Path?a=1&b=2"
+    assert out[1]["url_host"] == "www.example.com"
+    assert out[1]["url_domain"] == "example.com"
+    assert out[2]["url_norm"] == "http://site.org/p"
+    assert out[3]["url_norm"] == "http://site.org:8080/p"  # non-default port kept
+    assert out[3]["url_host"] == "site.org"
+    assert out[4]["url_norm"] == "https://a.b.co.uk/x?z=9"
+    assert out[5]["url_norm"] == "https://x.example"
+    assert out[5]["url_path"] == "" and out[5]["url_query"] == ""
+    assert out[6]["url_norm"] == "https://x.example"  # bare / + tracking-only query
