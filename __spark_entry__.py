@@ -337,6 +337,42 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary rollup (operators/vocab.py): top 200 tokens by
+    (doc_freq desc, token) with doc/term frequency and smoothed idf —
+    the (doc, token) partial-agg stage and the corpus re-key both ride
+    the gate."""
+    from chronon_spark.operators.vocab import token_doc_freq
+
+    out = token_doc_freq(_docs(spark, sf_dir))
+    return (
+        out.orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(200)
+        .select(
+            "token",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("term_freq").cast("long").alias("term_freq"),
+            F.round("idf", 6).alias("idf"),
+        )
+    )
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf terms (operators/vocab.py): vocabulary
+    broadcast back onto per-doc term counts; ranking on the 6dp-rounded
+    score with bytewise token tie-break so both engines order
+    identically."""
+    from chronon_spark.operators.vocab import doc_tfidf_top_terms
+
+    return doc_tfidf_top_terms(_docs(spark, sf_dir), k=3, min_df=2).select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        "tfidf",
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urltools.py): deterministic messy
     URLs (case-soup hosts, default/explicit ports, tracking params,
@@ -2145,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "vocab_stats": q_vocab_stats,
+        "doc_tfidf": q_doc_tfidf,
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -2456,6 +2494,33 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "vocab_stats": f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+v AS (SELECT token, count(*) AS doc_freq, sum(tf) AS term_freq FROM dt GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT token,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(term_freq AS BIGINT) AS term_freq,
+       round(ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0, 6) AS idf
+FROM v, n
+ORDER BY doc_freq DESC, token
+LIMIT 200
+""",
+        "doc_tfidf": f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+v AS (SELECT token, count(*) AS doc_freq FROM dt GROUP BY 1 HAVING count(*) >= 2),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT dt.doc_id, dt.token, dt.tf,
+             round(CAST(dt.tf AS DOUBLE) * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(v.doc_freq AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+      FROM dt JOIN v USING (token), n),
+r AS (SELECT doc_id, token, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf, tfidf
+FROM r WHERE rank <= 3
 """,
         "url_normalize": """
 WITH a AS (

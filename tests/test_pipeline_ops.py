@@ -498,3 +498,36 @@ def test_url_normalize(spark):
     assert out[5]["url_norm"] == "https://x.example"
     assert out[5]["url_path"] == "" and out[5]["url_query"] == ""
     assert out[6]["url_norm"] == "https://x.example"  # bare / + tracking-only query
+
+
+def test_vocab_and_tfidf(spark):
+    """token_doc_freq matches a Counter oracle; doc_tfidf ranks by
+    rounded score with bytewise tie-break and honors min_df."""
+    import math
+
+    from chronon_spark.operators.vocab import doc_tfidf_top_terms, token_doc_freq
+
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry durian"),
+        (3, "apple banana"),
+        (4, "elderberry"),
+    ]
+    docs4 = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["token"]: r for r in token_doc_freq(docs4).collect()}
+    exp_df = {"apple": 2, "banana": 3, "cherry": 2, "durian": 1, "elderberry": 1}
+    exp_tf = {"apple": 3, "banana": 3, "cherry": 3, "durian": 1, "elderberry": 1}
+    assert {t: r["doc_freq"] for t, r in got.items()} == exp_df
+    assert {t: r["term_freq"] for t, r in got.items()} == exp_tf
+    for t, r in got.items():
+        assert abs(r["idf"] - (math.log(5.0 / (exp_df[t] + 1.0)) + 1.0)) < 1e-12
+
+    top = doc_tfidf_top_terms(docs4, k=2, min_df=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"]))
+    # doc 1: apple tf=2 beats the tf=1 terms; of those, cherry (df=2)
+    # carries higher idf than banana (df=3) so it takes rank 2
+    assert sorted(by_doc[1]) == [(1, "apple"), (2, "cherry")]
+    # doc 4: only token is below min_df, so the doc vanishes
+    assert 4 not in by_doc
