@@ -446,3 +446,46 @@ def test_upload_bucketed_frame_two_exchanges(spark):
     n_ex = final.count("Exchange ")
     assert n_ex == 2, f"bucketed frame exchanges: {n_ex}\n{final[:1500]}"
     assert up.count() == 4
+
+
+def test_pipeline_ops_plan_shapes(spark):
+    """New training-data ops keep their 100TB shapes: map-side ops show
+    ZERO exchanges, packing exactly one (the per-group window), decontam
+    broadcasts the benchmark grams, vocab rolls up in exactly two
+    keyed exchanges, tfidf broadcasts the vocabulary back."""
+    from chronon_spark.operators.decontam import decontaminate
+    from chronon_spark.operators.packing import pack_sequences
+    from chronon_spark.operators.redact import redact_pii
+    from chronon_spark.operators.sampling import sample_stratified
+    from chronon_spark.operators.textstats import repetition_features
+    from chronon_spark.operators.urltools import url_normalize
+    from chronon_spark.operators.vocab import doc_tfidf_top_terms, token_doc_freq
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("url", F.concat(F.lit("https://s.example/"), "doc_id"))
+
+    for name, df in [
+        ("repetition", repetition_features(docs, ns=(2,))),
+        ("redact", redact_pii(docs)),
+        ("url", url_normalize(docs)),
+        ("sample", sample_stratified(docs, {"src0": 0.5}, default_rate=0.25)),
+    ]:
+        plan = _plan(df)
+        assert "Exchange" not in plan, f"{name}: map-side op must not shuffle\n{plan}"
+
+    pack = _plan(pack_sequences(docs, seq_len=128))
+    assert pack.count("Exchange") == 1  # one hash partitioning for the window
+
+    dec = _plan(decontaminate(docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")))
+    assert "BroadcastHashJoin" in dec  # benchmark grams never shuffle the corpus side
+    # corpus text must not ride any exchange: only narrow gram/count rows do
+    # (bench distinct + hit-count groupBy + final doc_id join = <= 4 shuffles;
+    # BroadcastExchange is not a shuffle)
+    assert dec.count("Exchange hashpartitioning") <= 4
+
+    vocab = _plan(token_doc_freq(docs))
+    assert vocab.count("Exchange") == 2  # (doc,token) partial-agg rollup + token re-key
+    assert vocab.count("HashAggregate") >= 4  # partial+final per stage
+
+    tfidf = _plan(doc_tfidf_top_terms(docs, k=2))
+    assert "BroadcastHashJoin" in tfidf  # vocabulary rides a broadcast, not a shuffle
