@@ -65,3 +65,28 @@ def test_example_serving_pipeline(spark, tmp_path):
     assert out["batch_served"] == 500
     assert out["stream_batches"] == 2
     assert out["stream_served"] == 500
+
+
+def test_example_training_data_pipeline(spark):
+    """Round-6 curation funnel: monotone stage counts, auditable PII
+    columns, disjoint splits, contiguous pack layout per stream."""
+    from examples.training_data_pipeline import run_example
+
+    out = run_example(spark, seq_len=128)
+    f = out["funnel"]
+    assert f["n_input"] >= f["n_quality"] >= f["n_decontaminated"] >= f["n_deduped"] >= f["n_sampled"]
+    assert f["n_sampled"] > 0
+    assert f["n_packed_docs"] == f["n_sampled"]
+    assert f["n_packs"] >= f["n_packed_docs"]  # every doc spans >= 1 pack
+
+    cur = out["curated"]
+    assert {"url_norm", "url_domain", "pii_total", "sample_weight", "split"} <= set(cur.columns)
+    assert cur.filter(~F.col("split").isin("train", "valid", "test")).count() == 0
+
+    # pack offsets are a contiguous running sum within each stream
+    rows = out["packed"].orderBy("stream", "doc_id").collect()
+    run: dict = {}
+    for r in rows:
+        off = run.get(r["stream"], 0)
+        assert r["stream_offset"] == off
+        run[r["stream"]] = off + r["n_tokens"]
