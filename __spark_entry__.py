@@ -2538,7 +2538,8 @@ WITH a AS (
 b AS (
   SELECT doc_id, u,
          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                        '^[^@]*@', '') AS auth,
          regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                         '/$', '') AS path,
          COALESCE(regexp_extract(u, '\\?([^#]*)', 1), '') AS qraw

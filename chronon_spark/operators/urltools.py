@@ -40,7 +40,12 @@ def url_normalize(df: DataFrame, url_col: str = "url", prefix: str = "url") -> D
     """
     u = url_col
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    auth = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    # userinfo (user:pass@) is dropped from the canonical form — it is
+    # never part of a crawl identity and frequently carries credentials
+    auth = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '')"
+    )
     # strip the scheme-default port only
     host_port = (
         f"CASE WHEN __scheme = 'https' THEN regexp_replace(__auth, ':443$', '') "

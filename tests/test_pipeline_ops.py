@@ -531,3 +531,46 @@ def test_vocab_and_tfidf(spark):
     assert sorted(by_doc[1]) == [(1, "apple"), (2, "cherry")]
     # doc 4: only token is below min_df, so the doc vanishes
     assert 4 not in by_doc
+
+
+def test_url_normalize_urllib_parity(spark):
+    """Cross-check the regex decomposition against urllib.urlsplit on a
+    crafted corpus (userinfo, ports, case soup, tracking-only queries,
+    IPv4 hosts, deep subdomains)."""
+    import re
+    from urllib.parse import urlsplit
+
+    from chronon_spark.operators.urltools import TRACKING_RE, url_normalize
+
+    urls = [
+        "https://user:pw@Secret.Example.COM/a",
+        "HTTP://WWW.A.B.Example.ORG:8080/Deep/Path/?z=1&utm_medium=m",
+        "https://198.51.100.7/x?a=2",
+        "https://h.example:443/p?b=1&a=1&utm_source=s&fbclid=f",
+        "http://h.example:80/",
+        "https://h.example/p/q/r/",
+        "ftp://files.example.net:21/pub",
+        "https://h.example/?utm_source=only",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["id", "url"])
+    got = {r["id"]: r for r in url_normalize(df).collect()}
+    defaults = {"https": 443, "http": 80}
+    for i, u in enumerate(urls):
+        ps = urlsplit(u)
+        scheme = ps.scheme.lower()
+        host = ps.hostname or ""
+        r = got[i]
+        assert r["url_scheme"] == scheme, u
+        assert r["url_host"] == host, u
+        assert r["url_path"] == re.sub("/$", "", ps.path), u
+        kept = sorted(
+            p for p in ps.query.split("&") if p and not re.match(TRACKING_RE, p + "=")
+        )
+        assert r["url_query"] == "&".join(kept), u
+        hostport = host
+        if ps.port is not None and ps.port != defaults.get(scheme):
+            hostport += f":{ps.port}"
+        exp_norm = f"{scheme}://{hostport}" + re.sub("/$", "", ps.path)
+        if kept:
+            exp_norm += "?" + "&".join(kept)
+        assert r["url_norm"] == exp_norm, u
