@@ -337,6 +337,29 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/components.py) over a
+    deterministic chain graph on doc ids (predecessor links with %7 and
+    %16 breaks — chains up to 15 deep, so the path-halving rounds
+    actually matter); the oracle walks the same graph with a recursive
+    CTE and takes min reachable id per node."""
+    from chronon_spark.operators.components import connected_components
+
+    e = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter("doc_id % 16 != 0 AND doc_id % 7 != 0")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") - 1).alias("id_b"),
+        )
+    )
+    return connected_components(e).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary rollup (operators/vocab.py): top 200 tokens by
     (doc_freq desc, token) with doc/term frequency and smoothed idf —
@@ -2181,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "dup_components": q_dup_components,
         "vocab_stats": q_vocab_stats,
         "doc_tfidf": q_doc_tfidf,
         "url_normalize": q_url_normalize,
@@ -2494,6 +2518,20 @@ SELECT doc_id,
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
 FROM documents
+""",
+        "dup_components": """
+WITH RECURSIVE
+e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+      WHERE doc_id % 16 <> 0 AND doc_id % 7 <> 0),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT s.b AS node, w.comp FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
 """,
         "vocab_stats": f"""
 WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),

@@ -574,3 +574,53 @@ def test_url_normalize_urllib_parity(spark):
         if kept:
             exp_norm += "?" + "&".join(kept)
         assert r["url_norm"] == exp_norm, u
+
+
+def test_connected_components(spark):
+    """Union-find oracle on a mixed graph; a 100-node path converges via
+    path halving; drop_near_duplicates keeps min-id reps + singletons."""
+    from chronon_spark.operators.components import (
+        connected_components,
+        drop_near_duplicates,
+    )
+
+    # mixed graph: two cliques bridged, a chain, isolated pair
+    edges = (
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12)]
+        + [(i, i + 1) for i in range(200, 300)]  # 101-node path
+        + [(500, 501)]
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    exp = {n: find(n) for n in parent}
+
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == exp
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in sorted(exp) + [999]], ["doc_id", "text"]
+    )
+    kept = drop_near_duplicates(docs, e).collect()
+    reps = {r["doc_id"] for r in kept}
+    # one rep per component (its min) + the untouched singleton
+    assert reps == set(exp.values()) | {999}
+    by_id = {r["doc_id"]: r for r in kept}
+    assert by_id[1]["cluster_size"] == 6 and by_id[1]["dup_cluster"] == 1
+    assert by_id[200]["cluster_size"] == 101
+    assert by_id[999]["dup_cluster"] is None and by_id[999]["cluster_size"] is None
