@@ -337,6 +337,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedupe.py): documents replayed as
+    a file stream through dropDuplicatesWithinWatermark; WHICH copy
+    survives is task-order, but the surviving FINGERPRINT set is exact,
+    so the gate compares that against DuckDB's distinct md5 of the same
+    normalization."""
+    from chronon_spark.streaming.dedupe import stream_exact_dedup
+
+    schema = _docs(spark, sf_dir).schema
+    # file streams need a directory source; the testdata table is a single
+    # file, so stream the parent dir with a glob pinned to it
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # documents carries no event time; synthesize one (1s per doc)
+    stream = stream.withColumn(
+        "ts", F.lit(1_700_000_000_000) + F.col("doc_id") * 1_000
+    )
+    out = stream_exact_dedup(stream, watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("gate_stream_dedup").select("fingerprint").distinct()
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (operators/components.py) over a
     deterministic chain graph on doc ids (predecessor links with %7 and
@@ -2204,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "textstats": q_textstats,
         "repetition_stats": q_repetition_stats,
+        "streaming_dedup": q_streaming_dedup,
         "dup_components": q_dup_components,
         "vocab_stats": q_vocab_stats,
         "doc_tfidf": q_doc_tfidf,
@@ -2517,6 +2550,10 @@ SELECT doc_id,
        round(CASE WHEN len({toks}) > 0
                   THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
                   ELSE 0.0 END, 6) AS unique_token_ratio
+FROM documents
+""",
+        "streaming_dedup": """
+SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """,
         "dup_components": """

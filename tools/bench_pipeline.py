@@ -1,0 +1,79 @@
+"""Throughput record for the round-6 training-data operators at sf0.1.
+
+Prints one JSON line: per-op wall seconds + rows/s over the documents
+table (5,000 docs at sf0.1), so BENCH/BASELINE.md can carry measured
+numbers for the pipeline surface beside the headline suite.
+
+Usage: python tools/bench_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.components import connected_components
+    from chronon_spark.operators.decontam import decontaminate
+    from chronon_spark.operators.packing import pack_sequences
+    from chronon_spark.operators.redact import redact_pii
+    from chronon_spark.operators.sampling import sample_stratified
+    from chronon_spark.operators.textstats import repetition_features
+    from chronon_spark.operators.urltools import url_normalize
+    from chronon_spark.operators.vocab import doc_tfidf_top_terms, token_doc_freq
+    from chronon_spark.session import build_session
+
+    spark = build_session(app_name="bench-pipeline", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n = docs.count()
+    urls = docs.withColumn(
+        "url", F.concat(F.lit("https://"), "source", F.lit(".example/d/"), "doc_id")
+    )
+    edges = (
+        docs.select("doc_id")
+        .filter("doc_id % 16 != 0 AND doc_id % 7 != 0")
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") - 1).alias("id_b"))
+    )
+
+    ops = {
+        "repetition_features": lambda: repetition_features(docs, ns=(2, 3)).count(),
+        "redact_pii": lambda: redact_pii(docs).select(F.sum("pii_total")).collect(),
+        "url_normalize": lambda: url_normalize(urls).select(F.count("url_norm")).collect(),
+        "sample_stratified": lambda: sample_stratified(
+            docs, {"src0": 0.5}, default_rate=0.25
+        ).count(),
+        "decontaminate": lambda: decontaminate(
+            docs.filter("doc_id % 29 != 0"), docs.filter("doc_id % 29 = 0"), n=4
+        ).count(),
+        "pack_sequences": lambda: pack_sequences(docs, seq_len=2048).count(),
+        "token_doc_freq": lambda: token_doc_freq(docs).count(),
+        "doc_tfidf_top_terms": lambda: doc_tfidf_top_terms(docs, k=3).count(),
+        "connected_components": lambda: connected_components(edges).count(),
+    }
+    # warm codegen + python workers
+    docs.agg(F.sum(F.length("text"))).collect()
+
+    out: dict[str, dict] = {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+    spark.stop()
+    print(json.dumps({"sf_dir": sf_dir, "n_docs": n, "cpus": int(cpus), "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
