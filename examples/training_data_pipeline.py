@@ -8,7 +8,9 @@ composed into the funnel a pretraining corpus actually runs:
 3. benchmark decontamination (``decontam``) — held-out eval grams ride
    a broadcast; contaminated docs are dropped but COUNTED,
 4. PII redaction (``redact``) — masked text with auditable counts,
-5. exact dedup (``dedup``) — first doc per normalized-text fingerprint,
+5. exact dedup (``dedup``) — first doc per normalized-text fingerprint
+   — then near-dup clustering (``components``): minhash pairs →
+   connected components → one representative per cluster,
 6. deterministic sampling + splits (``sampling``) — per-source rates,
    then train/valid/test labels; both bit-stable under repartitioning,
 7. sequence packing (``packing``) — concat-and-chunk layout per
@@ -34,8 +36,9 @@ def run_example(
     docs: DataFrame | None = None,
     seq_len: int = 256,
 ) -> dict:
+    from chronon_spark.operators.components import drop_near_duplicates
     from chronon_spark.operators.decontam import decontaminate
-    from chronon_spark.operators.dedup import exact_dedup
+    from chronon_spark.operators.dedup import exact_dedup, minhash_near_dups
     from chronon_spark.operators.packing import pack_sequences
     from chronon_spark.operators.redact import redact_pii
     from chronon_spark.operators.sampling import sample_stratified, split_assign
@@ -75,9 +78,15 @@ def run_example(
     # 4. PII masking (map-side; counts stay on the row for audits)
     kept = redact_pii(kept).drop("text").withColumnRenamed("text_redacted", "text")
 
-    # 5. exact dedup on the masked, normalized text
+    # 5. exact dedup on the masked, normalized text, then near-dup
+    #    clustering: minhash candidate pairs -> connected components ->
+    #    one min-id representative per cluster (cluster id/size kept for
+    #    audit)
     kept = exact_dedup(kept)
     funnel["n_deduped"] = kept.count()
+    pairs = minhash_near_dups(kept, jaccard_threshold=0.8)
+    kept = drop_near_duplicates(kept, pairs)
+    funnel["n_near_deduped"] = kept.count()
 
     # 6. deterministic per-source sampling, then split labels
     rates = {"src0": 1.0, "src1": 1.0}

@@ -74,7 +74,10 @@ def test_example_training_data_pipeline(spark):
 
     out = run_example(spark, seq_len=128)
     f = out["funnel"]
-    assert f["n_input"] >= f["n_quality"] >= f["n_decontaminated"] >= f["n_deduped"] >= f["n_sampled"]
+    assert (
+        f["n_input"] >= f["n_quality"] >= f["n_decontaminated"]
+        >= f["n_deduped"] >= f["n_near_deduped"] >= f["n_sampled"]
+    )
     assert f["n_sampled"] > 0
     assert f["n_packed_docs"] == f["n_sampled"]
     assert f["n_packs"] >= f["n_packed_docs"]  # every doc spans >= 1 pack
