@@ -483,6 +483,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.py): per-source
+    count^0.5 mixture weights and the capped sampling rates realizing a
+    2000-doc target."""
+    from chronon_spark.operators.sampling import mixture_rates
+
+    out = mixture_rates(_docs(spark, sf_dir), alpha=0.5, target_total=2000)
+    return out.select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "weight",
+        "rate",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/redact.py): documents get deterministic
     synthetic PII appended (an email per doc, an IPv4 on even ids, a
@@ -2242,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
+        "mixture_rates": q_mixture_rates,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -2655,6 +2671,16 @@ SELECT doc_id, source,
             WHEN u11 < 0.875 THEN 'valid'
             ELSE 'test' END AS split
 FROM r WHERE u7 < rate
+""",
+        "mixture_rates": """
+WITH a AS (SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
+z AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM a)
+SELECT stratum,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), 0.5) / z.z, 6) AS weight,
+       round(least(CAST(1.0 AS DOUBLE),
+                   pow(CAST(n_docs AS DOUBLE), 0.5) / z.z * 2000.0 / n_docs), 6) AS rate
+FROM a, z
 """,
         "pii_redaction": f"""
 WITH a AS (

@@ -61,6 +61,57 @@ def sample_stratified(
     )
 
 
+def mixture_rates(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.7,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing: per stratum, the sampling rate
+    that realizes a ``count^alpha``-proportional mixture (alpha < 1
+    upweights small sources — the standard pretraining mixing rule).
+
+    Returns (stratum, n_docs, weight, rate): ``weight = n^alpha /
+    sum(n^alpha)``; ``rate = min(1, weight * target_total / n)`` — capped
+    because hash sampling draws without replacement. Feed the result to
+    ``sample_stratified`` (collect to a dict; one row per stratum, so
+    the collect is tiny even with 10^5 domains)."""
+    agg = docs.groupBy(F.col(stratum_col).cast("string").alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))).alias("z")
+    z = agg.agg(total)
+    out = agg.crossJoin(F.broadcast(z)).withColumn(
+        "weight", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))) / F.col("z")
+    )
+    tgt = F.lit(float(target_total if target_total is not None else docs.count()))
+    return out.select(
+        "stratum",
+        "n_docs",
+        F.round("weight", 6).alias("weight"),
+        F.round(
+            F.least(F.lit(1.0), F.col("weight") * tgt / F.col("n_docs")), 6
+        ).alias("rate"),
+    )
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    key_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Compose: derive temperature-mixture rates, then hash-sample to
+    them. The rate table is one row per stratum (driver-collected)."""
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in mixture_rates(docs, stratum_col, alpha, target_total).collect()
+    }
+    return sample_stratified(docs, rates, stratum_col, key_cols, seed, default_rate=0.0)
+
+
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],

@@ -624,3 +624,26 @@ def test_connected_components(spark):
     assert by_id[1]["cluster_size"] == 6 and by_id[1]["dup_cluster"] == 1
     assert by_id[200]["cluster_size"] == 101
     assert by_id[999]["dup_cluster"] is None and by_id[999]["cluster_size"] is None
+
+
+def test_mixture_rates_and_sampling(spark, docs):
+    """count^alpha weights normalize to 1; alpha<1 upweights small
+    sources; rates cap at 1; sample_to_mixture lands near the target."""
+    from chronon_spark.operators.sampling import mixture_rates, sample_to_mixture
+
+    # skew the corpus: drop most of src0 so sources differ in size
+    # (src0 ids are = 0 mod 20 in the fixture, so filter on %3 to bite)
+    skewed = docs.filter("source != 'src0' OR doc_id % 3 = 0")
+    rates = {r["stratum"]: r for r in mixture_rates(skewed, alpha=0.5).collect()}
+    assert abs(sum(r["weight"] for r in rates.values()) - 1.0) < 1e-4
+    counts = {r["source"]: r["count"] for r in skewed.groupBy("source").count().collect()}
+    small, big = min(counts, key=counts.get), max(counts, key=counts.get)
+    # temperature mixing: weight ratio is sqrt of count ratio, so the
+    # small source's weight per doc is higher
+    assert rates[small]["weight"] / counts[small] > rates[big]["weight"] / counts[big]
+    assert all(r["rate"] <= 1.0 for r in rates.values())
+
+    n = skewed.count()
+    target = n // 2
+    got = sample_to_mixture(skewed, alpha=0.5, target_total=target, seed=3).count()
+    assert abs(got - target) < 6 * (target ** 0.5) + 10  # binomial tolerance
