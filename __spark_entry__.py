@@ -483,6 +483,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.py): 32-token windows,
+    stride 24, tail window kept — chunk text compared byte-for-byte;
+    the oracle rebuilds the start set and ranks it per doc."""
+    from chronon_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
 def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (operators/sampling.py): per-source
     count^0.5 mixture weights and the capped sampling rates realizing a
@@ -2257,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
         "mixture_rates": q_mixture_rates,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
@@ -2671,6 +2687,22 @@ SELECT doc_id, source,
             WHEN u11 < 0.875 THEN 'valid'
             ELSE 'test' END AS split
 FROM r WHERE u7 < rate
+""",
+        "chunk_documents": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w,
+             CASE WHEN len(w) <= 32 THEN [CAST(0 AS BIGINT)]
+                  ELSE list_distinct(list_append(
+                         list_transform(range(0, ((len(w) - 32) // 24) + 1), i -> i * 24),
+                         len(w) - 32)) END AS starts
+      FROM t),
+u AS (SELECT doc_id, w, unnest(starts) AS st FROM s)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(least(32, len(w) - st) AS BIGINT) AS n_tokens,
+       array_to_string(w[st + 1:st + 32], ' ') AS chunk_text
+FROM u
 """,
         "mixture_rates": """
 WITH a AS (SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -24,6 +24,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc sliding-window chunking (the embedding/RAG counterpart of
+    concat-and-chunk packing): whitespace-token windows of
+    ``chunk_tokens`` advancing by ``stride`` (default = chunk_tokens,
+    i.e. no overlap). Emits (doc, chunk_id, start_tok, n_tokens,
+    chunk_text); the final short window is kept only when the doc has no
+    full window (short docs still yield one chunk) or it adds unseen
+    tokens past the last full window.
+
+    100 TB shape: one map-side split + explode over window starts —
+    slice/array_join inside the generator, no shuffle; chunk ids are
+    deterministic (doc-local ordinals), so downstream embedding joins
+    key on (doc_id, chunk_id) stably across reruns.
+    """
+    stride = stride or chunk_tokens
+    toks = f"split({text_col}, ' ')"
+    # window starts: 0, stride, ... while start + chunk <= n; plus a tail
+    # start when tokens remain past the last full window (or the doc is
+    # shorter than one window)
+    starts = (
+        f"CASE WHEN size({toks}) <= {chunk_tokens} THEN array(0) "
+        f"ELSE array_union("
+        f"  transform(sequence(0, int(floor((size({toks}) - {chunk_tokens}) / {stride}))), i -> i * {stride}), "
+        f"  array(size({toks}) - {chunk_tokens})) END"
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.expr(toks).alias("__tk"),
+        F.posexplode(F.expr(starts)).alias("chunk_id", "start_tok"),
+    )
+    return d.select(
+        id_col,
+        "chunk_id",
+        "start_tok",
+        F.least(F.lit(chunk_tokens), F.size("__tk") - F.col("start_tok")).alias("n_tokens"),
+        F.expr(f"array_join(slice(__tk, start_tok + 1, {chunk_tokens}), ' ')").alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

@@ -647,3 +647,30 @@ def test_mixture_rates_and_sampling(spark, docs):
     target = n // 2
     got = sample_to_mixture(skewed, alpha=0.5, target_total=target, seed=3).count()
     assert abs(got - target) < 6 * (target ** 0.5) + 10  # binomial tolerance
+
+
+def test_chunk_documents(spark):
+    """Window starts advance by stride, the tail window lands flush at
+    n-chunk, short docs yield one short chunk, and chunk text is the
+    exact token slice."""
+    from chronon_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(50))
+    rows = [(1, text), (2, "a b c"), (3, " ".join(f"x{i}" for i in range(24)))]
+    out = chunk_documents(
+        spark.createDataFrame(rows, ["doc_id", "text"]), chunk_tokens=24, stride=16
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # 50 tokens, chunk 24, stride 16 -> full starts 0, 16 and tail 26
+    assert [r["start_tok"] for r in d1] == [0, 16, 26]
+    assert [r["n_tokens"] for r in d1] == [24, 24, 24]
+    toks = text.split(" ")
+    for r in d1:
+        assert r["chunk_text"] == " ".join(toks[r["start_tok"] : r["start_tok"] + 24])
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    # exactly chunk-sized doc: one window, not a duplicate tail
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 24
