@@ -483,6 +483,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate-line removal (operators/
+    boilerplate.py): deterministic cookie/footer lines injected on both
+    sides; lines in >= 3 distinct docs are stripped map-side and the
+    cleaned text is compared byte-for-byte."""
+    from chronon_spark.operators.boilerplate import remove_boilerplate_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text, "
+            "CASE WHEN doc_id % 2 = 0 THEN '\\nCOOKIE NOTICE accept our terms' ELSE '' END, "
+            "CASE WHEN doc_id % 3 = 0 THEN '\\nALL RIGHTS RESERVED' ELSE '' END, "
+            "'\\nref-', CAST(doc_id AS STRING))"
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(d, min_doc_freq=3)
+    return out.select(
+        "doc_id",
+        F.col("text_clean"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (operators/packing.py): 32-token windows,
     stride 24, tail window kept — chunk text compared byte-for-byte;
@@ -2273,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
+        "boilerplate_removal": q_boilerplate_removal,
         "mixture_rates": q_mixture_rates,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
@@ -2687,6 +2712,27 @@ SELECT doc_id, source,
             WHEN u11 < 0.875 THEN 'valid'
             ELSE 'test' END AS split
 FROM r WHERE u7 < rate
+""",
+        "boilerplate_removal": """
+WITH a AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'COOKIE NOTICE accept our terms' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'ALL RIGHTS RESERVED' ELSE '' END
+           || chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents),
+w AS (SELECT doc_id, t, string_split(t, chr(10)) AS w FROM a),
+dl AS (SELECT doc_id, unnest(list_distinct(w)) AS line FROM w),
+bp AS (SELECT line FROM dl WHERE line != '' GROUP BY line HAVING count(*) >= 3),
+u AS (SELECT doc_id, i AS pos, w[i] AS line
+      FROM w, UNNEST(range(1, len(w) + 1)) r(i)),
+k AS (SELECT u.doc_id, u.pos, u.line FROM u LEFT JOIN bp USING (line)
+      WHERE bp.line IS NULL)
+SELECT w.doc_id,
+       COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text_clean,
+       CAST(len(w.w) - count(k.line) AS BIGINT) AS n_lines_removed
+FROM w LEFT JOIN k USING (doc_id)
+GROUP BY w.doc_id, w.w
 """,
         "chunk_documents": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

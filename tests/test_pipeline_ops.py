@@ -674,3 +674,42 @@ def test_chunk_documents(spark):
     assert by_doc[2][0]["chunk_text"] == "a b c"
     # exactly chunk-sized doc: one window, not a duplicate tail
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 24
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines in >= min_doc_freq distinct docs are stripped from all docs;
+    rare and unique lines survive in order; counts are auditable; the
+    Arrow path (forced tiny literal limit) agrees with the JVM path."""
+    from chronon_spark.operators import boilerplate as bpmod
+    from chronon_spark.operators.boilerplate import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "intro one\nCOOKIE NOTICE\nbody a\nALL RIGHTS"),
+        (2, "COOKIE NOTICE\nbody b\nALL RIGHTS"),
+        (3, "body c\nCOOKIE NOTICE"),
+        (4, "ALL RIGHTS\nbody d"),
+        (5, "body e"),
+    ]
+    docs5 = spark.createDataFrame(rows, ["doc_id", "text"])
+    bp = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs5, min_doc_freq=3).collect()}
+    assert bp == {"COOKIE NOTICE": 3, "ALL RIGHTS": 3}
+
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs5, min_doc_freq=3).collect()}
+    assert out[1]["text_clean"] == "intro one\nbody a"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["text_clean"] == "body b" and out[2]["n_lines_removed"] == 2
+    assert out[5]["text_clean"] == "body e" and out[5]["n_lines_removed"] == 0
+
+    # force the Arrow/broadcast-set path and require identical output
+    old = bpmod._LITERAL_LIMIT
+    bpmod._LITERAL_LIMIT = 0
+    try:
+        arrow = {r["doc_id"]: r for r in remove_boilerplate_lines(docs5, min_doc_freq=3).collect()}
+    finally:
+        bpmod._LITERAL_LIMIT = old
+    assert {k: (v["text_clean"], v["n_lines_removed"]) for k, v in out.items()} == {
+        k: (v["text_clean"], v["n_lines_removed"]) for k, v in arrow.items()
+    }
