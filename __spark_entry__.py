@@ -483,6 +483,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (operators/lmscore.py): per-doc mean
+    token log-probability + perplexity under the corpus's own add-one-
+    smoothed unigram distribution (the CCNet/KenLM filter analogue
+    without an external model)."""
+    from chronon_spark.operators.lmscore import lm_score
+
+    return lm_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_logp",
+        "ppl",
+    )
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate-line removal (operators/
     boilerplate.py): deterministic cookie/footer lines injected on both
@@ -2298,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "boilerplate_removal": q_boilerplate_removal,
+        "lm_score": q_lm_score,
         "mixture_rates": q_mixture_rates,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
@@ -2712,6 +2728,20 @@ SELECT doc_id, source,
             WHEN u11 < 0.875 THEN 'valid'
             ELSE 'test' END AS split
 FROM r WHERE u7 < rate
+""",
+        "lm_score": f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+v AS (SELECT token, sum(tf) AS term_freq FROM dt GROUP BY 1),
+d AS (SELECT CAST(sum(term_freq) + count(*) AS DOUBLE) AS denom FROM v),
+s AS (SELECT t.doc_id, ln((CAST(v.term_freq AS DOUBLE) + 1.0) / d.denom) AS logp
+      FROM t JOIN v USING (token), d),
+a AS (SELECT doc_id, count(*) AS n_tokens, avg(logp) AS mean_logp FROM s GROUP BY 1)
+SELECT documents.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(a.mean_logp, 6) AS mean_logp,
+       round(exp(-a.mean_logp), 6) AS ppl
+FROM documents LEFT JOIN a USING (doc_id)
 """,
         "boilerplate_removal": """
 WITH a AS (

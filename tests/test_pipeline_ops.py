@@ -713,3 +713,33 @@ def test_remove_boilerplate_lines(spark):
     assert {k: (v["text_clean"], v["n_lines_removed"]) for k, v in out.items()} == {
         k: (v["text_clean"], v["n_lines_removed"]) for k, v in arrow.items()
     }
+
+
+def test_lm_score(spark):
+    """Python-oracle parity on a toy corpus; fixed external reference
+    gives unseen tokens the floor probability; gibberish scores worse."""
+    import math
+
+    from chronon_spark.operators.lmscore import lm_score
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the the the"),
+        (3, "zq"),
+    ]
+    d3 = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm_score(d3).collect()}
+    # corpus tf: the=4, cat=1, sat=1, zq=1 -> T=7, V=4, denom=11
+    lp = {t: math.log((tf + 1) / 11.0) for t, tf in {"the": 4, "cat": 1, "sat": 1, "zq": 1}.items()}
+    exp1 = (lp["the"] + lp["cat"] + lp["sat"]) / 3
+    assert abs(got[1]["mean_logp"] - round(exp1, 6)) < 1e-6
+    assert got[2]["mean_logp"] == round(lp["the"], 6)
+    assert got[1]["n_tokens"] == 3 and got[3]["n_tokens"] == 1
+    # "the the the" is the most probable doc; rare-token doc the least
+    assert got[2]["ppl"] < got[1]["ppl"] < got[3]["ppl"]
+
+    # fixed reference: unseen tokens take the floor logp
+    ref = spark.createDataFrame([(10, "alpha beta alpha")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(d3, reference=ref).collect()}
+    floor = math.log(1 / (3 + 2))  # T=3, V=2
+    assert out[3]["mean_logp"] == round(floor, 6)
