@@ -34,9 +34,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from chronon_spark.operators.boilerplate import remove_boilerplate_lines
     from chronon_spark.operators.components import connected_components
     from chronon_spark.operators.decontam import decontaminate
-    from chronon_spark.operators.packing import pack_sequences
+    from chronon_spark.operators.lmscore import lm_score
+    from chronon_spark.operators.packing import chunk_documents, pack_sequences
     from chronon_spark.operators.redact import redact_pii
     from chronon_spark.operators.sampling import sample_stratified
     from chronon_spark.operators.textstats import repetition_features
@@ -91,6 +93,14 @@ def main() -> None:
         "token_doc_freq": lambda: token_doc_freq(docs).count(),
         "doc_tfidf_top_terms": lambda: doc_tfidf_top_terms(docs, k=3).count(),
         "connected_components": lambda: connected_components(edges).count(),
+        "chunk_documents": lambda: chunk_documents(docs, chunk_tokens=32, stride=24)
+        .select(F.sum("n_tokens"), F.count("chunk_text")).collect(),
+        "lm_score": lambda: lm_score(docs)
+        .select(F.sum("mean_logp"), F.sum("ppl")).collect(),
+        "boilerplate_removal": lambda: remove_boilerplate_lines(
+            docs.withColumn("text", F.concat_ws("\n", "text", F.lit("COOKIE NOTICE"))),
+            min_doc_freq=3,
+        ).select(F.sum("n_lines_removed"), F.count("text_clean")).collect(),
     }
     # warm codegen + python workers
     docs.agg(F.sum(F.length("text"))).collect()
