@@ -743,3 +743,52 @@ def test_lm_score(spark):
     out = {r["doc_id"]: r for r in lm_score(d3, reference=ref).collect()}
     floor = math.log(1 / (3 + 2))  # T=3, V=2
     assert out[3]["mean_logp"] == round(floor, 6)
+
+
+def test_chunk_documents_fuzz(spark):
+    """Hypothesis fuzz: random corpora x (chunk, stride) against a python
+    start-set oracle — full windows every stride, flush tail, short-doc
+    single chunk, byte-exact chunk text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronon_spark.operators.packing import chunk_documents
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    )
+    def run(doc_lens, chunk, stride):
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(ln)))
+            for i, ln in enumerate(doc_lens)
+        ]
+        out = chunk_documents(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            chunk_tokens=chunk,
+            stride=stride,
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(r)
+        for i, ln in enumerate(doc_lens):
+            toks = rows[i][1].split(" ")  # note: "" splits to [""] (1 token)
+            n = len(toks)
+            if n <= chunk:
+                starts = [0]
+            else:
+                starts = sorted(
+                    {s * stride for s in range((n - chunk) // stride + 1)}
+                    | {n - chunk}
+                )
+            rs = sorted(got[i], key=lambda r: r["chunk_id"])
+            assert [r["start_tok"] for r in rs] == starts, (doc_lens, chunk, stride)
+            for r in rs:
+                assert r["n_tokens"] == min(chunk, n - r["start_tok"])
+                assert r["chunk_text"] == " ".join(
+                    toks[r["start_tok"] : r["start_tok"] + chunk]
+                )
+
+    run()
