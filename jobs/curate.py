@@ -8,7 +8,8 @@ Usage:
         [--benchmark /data/eval_docs] [--seq-len 2048] \\
         [--min-tokens 20] [--min-quality 0.3] [--max-dup3 0.6] \\
         [--langs en,de] [--rate 1.0] [--seed 13] \\
-        [--split 0.875,0.0625,0.0625]
+        [--split 0.875,0.0625,0.0625] \\
+        [--near-dedup --jaccard 0.8] [--chunk-tokens 512 --chunk-stride 384]
 
 Composes the operator funnel (quality/repetition gates → optional
 benchmark decontamination → PII redaction → exact dedup → deterministic
@@ -43,6 +44,12 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=1.0, help="default per-source sample rate")
     ap.add_argument("--seed", type=int, default=13)
     ap.add_argument("--split", default="0.875,0.0625,0.0625", help="train,valid,test weights")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="minhash candidate pairs -> connected components -> one keeper per cluster")
+    ap.add_argument("--jaccard", type=float, default=0.8, help="near-dedup threshold")
+    ap.add_argument("--chunk-tokens", type=int, default=0,
+                    help="also emit chunked/ (sliding windows of this size) for embedding pipelines")
+    ap.add_argument("--chunk-stride", type=int, default=0, help="default = chunk-tokens")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -80,6 +87,14 @@ def main() -> None:
     kept = exact_dedup(kept)
     funnel["n_deduped"] = kept.count()
 
+    if args.near_dedup:
+        from chronon_spark.operators.components import drop_near_duplicates
+        from chronon_spark.operators.dedup import minhash_near_dups
+
+        pairs = minhash_near_dups(kept, jaccard_threshold=args.jaccard)
+        kept = drop_near_duplicates(kept, pairs)
+        funnel["n_near_deduped"] = kept.count()
+
     kept = sample_stratified(kept, {}, seed=args.seed, default_rate=args.rate)
     w = [float(x) for x in args.split.split(",")]
     kept = split_assign(
@@ -92,6 +107,15 @@ def main() -> None:
     funnel["n_packs"] = int(
         packed.agg(F.sum(F.col("pack_last") - F.col("pack_first") + 1)).first()[0] or 0
     )
+
+    if args.chunk_tokens:
+        from chronon_spark.operators.packing import chunk_documents
+
+        chunks = chunk_documents(
+            kept, args.chunk_tokens, args.chunk_stride or args.chunk_tokens
+        )
+        funnel["n_chunks"] = chunks.count()
+        chunks.write.mode("overwrite").parquet(os.path.join(args.output, "chunked"))
 
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
