@@ -38,17 +38,24 @@ def normalize_text(col: str = "text"):
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct normalized text. Adds
-    ``dup_count`` (cluster size). One shuffle on the text hash."""
-    h = F.md5(normalize_text(text_col)).alias("__th")
-    w = Window.partitionBy("__th")
-    out = (
+    ``dup_count`` (cluster size). One shuffle on the text hash.
+
+    Hash-aggregate form (min_by on the row struct + count) rather than
+    window count/row_number: a HashAggregate gets map-side PARTIAL
+    aggregation — duplicate rows collapse before the exchange, so the
+    shuffle moves one candidate row per (partition, hash) instead of
+    every row — and needs no per-partition sort. The window form shipped
+    the full corpus through the exchange and sorted each partition."""
+    cols = df.columns
+    agg = (
         df.withColumn("__th", F.md5(normalize_text(text_col)))
-        .withColumn("dup_count", F.count("*").over(w))
-        .withColumn("__rk", F.row_number().over(w.orderBy(F.col(id_col))))
-        .filter(F.col("__rk") == 1)
-        .drop("__th", "__rk")
+        .groupBy("__th")
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count("*").alias("dup_count"),
+        )
     )
-    return out
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols], "dup_count")
 
 
 def shingle_hashes(text_col: str, k: int = 5):

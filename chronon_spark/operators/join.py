@@ -285,9 +285,17 @@ def compute_join_part(
     left_is_small: bool | None = None,
     tile_warehouse=None,
     hot_key_threshold: "int | str | None" = None,
+    temporal_mode: str = "auto",
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix.
+
+    ``temporal_mode``: forwarded to temporal_events for TEMPORAL parts.
+    Callers that KNOW the left spine is dense (queries at ~every event of
+    the right source, e.g. a self-join backfill) should pass "raw" — hop
+    tiling degenerates there (every tile holds a query head, so the head
+    semi-join keeps ~all raw events on top of the tile build; see
+    pipelines/webtext.py for the same reasoning and measurements).
 
     ``left_is_small``: shared probe verdict from join_backfill (one
     limit+count per backfill, not one per part).
@@ -353,8 +361,15 @@ def compute_join_part(
             tile_range = (lo, left_end)
         elif in_filters is None:
             right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
+        # passthrough: the query frame is slim by construction (keys + ts +
+        # ds + row uid), so riding it through the Arrow kernel directly
+        # skips the uniqSort-distinct + join-back (3 shuffles per part).
+        # Duplicate (keys, ts) query rows stay distinct via ROW_UID and
+        # each computes identical features — 1:1 contract preserved.
         feats = temporal_events(
             spark, gb, queries, right_df,
+            mode=temporal_mode,
+            passthrough=True,
             tile_warehouse=tile_warehouse if tile_range else None,
             tile_range=tile_range,
             hot_key_threshold=hot_key_threshold,
@@ -399,6 +414,7 @@ def join_backfill(
     part_parallelism: int = 4,
     tile_warehouse=None,
     hot_key_threshold: "int | str | None" = None,
+    temporal_mode: str = "auto",
 ) -> DataFrame:
     """Full Join backfill over [start_ds, end_ds] of the left source.
 
@@ -509,7 +525,7 @@ def join_backfill(
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
-                hot_key_threshold=hot_key_threshold,
+                hot_key_threshold=hot_key_threshold, temporal_mode=temporal_mode,
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -530,7 +546,7 @@ def join_backfill(
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
-                hot_key_threshold=hot_key_threshold,
+                hot_key_threshold=hot_key_threshold, temporal_mode=temporal_mode,
             )
             out = coalesced_join(out, feats, join_cols, "left")
 
