@@ -59,15 +59,22 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     out_col: str | None = None,
     max_boilerplate: int = 1_000_000,
+    literal_limit: int | None = None,
 ) -> DataFrame:
     """Delete corpus-frequent lines from every document. Adds
     ``{out_col}`` (cleaned text, default ``{text_col}_clean``) and
     ``n_lines_removed`` so the deletion stays auditable. Join char for
     reassembly is ``sep``'s literal form when it is a plain character
-    (regex seps rejoin with their escaped text)."""
+    (regex seps rejoin with their escaped text).
+
+    ``literal_limit``: boilerplate sets up to this size apply as a
+    literal-array codegen filter; larger sets via the Arrow kernel
+    (exposed so tests/benches can force either path)."""
     import pandas as pd
 
     out_col = out_col or f"{text_col}_clean"
+    if literal_limit is None:
+        literal_limit = _LITERAL_LIMIT
     bp = boilerplate_lines(docs, min_doc_freq, sep, id_col, text_col)
     removed = [
         r["line"] for r in bp.select("line").limit(max_boilerplate + 1).collect()
@@ -81,15 +88,42 @@ def remove_boilerplate_lines(
     n_before = F.size(parts)
     if not removed:
         kept = parts
-    elif len(removed) <= _LITERAL_LIMIT:
+    elif len(removed) <= literal_limit:
         lit_set = F.array(*[F.lit(s) for s in sorted(removed)])
         kept = F.filter(parts, lambda l: ~F.array_contains(lit_set, l))
     else:
-        bset = docs.sparkSession.sparkContext.broadcast(frozenset(removed))
+        # fully vectorized Arrow set-filter: per batch, ONE pyarrow is_in
+        # over the flattened line child array + an offsets rebuild — no
+        # per-row Python loops (the old list-comprehension path walked
+        # every line of every document in interpreted Python, exactly at
+        # the >literal_limit scale where it runs)
+        bset = docs.sparkSession.sparkContext.broadcast(sorted(removed))
 
         def _drop(series):
-            s = bset.value
-            return series.map(lambda arr: [l for l in arr if l not in s])
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            vs = getattr(_drop, "_vs", None)
+            if vs is None:
+                vs = pa.array(bset.value, type=pa.string())
+                _drop._vs = vs
+            arr = pa.array(series, type=pa.list_(pa.string()))
+            null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = arr.values
+            # split() never yields null elements; fill_null guards anyway
+            keep = pc.fill_null(pc.invert(pc.is_in(flat, value_set=vs)), True)
+            kb = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(kb)])
+            new_off = cum[offsets - offsets[0]]
+            out = pa.ListArray.from_arrays(
+                pa.array(new_off, type=pa.int32()), flat.filter(keep)
+            )
+            ser = pd.Series(out.to_pandas())
+            if null_mask.any():
+                ser[null_mask] = None
+            return ser
 
         _drop.__annotations__ = {"series": pd.Series, "return": pd.Series}
         from pyspark.sql.types import ArrayType, StringType

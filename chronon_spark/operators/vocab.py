@@ -75,9 +75,16 @@ def doc_tfidf_top_terms(
     corpus rollup — small after ``min_df`` — and broadcasts onto the
     per-doc term counts."""
     vocab = token_doc_freq(docs, id_col, text_col, min_df).select("token", "idf")
+    # NO broadcast hint: with default min_df=1 the vocab is the corpus's
+    # whole token set — tens of GB on a crawl — and an explicit hint is
+    # never demoted (OOM at scale). Both join inputs end in aggregates,
+    # so AQE sees the vocab side's REAL post-shuffle size and converts to
+    # a broadcast join at runtime when it fits under
+    # spark.sql.adaptive.autoBroadcastJoinThreshold, else keeps the
+    # sort-merge join (plan-contract-tested both ways).
     scored = (
         doc_term_counts(docs, id_col, text_col)
-        .join(F.broadcast(vocab), "token")
+        .join(vocab, "token")
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
     )
     # rank on the ROUNDED score: ln() can differ by an ulp across engines

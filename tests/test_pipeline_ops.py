@@ -792,3 +792,62 @@ def test_chunk_documents_fuzz(spark):
                 )
 
     run()
+
+
+def test_boilerplate_arrow_path_large_set(spark):
+    """The >literal_limit Arrow set-filter path (one pyarrow is_in over
+    the flattened line child + offsets rebuild — no per-row Python) must
+    agree with the literal-array JVM path on a corpus whose boilerplate
+    set exceeds 1000 distinct lines, including empty-result docs."""
+    from chronon_spark.operators.boilerplate import remove_boilerplate_lines
+
+    n_bp = 1200
+    bp_lines = [f"BOILER {i:04d}" for i in range(n_bp)]
+    rows = []
+    # three docs share every boilerplate line (doc_freq=3 >= 3), each with
+    # a unique line mixed in; one doc is ALL boilerplate; one has none
+    for d in range(3):
+        rows.append((d, "\n".join(bp_lines + [f"unique {d}"])))
+    rows.append((3, "\n".join(bp_lines)))
+    rows.append((4, "plain body"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    arrow = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_doc_freq=3, literal_limit=0).collect()
+    }
+    literal = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            docs, min_doc_freq=3, literal_limit=10_000
+        ).collect()
+    }
+    assert {k: (v["text_clean"], v["n_lines_removed"]) for k, v in arrow.items()} == {
+        k: (v["text_clean"], v["n_lines_removed"]) for k, v in literal.items()
+    }
+    assert arrow[0]["text_clean"] == "unique 0" and arrow[0]["n_lines_removed"] == n_bp
+    assert arrow[3]["text_clean"] == "" and arrow[3]["n_lines_removed"] == n_bp
+    assert arrow[4]["text_clean"] == "plain body" and arrow[4]["n_lines_removed"] == 0
+
+
+def test_lm_score_vocab_broadcast_guard(spark):
+    """lm_score's vocab hint is size-guarded by the exact V from the
+    smoothing aggregate: above the cutoff the initial plan must NOT carry
+    a forced broadcast of the vocabulary (AQE may still convert at
+    runtime when the REAL size fits — that is the point)."""
+    from chronon_spark.operators import lmscore as lmod
+    from chronon_spark.operators.lmscore import lm_score
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the the")], ["doc_id", "text"]
+    )
+    small = lm_score(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small  # V=3 <= cutoff: hint applied
+
+    old = lmod.VOCAB_BROADCAST_MAX_ROWS
+    lmod.VOCAB_BROADCAST_MAX_ROWS = 0
+    try:
+        big = lm_score(d)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        lmod.VOCAB_BROADCAST_MAX_ROWS = old
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
