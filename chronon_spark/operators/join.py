@@ -138,6 +138,43 @@ def _semi_filter_events(events: DataFrame, left: DataFrame, right_keys: list[str
     return events.join(distinct_keys, right_keys, "left_semi")
 
 
+def self_join_no_prune(join: Join, part: JoinPart) -> bool:
+    """True when key-pruning the part's right source by the left's keys is
+    a PROVABLE no-op: the part scans the same physical table as the left,
+    key columns pass through unrenamed and unmapped, and neither side
+    carries extra wheres — then (time range aside) every right key value
+    also occurs on the left, so the semi filter / IN list would drop
+    nothing while costing a distinct + broadcast build + semi join per
+    part. The only asymmetry is the window-extended right range: keys
+    living ONLY in the lookback days stay unpruned, aggregate, and fall
+    out of the left fold join — results identical, bounded extra work,
+    three fewer stages per part. skew_keys filter both sides identically,
+    so they preserve the equality."""
+    left = join.left
+    if not isinstance(left, EventSource):
+        return False
+    if part.key_mapping:
+        return False
+    gb = part.group_by
+    lq = getattr(left, "query", None)
+    if lq is not None and tuple(lq.wheres or ()):
+        return False
+    lsel = dict(lq.selects or {}) if lq is not None and lq.selects else {}
+    for s in gb.sources:
+        if not isinstance(s, EventSource) or s.table != left.table:
+            return False
+        sq = getattr(s, "query", None)
+        if sq is not None and tuple(sq.wheres or ()):
+            return False
+        ssel = dict(sq.selects or {}) if sq is not None and sq.selects else {}
+        for k in gb.key_columns:
+            if ssel and ssel.get(k) not in (None, k):
+                return False
+            if lsel and lsel.get(k) not in (None, k):
+                return False
+    return True
+
+
 SMALL_MODE_CUTOFF = 5000  # spark.chronon.join.small_mode_cutoff (TableUtils.scala:348-351)
 
 
@@ -286,6 +323,7 @@ def compute_join_part(
     tile_warehouse=None,
     hot_key_threshold: "int | str | None" = None,
     temporal_mode: str = "auto",
+    prune_keys: bool = True,
 ) -> DataFrame:
     """Compute one joinPart's feature frame keyed by the LEFT key names +
     (ts | ds), feature columns prefixed with the part's full prefix.
@@ -320,7 +358,7 @@ def compute_join_part(
 
     key_values = (
         small_mode_key_values(left, left_keys, right_keys, is_small=left_is_small)
-        if small_mode and not tile_active
+        if small_mode and prune_keys and not tile_active
         else None
     )
     rights = [
@@ -359,7 +397,7 @@ def compute_join_part(
             else:
                 lo = shift_ds(left_start, -int(-(-max_w // 86_400_000)))  # ceil days
             tile_range = (lo, left_end)
-        elif in_filters is None:
+        elif in_filters is None and prune_keys:
             right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
         # passthrough: the query frame is slim by construction (keys + ts +
         # ds + row uid), so riding it through the Arrow kernel directly
@@ -382,7 +420,7 @@ def compute_join_part(
         # Right computed per ds over [left_start-1, left_end-1], then shifted
         # +1 day so today's left rows see yesterday's aggregate
         # (JoinBase.scala:86-119, 148-165).
-        if in_filters is None:
+        if in_filters is None and prune_keys:
             right_df = _semi_filter_events(right_df, left, right_keys, left_keys)
         feats = snapshot_events(
             spark, gb, right_df, shift_ds(left_start, -1), shift_ds(left_end, -1)
@@ -485,8 +523,11 @@ def join_backfill(
     # accumulating dead cached frames in executor storage.
     left = left.persist()
     _ACTIVE_CACHES.append(left)
+    # per-part pruning verdicts first: a backfill whose every part is a
+    # provable self-join no-prune also skips the small-mode probe action
+    part_prunes = [not self_join_no_prune(join, p_) for p_ in right_parts]
     # ONE small-mode probe per backfill, shared across parts
-    left_is_small = _probe_left_small(left) if right_parts else False
+    left_is_small = _probe_left_small(left) if any(part_prunes) else False
 
     def part_input(part: JoinPart) -> DataFrame:
         """Rows the part must actually compute: bootstrap-covered rows are
@@ -520,12 +561,14 @@ def join_backfill(
             _ACTIVE_CACHES.remove(cached_left)
         cached_left.unpersist()
 
-        def materialize(part: JoinPart):
+        def materialize(part_and_prune):
+            part, prune = part_and_prune
             table = f"{join.name}__{part.full_prefix}"
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
                 hot_key_threshold=hot_key_threshold, temporal_mode=temporal_mode,
+                prune_keys=prune,
             )
             if "ds" not in feats.columns:
                 feats = feats.withColumn(
@@ -538,15 +581,16 @@ def join_backfill(
             return table, join_cols
 
         with ThreadPoolExecutor(max_workers=part_parallelism) as pool:
-            results = list(pool.map(materialize, right_parts))
+            results = list(pool.map(materialize, zip(right_parts, part_prunes)))
         for table, join_cols in results:
             out = coalesced_join(out, part_warehouse.read(table), join_cols, "left")
     else:
-        for part in right_parts:
+        for part, prune in zip(right_parts, part_prunes):
             feats, join_cols = compute_join_part(
                 spark, part_input(part), part, start_ds, end_ds, join.skew_keys,
                 left_is_small=left_is_small, tile_warehouse=tile_warehouse,
                 hot_key_threshold=hot_key_threshold, temporal_mode=temporal_mode,
+                prune_keys=prune,
             )
             out = coalesced_join(out, feats, join_cols, "left")
 
