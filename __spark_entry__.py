@@ -1731,7 +1731,11 @@ def q_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     q = ev.select("event_id", "user_id", "ts")
-    out = temporal_events(spark, gb, q, ev.select("user_id", "ts", "value"))
+    # dense query pattern (features at every event): raw kernel +
+    # passthrough, same reasoning/measurement as q_groupby_temporal
+    out = temporal_events(
+        spark, gb, q, ev.select("user_id", "ts", "value"), mode="raw", passthrough=True
+    )
     return out.select(
         "event_id",
         F.round("value_sum_7d", 6).alias("value_sum_7d"),

@@ -101,6 +101,19 @@ def main() -> None:
             docs.withColumn("text", F.concat_ws("\n", "text", F.lit("COOKIE NOTICE"))),
             min_doc_freq=3,
         ).select(F.sum("n_lines_removed"), F.count("text_clean")).collect(),
+        # >literal_limit boilerplate set (2000 distinct frequent lines)
+        # exercises the Arrow is_in set-filter path — the one that runs at
+        # corpus scale (r6 verdict weak #2)
+        "boilerplate_removal_arrow": lambda: remove_boilerplate_lines(
+            docs.withColumn(
+                "text",
+                F.concat_ws(
+                    "\n", "text",
+                    F.concat(F.lit("BOILER "), (F.col("doc_id") % 2000).cast("string")),
+                ),
+            ),
+            min_doc_freq=3,
+        ).select(F.sum("n_lines_removed"), F.count("text_clean")).collect(),
     }
     # warm codegen + python workers
     docs.agg(F.sum(F.length("text"))).collect()
