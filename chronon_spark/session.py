@@ -45,6 +45,14 @@ def build_session(
         # yyyy-MM-dd, TableUtils.scala:343-347)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # PySpark 4's DataFrame-debugging captures a Python stack trace on
+        # EVERY DataFrame/Column API call (inspect.currentframe walk + a
+        # per-call origin string shipped over py4j; first use even imports
+        # IPython) purely to enrich error messages with user call sites.
+        # Measured ~30-40% of plan-CONSTRUCTION time for the wide temporal
+        # plans. Batch-engine trade: errors lose the user-code line, plans
+        # build materially faster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # keep post-shuffle parallelism: default 64MB advisory target
