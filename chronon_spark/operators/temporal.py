@@ -696,6 +696,22 @@ def make_temporal_kernel(
             for p in parts:
                 out[p.output_column] = pd.Series([], dtype=object)
             return out
+        # null-ts query rows get null features IN the kernel (the
+        # padGroupByFields contract). Handling them here instead of a
+        # driver-side pre-filter + pad-union lets passthrough callers ship
+        # the query frame through ONE subtree — the filter/union form
+        # re-evaluated the whole (possibly window-heavy) query plan a
+        # second time just to find the pad rows.
+        null_ts = qdf[TS_COL].isna().to_numpy()
+        if null_ts.any():
+            pad_out = qdf.loc[null_ts, query_cols].copy()
+            for p in parts:
+                pad_out[p.output_column] = None
+            if null_ts.all():
+                return pad_out
+            return pd.concat(
+                [kernel(qdf.loc[~null_ts], edf), pad_out], ignore_index=True
+            )
         slice_lo = None
         if baseline_cols is not None and "__slice_lo" in qdf.columns:
             v = qdf["__slice_lo"].iloc[0]
@@ -1154,12 +1170,15 @@ def _temporal_events_impl(
         cond = cond & kcond
 
     if passthrough:
-        qlite = queries.filter(cond)
-        pad = queries.filter(~cond)
+        # the WHOLE query frame rides the kernel: null-ts rows are padded
+        # IN-kernel and null-key rows cogroup against an empty event group
+        # (events are null-key-filtered) — a filter + pad-union here would
+        # re-evaluate the query subtree twice (measured as a full second
+        # window chain in the flagship plan)
+        qlite = queries
         slim_cols = queries.columns
     else:
         qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
-        pad = None
         slim_cols = keys + [TS_COL]
 
     schema = T.StructType(
@@ -1283,12 +1302,6 @@ def _temporal_events_impl(
         .applyInPandas(kernel, schema=schema)
     )
     if passthrough:
-        if pad is not None:
-            for p in parts:
-                pad = pad.withColumn(
-                    p.output_column, F.lit(None).cast(output_field(p, ev_schema).dataType)
-                )
-            feats = feats.unionByName(pad)
         return feats
     return queries.join(feats, slim_cols, "left")
 

@@ -1284,6 +1284,18 @@ def make_tiled_kernel(
             for p in parts:
                 out[p.output_column] = pd.Series([], dtype=object)
             return out
+        # null-ts query rows → null features in-kernel (see the raw
+        # kernel's twin block): keeps passthrough to ONE query subtree
+        null_ts = qdf[TS_COL].isna().to_numpy()
+        if null_ts.any():
+            pad_out = qdf.loc[null_ts, slim_cols].copy()
+            for p in parts:
+                pad_out[p.output_column] = None
+            if null_ts.all():
+                return pad_out
+            return pd.concat(
+                [kernel(qdf.loc[~null_ts], cdf), pad_out], ignore_index=True
+            )
         tdf = cdf[cdf["__kind"] == 0].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
         hdf = cdf[cdf["__kind"] == 1].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
         t1h = cdf[cdf["__kind"] == 2].sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
@@ -1785,11 +1797,12 @@ def temporal_events_tiled(
     if kcond is not None:
         cond = cond & kcond
     if passthrough:
-        qlite = queries.filter(cond)
-        pad = queries.filter(~cond)
+        # whole query frame through one subtree; null-ts rows padded
+        # in-kernel, null-key rows cogroup against empty combined groups
+        # (see the raw path's twin block in temporal.py)
+        qlite = queries
     else:
         qlite = queries.select(*keys, TS_COL).filter(cond).distinct()
-        pad = None
 
     coll_by_col = _needed_coll(gb)
     bucket_pairs = _needed_bucket_pairs(gb)
@@ -1941,10 +1954,5 @@ def temporal_events_tiled(
         .applyInPandas(kernel, schema=schema)
     )
     if passthrough:
-        if pad is not None:
-            for p in gb.unpacked():
-                f = schema[p.output_column]
-                pad = pad.withColumn(p.output_column, F.lit(None).cast(f.dataType))
-            feats = feats.unionByName(pad)
         return feats
     return queries.join(feats, slim_cols, "left")
